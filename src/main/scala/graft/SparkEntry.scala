@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` declares one key per implemented operator (SURVEY.md §2);
+  * `oracleSql` carries the DuckDB-equivalent SQL for every key that is
+  * deterministically SQL-expressible (SURVEY.md §2.2 rules). Keys
+  * without an oracle entry are verified by unit/property tests instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.qAggPricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing"       -> Relational.qAggPricing _,
+    "q_join_topk"         -> Relational.qJoinTopk _,
+    "q_join_regional"     -> Relational.qJoinRegional _,
+    "q_join_semi"         -> Relational.qJoinSemi _,
+    "q_join_anti"         -> Relational.qJoinAnti _,
+    "q_window_topk"       -> Relational.qWindowTopk _,
+    "q_agg_rollup"        -> Relational.qAggRollup _,
+    "q_agg_distinct"      -> Relational.qAggDistinct _,
+    "q_sort_limit"        -> Relational.qSortLimit _,
+    "q_events_tumbling"   -> Events.qEventsTumbling _,
+    "q_events_sessionize" -> Events.qEventsSessionize _,
+    "q_json_extract"      -> Events.qJsonExtract _,
+    "q_dedup_near"        -> LlmOps.qDedupNear _,
+    "q_cosine_topk"       -> LlmOps.qCosineTopk _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central loader for the driver-provided fixture tables (TESTDATA.md).
+  *
+  * Owns the one session-level read hazard (SURVEY.md §1.2): `events.ts`
+  * is parquet TIMESTAMP(NANOS), which Spark 4.x refuses to read unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`. With that flag the
+  * column arrives as raw nanos (LongType); we truncate to microseconds
+  * with *integer* division (`div`), which is bit-identical to DuckDB's
+  * native ns→µs truncation for the non-negative epoch values in the
+  * fixtures. (Floating-point division would lose precision above 2^53
+  * ns and is deliberately avoided.)
+  *
+  * Scale notes:
+  *  - Plain lazy parquet scans: Catalyst column pruning + predicate
+  *    pushdown reach the file scan unimpeded; nothing is cached or
+  *    collected here.
+  *  - At 100 TB these tables would be directory-partitioned
+  *    (e.g. orders/lineitem by date); the loaders take a directory so
+  *    swapping a partitioned layout in changes nothing downstream.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Runtime session confs every query path relies on. Safe to call
+    * repeatedly; both are dynamic SQL confs. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ts arrives as raw nanos (long) under nanosAsLong; exact ns→µs.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.4 B–F): scans, filters,
+  * joins, aggregations, windows, sort/limit.
+  *
+  * Every query is declarative DataFrame API — Catalyst handles
+  * predicate pushdown, column pruning and join selection. Dim tables
+  * (region/nation/…) broadcast automatically below the 10 MB
+  * threshold; explicit `broadcast()` hints are added only where the
+  * side stays small BY CONSTRUCTION at any scale (e.g. region = 5
+  * rows), so plans survive a 100× scale-up.
+  *
+  * Determinism (SURVEY.md §2.2): every query ends in a total order,
+  * every float aggregate is rounded.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan → filter → hash agg → sort.
+    * Filter + 7-column projection both push into the parquet scan;
+    * aggregation is two-phase (partial map-side combine) for free. */
+  def qAggPricing(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 shape: 3-way equi join → agg → top-k.
+    * customer (filtered) broadcasts vs orders; orders⋈lineitem
+    * shuffles on orderkey at scale. Top-k compiles to
+    * TakeOrderedAndProject — no global sort materialization. */
+  def qJoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join incl. the compound supplier key.
+    * region/nation are O(10) rows at ANY scale factor → explicit
+    * broadcast; fact-side joins shuffle on their keys and AQE handles
+    * skew. */
+  def qJoinRegional(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val n = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** EXISTS → left semi join (what Catalyst's RewritePredicateSubquery
+    * produces); the filter on the build side prunes before the join. */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_quantity") > 49)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** NOT EXISTS → left anti join. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Top-3 orders per customer via row_number window — the standard
+    * distributed top-k-per-group: one shuffle on the partition key,
+    * rank within partition, no driver involvement. */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    c.join(o, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("c_custkey"), col("rk"))
+      .limit(100)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** ROLLUP grouping sets; NULLS FIRST is load-bearing (SURVEY §2.2-5). */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** count(DISTINCT) per group — Spark plans the two-phase
+    * partial/final distinct aggregation automatically. */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("u"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Global sort + limit → TakeOrderedAndProject (per-partition top-N
+    * then a single driver-side merge of N×partitions rows — no full
+    * sort materializes at any scale). */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local t2 rehearsal (SURVEY.md §5.2-3): compare Verify output against
+DuckDB running the paired oracle SQL on the same parquet tables.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+
+Mimics the driver: for each key in oracle_sql.json, load the Spark
+result parquet, run the SQL in DuckDB, sort columns by name, normalize
+types, sort rows, compare values exactly. Exit 1 on any mismatch.
+
+NOT part of the engine — dev harness only (driver-side python env).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            # strip tz, truncate to us
+            try:
+                s = s.dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                pass
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # duckdb hugeint arrives as object(int) or Decimal
+            try:
+                df[c] = s.astype("int64")
+            except (ValueError, TypeError):
+                df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_ok, fails = 0, []
+    for name in sorted(oracle):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            fails.append((name, "no spark result parquet"))
+            continue
+        try:
+            spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                                 ignore_index=True)
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            fails.append((name, f"exec error: {e}"))
+            continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            fails.append((name, f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))
+            continue
+        a, b = normalize(spark_df), normalize(duck_df)
+        if len(a) != len(b):
+            fails.append((name, f"row count: spark={len(a)} duck={len(b)}"))
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            n_ok += 1
+            print(f"  OK    {name} ({len(a)} rows)")
+        except AssertionError as e:
+            fails.append((name, f"values differ: {str(e).splitlines()[-1] if str(e) else e}"))
+
+    print(f"\n{n_ok}/{len(oracle)} MATCH")
+    for name, why in fails:
+        print(f"  FAIL  {name}: {why}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
