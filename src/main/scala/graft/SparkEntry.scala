@@ -31,7 +31,21 @@ object SparkEntry {
     "q_events_sessionize" -> Events.qEventsSessionize _,
     "q_json_extract"      -> Events.qJsonExtract _,
     "q_dedup_near"        -> LlmOps.qDedupNear _,
-    "q_cosine_topk"       -> LlmOps.qCosineTopk _
+    "q_cosine_topk"       -> LlmOps.qCosineTopk _,
+    // §2.4-C join variants
+    "q_join_left_outer"   -> Joins.qJoinLeftOuter _,
+    "q_join_full_outer"   -> Joins.qJoinFullOuter _,
+    "q_join_range_band"   -> Joins.qJoinRangeBand _,
+    "q_join_asof"         -> Joins.qJoinAsof _,
+    "q_join_smj"          -> Joins.qJoinSmj _,
+    // §2.4-F set ops + exact dedup
+    "q_set_union_all"     -> SetOps.qSetUnionAll _,
+    "q_set_union"         -> SetOps.qSetUnion _,
+    "q_set_intersect"     -> SetOps.qSetIntersect _,
+    "q_set_except"        -> SetOps.qSetExcept _,
+    "q_set_except_all"    -> SetOps.qSetExceptAll _,
+    "q_set_intersect_all" -> SetOps.qSetIntersectAll _,
+    "q_dedup_exact"       -> SetOps.qDedupExact _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
