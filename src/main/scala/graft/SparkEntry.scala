@@ -45,7 +45,20 @@ object SparkEntry {
     "q_set_except"        -> SetOps.qSetExcept _,
     "q_set_except_all"    -> SetOps.qSetExceptAll _,
     "q_set_intersect_all" -> SetOps.qSetIntersectAll _,
-    "q_dedup_exact"       -> SetOps.qDedupExact _
+    "q_dedup_exact"       -> SetOps.qDedupExact _,
+    // §2.4-E window functions
+    "q_window_rank_family" -> Windows.qWindowRankFamily _,
+    "q_window_running"     -> Windows.qWindowRunning _,
+    "q_window_range_frame" -> Windows.qWindowRangeFrame _,
+    "q_window_firstlast"   -> Windows.qWindowFirstLast _,
+    "q_window_lag_lead"    -> Windows.qWindowLagLead _,
+    // §2.4-D aggregates
+    "q_agg_global"         -> Aggs.qAggGlobal _,
+    "q_agg_cube"           -> Aggs.qAggCube _,
+    "q_agg_grouping_sets"  -> Aggs.qAggGroupingSets _,
+    "q_agg_stats"          -> Aggs.qAggStats _,
+    "q_agg_percentile"     -> Aggs.qAggPercentile _,
+    "q_agg_collect"        -> Aggs.qAggCollect _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation coverage beyond the seeds (SURVEY.md §2.4-D): global
+  * agg, CUBE, GROUPING SETS, statistical aggregates, exact
+  * percentiles, and ordered collect_list.
+  *
+  * Scale notes: all group-bys here run partial (map-side) + final
+  * aggregation automatically; CUBE/GROUPING SETS expand rows by the
+  * number of grouping sets BEFORE the shuffle — at 100 TB prefer
+  * rollup of low-cardinality dims (as here: 3×2 flags) so the
+  * expansion factor stays constant.
+  */
+object Aggs {
+
+  /** Global (no GROUP BY) aggregation over lineitem. */
+  def qAggGlobal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("l_quantity")), 2).as("sum_qty"),
+      round(avg(col("l_extendedprice")), 2).as("avg_price"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+  }
+
+  /** CUBE over (returnflag, linestatus) with a NULL-derived level
+    * indicator (the flag columns are never null in the data, so
+    * IS NULL unambiguously marks the super-aggregate rows). */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      .withColumn("lvl",
+        when(col("l_returnflag").isNull, lit(1)).otherwise(lit(0)) +
+        when(col("l_linestatus").isNull, lit(1)).otherwise(lit(0)))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** GROUPING SETS ((returnflag), (linestatus), ()) — the explicit-set
+    * form, distinct from rollup/cube. */
+  def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Statistical aggregates per returnflag: stddev/variance (samp+pop),
+    * correlation and covariance of quantity vs extendedprice. Rounded
+    * to 4 dp — both engines use the same two-pass-free streaming
+    * formulas over identical inputs. */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (p25/median/p75) of quantity per
+    * returnflag — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def qAggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("median(l_extendedprice)"), 4).as("med_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered collect_list, emitted as a joined string so the result is
+    * a comparable scalar (array columns stringify differently across
+    * parquet readers): line numbers per order. */
+  def qAggCollect(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 400)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_orderkey"))
+  }
+}

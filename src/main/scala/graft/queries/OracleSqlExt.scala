@@ -99,5 +99,90 @@ object OracleSqlExt {
         |WHERE rk = 1 ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 
-  def all: Map[String, String] = joins ++ setops
+  val windows: Map[String, String] = Map(
+    "q_window_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk, drk, prk, quartile FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        |         round(percent_rank() OVER w, 6) AS prk,
+        |         ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rk <= 20 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+        |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg3
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |       round(sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        |FROM lineitem ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber LIMIT 200""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_custkey, first_ok, last_ok, second_ok FROM (
+        |  SELECT o_custkey,
+        |         first_value(o_orderkey) OVER wf AS first_ok,
+        |         last_value(o_orderkey) OVER wf AS last_ok,
+        |         nth_value(o_orderkey, 2) OVER wf AS second_ok,
+        |         row_number() OVER wo AS rn
+        |  FROM orders
+        |  WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |         wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+        |WHERE rn = 1 ORDER BY o_custkey LIMIT 200""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT user_id, event_id,
+        |       (epoch_us(ts) - epoch_us(lag(ts,1) OVER w)) / 1000000 AS gap_prev_s,
+        |       (epoch_us(lead(ts,1) OVER w) - epoch_us(ts)) / 1000000 AS gap_next_s
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id LIMIT 300""".stripMargin
+  )
+
+  val aggs: Map[String, String] = Map(
+    "q_agg_global" ->
+      """SELECT count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+        |       round(avg(l_extendedprice),2) AS avg_price,
+        |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice),2) AS s,
+        |       (CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS lvl
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty,
+        |       round(stddev_pop(l_quantity),4) AS sdp_qty,
+        |       round(var_samp(l_extendedprice),2) AS var_price,
+        |       round(corr(l_quantity,l_extendedprice),4) AS corr_qp,
+        |       round(covar_samp(l_quantity,l_extendedprice),2) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25),4) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5),4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75),4) AS p75,
+        |       round(median(l_extendedprice),4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_orderkey <= 400 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+  )
+
+  def all: Map[String, String] = joins ++ setops ++ windows ++ aggs
 }
