@@ -58,7 +58,16 @@ object SparkEntry {
     "q_agg_grouping_sets"  -> Aggs.qAggGroupingSets _,
     "q_agg_stats"          -> Aggs.qAggStats _,
     "q_agg_percentile"     -> Aggs.qAggPercentile _,
-    "q_agg_collect"        -> Aggs.qAggCollect _
+    "q_agg_collect"        -> Aggs.qAggCollect _,
+    // §2.4-G scalar function families
+    "q_fn_string"          -> Functions.qFnString _,
+    "q_fn_datetime"        -> Functions.qFnDatetime _,
+    "q_fn_math"            -> Functions.qFnMath _,
+    "q_fn_cond"            -> Functions.qFnCond _,
+    "q_fn_array"           -> Functions.qFnArray _,
+    "q_fn_explode"         -> Functions.qFnExplode _,
+    "q_fn_map"             -> Functions.qFnMap _,
+    "q_fn_json_struct"     -> Functions.qFnJsonStruct _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

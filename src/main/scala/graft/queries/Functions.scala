@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Scalar-function family coverage (SURVEY.md §2.4-G) — one declared
+  * key per family, each bundling the family's representative functions
+  * so the t2 inventory stays readable.
+  *
+  * All functions used here are codegen'd Catalyst expressions except
+  * the higher-order array lambdas (interpreted; see
+  * catalyst/DotProduct for the codegen'd alternative pattern). Every
+  * key is a narrow projection over one table: column pruning reaches
+  * the parquet scan, no shuffles except the final order-by.
+  */
+object Functions {
+
+  /** String family: case, trim, substring, replace, concat_ws, length,
+    * split, regexp_extract, regexp_replace, lpad, instr, LIKE.
+    * DuckDB seams: string_split + 1-based [i], regexp_replace needs
+    * the 'g' flag to match Spark's replace-all default. */
+  def qFnString(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("nm_u"),
+        lower(col("p_brand")).as("br_l"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("devowel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        element_at(split(col("p_name"), " "), 2).as("tok2"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("word1"),
+        lpad(col("p_size").cast("string"), 4, "0").as("pad"),
+        instr(col("p_name"), "r").as("pos_r"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trm"),
+        translate(col("p_brand"), "#", "-").as("br_t"))
+      .orderBy(col("p_partkey"))
+      .limit(300)
+  }
+
+  /** Date/time family: date_format, year/month/day, weekday,
+    * datediff, unix_micros, date_trunc, make_timestamp, date_add.
+    * Date-typed outputs are rendered as strings — date vs timestamp
+    * physical types differ across the two parquet writers (§2.2). */
+  def qFnDatetime(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        expr("weekday(o_orderdate)").as("wd"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate")).as("dd"),
+        // o_orderdate reads as TIMESTAMP_NTZ; cast to TIMESTAMP is exact
+        // under the UTC session (§2.2-8) and matches DuckDB epoch_us.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("em"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mstart"),
+        unix_micros(make_timestamp(
+          year(col("o_orderdate")), month(col("o_orderdate")), lit(1),
+          lit(0), lit(0), lit(0))).as("mk"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("add30"))
+      .orderBy(col("o_orderkey"))
+      .limit(300)
+  }
+
+  /** Math family: abs, ceil/floor, sqrt, exp, ln, log10, pow, mod,
+    * sign, greatest/least. Transcendentals rounded to 6 dp (libm
+    * last-ulp variance is ~1e-15 relative; 6 dp is safely coarse). */
+  def qFnMath(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(-col("l_extendedprice")), 2).as("ab"),
+        ceil(col("l_quantity")).as("ce"),
+        floor(col("l_quantity")).as("fl"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        round(log(col("l_extendedprice")), 6).as("ln_"),
+        round(log10(col("l_extendedprice")), 6).as("l10"),
+        round(pow(col("l_quantity"), 2), 2).as("pw"),
+        (col("l_orderkey") % 7).as("md"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        greatest(col("l_quantity"), lit(25.0)).as("gr"),
+        least(col("l_quantity"), lit(25.0)).as("ls"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Conditionals: CASE WHEN chains, coalesce, nullif, IN, BETWEEN. */
+  def qFnCond(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("urgent"),
+        col("o_totalprice").between(50000, 150000).as("midrange"))
+      .orderBy(col("o_orderkey"))
+      .limit(300)
+  }
+
+  /** Array family over the real list<float> column: size, element_at,
+    * slice+aggregate, array_max, filter, reverse, transform. Scalars
+    * out only — list stringification differs across readers. */
+  def qFnArray(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(
+        col("vec_id"),
+        size(col("embedding")).as("sz"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(expr(
+          "aggregate(slice(embedding,1,8), cast(0.0 as double), (acc,x) -> acc + cast(x as double))"
+        ), 4).as("sum8"),
+        round(array_max(col("embedding")).cast("double"), 4).as("mx"),
+        expr("size(filter(embedding, x -> x > 0))").as("npos"),
+        round(element_at(reverse(col("embedding")), 1).cast("double"), 4).as("last_e"),
+        round(expr(
+          "aggregate(transform(slice(embedding,1,4), x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc,x) -> acc + x)"
+        ), 4).as("sumsq4"))
+      .orderBy(col("vec_id"))
+      .limit(300)
+  }
+
+  /** explode/unnest: flatten the embedding vectors back to scalars and
+    * re-aggregate (count + sum) per vector. */
+  def qFnExplode(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), explode(col("embedding")).as("val"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("val").cast("double")), 4).as("s"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Map family: construct a map in-query, extract values and keys
+    * back out as scalars (no map column exists in the fixtures —
+    * SURVEY.md §1.2). */
+  def qFnMap(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val m = map(lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice"))
+    l.filter(col("l_orderkey") <= 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(element_at(m, "qty"), 2).as("qv"),
+        round(element_at(m, "price"), 2).as("pv"),
+        array_join(map_keys(m), ",").as("mk"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Structured JSON parse (from_json → struct field), vs the seeded
+    * string-path get_json_object key. */
+  def qFnJsonStruct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    e.select(col("user_id"), from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).cast("bigint").as("sk"), count(col("k")).as("nk"))
+      .orderBy(col("user_id"))
+      .limit(200)
+  }
+}

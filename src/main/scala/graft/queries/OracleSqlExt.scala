@@ -184,5 +184,86 @@ object OracleSqlExt {
         |FROM lineitem WHERE l_orderkey <= 400 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 
-  def all: Map[String, String] = joins ++ setops ++ windows ++ aggs
+  val functions: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS nm_u, lower(p_brand) AS br_l,
+        |       length(p_name) AS len, substring(p_name,1,5) AS sub5,
+        |       regexp_replace(p_name,'[aeiou]','*','g') AS devowel,
+        |       concat_ws('|', p_brand, p_type) AS cw,
+        |       string_split(p_name,' ')[2] AS tok2,
+        |       regexp_extract(p_name,'^([a-z]+)',1) AS word1,
+        |       lpad(CAST(p_size AS VARCHAR),4,'0') AS pad,
+        |       instr(p_name,'r') AS pos_r,
+        |       trim(concat(' ', p_name, ' ')) AS trm,
+        |       translate(p_brand,'#','-') AS br_t
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey LIMIT 300""".stripMargin,
+
+    "q_fn_datetime" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |       isodow(o_orderdate) - 1 AS wd,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS dd,
+        |       epoch_us(o_orderdate) AS em,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+        |       epoch_us(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+        |                CAST(month(o_orderdate) AS BIGINT), 1, 0, 0, 0.0)) AS mk,
+        |       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS add30
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber, round(abs(-l_extendedprice),2) AS ab,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS ce, CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |       round(sqrt(l_extendedprice),6) AS sq, round(exp(l_discount),6) AS ex,
+        |       round(ln(l_extendedprice),6) AS ln_, round(log10(l_extendedprice),6) AS l10,
+        |       round(pow(l_quantity,2),2) AS pw, l_orderkey % 7 AS md,
+        |       CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
+        |       greatest(l_quantity, CAST(25.0 AS DOUBLE)) AS gr,
+        |       least(l_quantity, CAST(25.0 AS DOUBLE)) AS ls
+        |FROM lineitem WHERE l_orderkey <= 1000 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fn_cond" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 200000 THEN 'high'
+        |            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS band,
+        |       coalesce(nullif(o_orderstatus,'O'),'OPEN') AS st,
+        |       o_orderpriority IN ('1-URGENT','2-HIGH') AS urgent,
+        |       o_totalprice BETWEEN 50000 AND 150000 AS midrange
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    "q_fn_array" ->
+      """SELECT vec_id, len(embedding) AS sz,
+        |       round(CAST(embedding[1] AS DOUBLE),4) AS e1,
+        |       round(CAST(list_sum(CAST(embedding[1:8] AS DOUBLE[])) AS DOUBLE),4) AS sum8,
+        |       round(CAST(list_aggregate(embedding,'max') AS DOUBLE),4) AS mx,
+        |       len(list_filter(embedding, x -> x > 0)) AS npos,
+        |       round(CAST(list_reverse(embedding)[1] AS DOUBLE),4) AS last_e,
+        |       round(CAST(list_sum(list_transform(CAST(embedding[1:4] AS DOUBLE[]),
+        |             x -> x*x)) AS DOUBLE),4) AS sumsq4
+        |FROM embeddings ORDER BY vec_id LIMIT 300""".stripMargin,
+
+    "q_fn_explode" ->
+      """SELECT vec_id, count(*) AS n, round(CAST(sum(val) AS DOUBLE),4) AS s FROM (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings WHERE vec_id < 50) t
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_fn_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(map_extract(m,'qty')[1],2) AS qv,
+        |       round(map_extract(m,'price')[1],2) AS pv,
+        |       array_to_string(map_keys(m),',') AS mk
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             MAP {'qty': l_quantity, 'price': l_extendedprice} AS m
+        |      FROM lineitem WHERE l_orderkey <= 300) t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fn_json_struct" ->
+      """SELECT user_id,
+        |       CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sk,
+        |       count(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS nk
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin
+  )
+
+  def all: Map[String, String] =
+    joins ++ setops ++ windows ++ aggs ++ functions
 }
