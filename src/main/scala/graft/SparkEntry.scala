@@ -67,7 +67,19 @@ object SparkEntry {
     "q_fn_array"           -> Functions.qFnArray _,
     "q_fn_explode"         -> Functions.qFnExplode _,
     "q_fn_map"             -> Functions.qFnMap _,
-    "q_fn_json_struct"     -> Functions.qFnJsonStruct _
+    "q_fn_json_struct"     -> Functions.qFnJsonStruct _,
+    // §2.4-H text analysis
+    "q_text_wordcount"     -> TextOps.qTextWordcount _,
+    "q_text_tfidf"         -> TextOps.qTextTfidf _,
+    "q_text_profile"       -> TextOps.qTextProfile _,
+    "q_text_tokens"        -> TextOps.qTextTokens _,
+    "q_text_quality"       -> TextOps.qTextQuality _,
+    "q_text_langid"        -> TextOps.qTextLangid _,
+    "q_text_fingerprint"   -> TextOps.qTextFingerprint _,
+    // LLM-pipeline dedup (north star)
+    "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
+    "q_dedup_simhash"      -> DedupOps.qDedupSimhash _,
+    "q_dedup_ngram_jaccard" -> DedupOps.qDedupNgramJaccard _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

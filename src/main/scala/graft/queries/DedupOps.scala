@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators over `documents` (LLM-pipeline
+  * north star): MinHash+LSH, SimHash, and n-gram Jaccard. The exact
+  * and normalized-key variants live in SetOps/LlmOps.
+  *
+  * All hash functions are engine-neutral: per-token/shingle values are
+  * the first 8 hex chars of md5 (identical in any engine), combined
+  * with pure integer arithmetic mod 2^31−1. No Spark-internal hash
+  * (murmur3) appears in any declared key, so the DuckDB oracle can
+  * reproduce results bit-exactly.
+  *
+  * Scale notes (100 TB): the MinHash pipeline is the scale path for
+  * document dedup — signatures are 4 longs/doc (constant), the LSH
+  * band join is an equi shuffle join on the band key, and candidate
+  * verification touches only colliding pairs. The O(n²) work the naive
+  * approach needs never materializes. Skewed bands (e.g. boilerplate
+  * docs sharing a signature) are the hazard: cap band bucket size or
+  * salt the band key before the join.
+  */
+object DedupOps {
+
+  /** Engine-neutral 32-bit token hash as a SQL fragment. */
+  private def hx(colName: String): String =
+    s"cast(conv(substring(md5($colName),1,8),16,10) as bigint)"
+
+  /** MinHash (4 permutations over 3-token shingles) + LSH with two
+    * 2-row bands; candidate pairs carry the signature-estimated
+    * Jaccard. Bands are equi-join keys — each band join is a plain
+    * hash join, unioned then de-duplicated. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val shingles = d.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+      ))).as("s"))
+    val hs = shingles.select(col("doc_id"), expr(hx("s")).as("h"))
+    val P = 2147483647L
+    val mh = hs.groupBy(col("doc_id")).agg(
+      min((col("h") * 1 + 7)  % P).as("mh1"),
+      min((col("h") * 3 + 11) % P).as("mh2"),
+      min((col("h") * 5 + 13) % P).as("mh3"),
+      min((col("h") * 7 + 17) % P).as("mh4"))
+
+    val a = mh.select(mh.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = mh.select(mh.columns.map(c => col(c).as(s"b_$c")): _*)
+    val band1 = a.join(b,
+      col("a_mh1") === col("b_mh1") && col("a_mh2") === col("b_mh2") &&
+      col("a_doc_id") < col("b_doc_id"))
+    val band2 = a.join(b,
+      col("a_mh3") === col("b_mh3") && col("a_mh4") === col("b_mh4") &&
+      col("a_doc_id") < col("b_doc_id"))
+    band1.unionAll(band2).distinct()
+      .select(
+        col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        ((when(col("a_mh1") === col("b_mh1"), 1).otherwise(0) +
+          when(col("a_mh2") === col("b_mh2"), 1).otherwise(0) +
+          when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
+          when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
+      .filter(col("jacc_est") >= 0.5)
+      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  /** SimHash: 8-bit signature from per-bit ±1 votes of token hashes;
+    * clusters = docs sharing a signature (Hamming distance 0). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), expr(hx("w")).as("h"))
+    val bitSums = (0 until 8).map(bit =>
+      expr(s"sum(CASE WHEN shiftright(h, $bit) % 2 = 1 THEN 1 ELSE -1 END)").as(s"b$bit"))
+    val sig = hs.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 8).map(bit =>
+          when(col(s"b$bit") > 0, 1 << bit).otherwise(0): org.apache.spark.sql.Column
+        ).reduce(_ + _))
+    sig.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+      .filter(col("n") > 1)
+      .orderBy(col("n").desc, col("simhash"))
+      .limit(100)
+  }
+
+  /** n-gram (token-set) Jaccard similarity over candidate pairs
+    * blocked by shared 60-char prefix — the verify stage that follows
+    * any LSH/blocking candidate generator. */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      lower(substring(col("text"), 1, 60)).as("k"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    val a = d.select(col("doc_id").as("doc_a"), col("k"), col("ts").as("ts_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("k"), col("ts").as("ts_b"))
+    a.join(b, "k")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ts_a"), col("ts_b"))) /
+              size(array_union(col("ts_a"), col("ts_b"))).cast("double"), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+  }
+}

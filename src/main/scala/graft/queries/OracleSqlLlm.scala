@@ -1,0 +1,132 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the text-analysis + dedup inventory
+  * (SURVEY.md §2.4-H and the LLM-pipeline north star). Seams beyond
+  * §2.2: string_split ↔ split, unnest ↔ explode, list_* lambdas ↔
+  * higher-order functions, 1-based t[i] ↔ 0-based t[i],
+  * range(1,n) (end-exclusive) ↔ sequence(0,n) (inclusive),
+  * CAST('0x…' AS BIGINT) ↔ conv(…,16,10) for the md5-derived token
+  * hash, list_reduce(list_prepend(0,…)) ↔ aggregate(…, 0, …).
+  */
+object OracleSqlLlm {
+
+  val text: Map[String, String] = Map(
+    "q_text_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT lang, doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |tf AS (SELECT lang, word, count(*) AS tf FROM toks GROUP BY 1,2),
+        |dfw AS (SELECT word, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, word FROM toks) x GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |s AS (SELECT lang, word, round(tf * ln(CAST(nd AS DOUBLE)/df), 4) AS tfidf
+        |      FROM tf JOIN dfw USING(word) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS rk FROM s)
+        |SELECT lang, word, tfidf, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q_text_profile" ->
+      """SELECT lang, source, count(*) AS n, round(avg(n_chars),2) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       round(avg(CAST(len(string_split(text,' ')) AS DOUBLE)),2) AS avg_toks
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, n_chars, len(string_split(text,' ')) AS n_ws,
+        |       len(regexp_extract_all(text,'[a-z]+')) AS n_words,
+        |       len(regexp_extract_all(text,'[a-z]{1,4}')) AS n_bpe,
+        |       round(length(replace(text,' ','')) /
+        |             CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS avg_wlen
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, n_tok, ttr, stop_ratio, short_flag,
+        |       round(ttr * (1.0 - stop_ratio), 4) AS score FROM (
+        |  SELECT doc_id, len(t) AS n_tok,
+        |    round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS ttr,
+        |    round(len(list_filter(t, w -> w IN ('the','a','of','and','to','in')))
+        |          / CAST(len(t) AS DOUBLE), 4) AS stop_ratio,
+        |    n_chars < 100 AS short_flag
+        |  FROM (SELECT doc_id, n_chars, string_split(text,' ') AS t FROM documents) x) y
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(t, w -> w IN ('the','a','of'))) AS s_en,
+        |    len(list_filter(t, w -> w IN ('der','die','und'))) AS s_de,
+        |    len(list_filter(t, w -> w IN ('el','los','de'))) AS s_es,
+        |    len(list_filter(t, w -> w IN ('le','les','et'))) AS s_fr
+        |  FROM (SELECT lang, string_split(text,' ') AS t FROM documents) x)
+        |SELECT lang,
+        |       CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+        |       count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, substring(sha256(text),1,16) AS fp_sha,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text,' '),
+        |           w -> CAST(concat('0x', substring(md5(w),1,8)) AS BIGINT))),
+        |         (a,b) -> (a*131 + b) % 2147483647) AS fp_poly
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
+  )
+
+  val dedup: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) y),
+        |mh AS (SELECT doc_id,
+        |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
+        |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
+        |  FROM hs GROUP BY doc_id)
+        |SELECT doc_a, doc_b, jacc_est FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ((CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)+(CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
+        |    +(CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)+(CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END))/4.0 AS jacc_est
+        |  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+        |   AND ((a.mh1=b.mh1 AND a.mh2=b.mh2) OR (a.mh3=b.mh3 AND a.mh4=b.mh4))) z
+        |WHERE jacc_est >= 0.5 ORDER BY jacc_est DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(w),1,8)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) y),
+        |bits AS (SELECT doc_id,
+        |    sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+        |    sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+        |    sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+        |    sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+        |    sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+        |    sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+        |    sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+        |    sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7
+        |  FROM hs GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    (CASE WHEN b0>0 THEN 1 ELSE 0 END)+(CASE WHEN b1>0 THEN 2 ELSE 0 END)
+        |   +(CASE WHEN b2>0 THEN 4 ELSE 0 END)+(CASE WHEN b3>0 THEN 8 ELSE 0 END)
+        |   +(CASE WHEN b4>0 THEN 16 ELSE 0 END)+(CASE WHEN b5>0 THEN 32 ELSE 0 END)
+        |   +(CASE WHEN b6>0 THEN 64 ELSE 0 END)+(CASE WHEN b7>0 THEN 128 ELSE 0 END) AS simhash
+        |  FROM bits)
+        |SELECT simhash, count(*) AS n, min(doc_id) AS keep FROM sig GROUP BY simhash
+        |HAVING count(*) > 1 ORDER BY n DESC, simhash LIMIT 100""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lower(substring(text,1,60)) AS k,
+        |           list_distinct(string_split(text,' ')) AS ts FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.ts, b.ts)) /
+        |             CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jac
+        |FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id
+        |ORDER BY jac DESC, doc_a, doc_b""".stripMargin
+  )
+
+  def all: Map[String, String] = text ++ dedup
+}

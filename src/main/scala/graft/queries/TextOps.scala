@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md
+  * §2.4-H + the LLM-pipeline north star): tokenization/word count,
+  * TF-IDF, corpus profiling, token counting, quality scoring,
+  * heuristic language ID, and content fingerprinting.
+  *
+  * Scale notes: every key is explode → groupBy (one shuffle, partial
+  * aggregation map-side). Token explosion multiplies rows by ~100
+  * (tokens/doc) BEFORE the shuffle — at 100 TB, project doc_id+token
+  * only (done here via column pruning) and pre-aggregate per input
+  * split. Nothing here collects to the driver.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Tokenize + global word count, top 100. */
+  def qTextWordcount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  /** TF-IDF: top-5 terms per language. tf = term count within the
+    * language; df = docs containing the term; idf = ln(N/df). Ranked
+    * on the ROUNDED score so cross-engine ordering is stable. */
+  def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("lang"), col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfw = toks.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfw, "word")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("word"), col("tfidf"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Corpus profile per (lang, source): doc count, char-length stats,
+    * mean token count. */
+  def qTextProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(size(split(col("text"), " ")).cast("double")), 2).as("avg_toks"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Token counting three ways: whitespace split, regex word match,
+    * and a BPE-ish greedy ≤4-char chunking — plus mean word length. */
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_ws"),
+        expr("regexp_count(text, '[a-z]+')").as("n_words"),
+        expr("regexp_count(text, '[a-z]{1,4}')").as("n_bpe"),
+        round(length(regexp_replace(col("text"), " ", "")) /
+          size(split(col("text"), " ")).cast("double"), 4).as("avg_wlen"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+
+  /** Quality scoring: type-token ratio, stopword ratio, short-doc
+    * flag, and a composite score. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tok"),
+        round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4).as("ttr"),
+        round(expr("size(filter(t, w -> w IN ('the','a','of','and','to','in')))") /
+          size(col("t")).cast("double"), 4).as("stop_ratio"),
+        (col("n_chars") < 100).as("short_flag"))
+      .withColumn("score", round(col("ttr") * (lit(1.0) - col("stop_ratio")), 4))
+      .orderBy(col("doc_id"))
+      .limit(300)
+
+  /** Heuristic language ID by stopword-family scoring, reported as a
+    * (labeled lang × predicted lang) confusion matrix. The synthetic
+    * corpus shares one vocabulary across langs, so the prediction is
+    * degenerate — the operator shape (per-doc scoring → argmax with a
+    * deterministic tie chain → confusion rollup) is what's under test. */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("s_en", expr("size(filter(t, w -> w IN ('the','a','of')))"))
+      .withColumn("s_de", expr("size(filter(t, w -> w IN ('der','die','und')))"))
+      .withColumn("s_es", expr("size(filter(t, w -> w IN ('el','los','de')))"))
+      .withColumn("s_fr", expr("size(filter(t, w -> w IN ('le','les','et')))"))
+      .withColumn("pred",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  /** Content fingerprinting: md5, sha-256 prefix, and an order-
+    * sensitive polynomial rolling hash over tokens (mod 2^31−1) whose
+    * per-token value is derived from md5 so both engines agree. */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        substring(sha2(col("text"), 256), 1, 16).as("fp_sha"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |            w -> cast(conv(substring(md5(w),1,8),16,10) as bigint)),
+            |  cast(0 as bigint),
+            |  (acc, x) -> (acc * 131 + x) % 2147483647)""".stripMargin).as("fp_poly"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+}
