@@ -79,7 +79,13 @@ object SparkEntry {
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_simhash"      -> DedupOps.qDedupSimhash _,
-    "q_dedup_ngram_jaccard" -> DedupOps.qDedupNgramJaccard _
+    "q_dedup_ngram_jaccard" -> DedupOps.qDedupNgramJaccard _,
+    // §2.4-J custom Expression / UDF / UDAF + vector similarity
+    "q_cosine_expr"        -> VectorOps.qCosineExpr _,
+    "q_cosine_udf"         -> VectorOps.qCosineUdf _,
+    "q_dedup_embedding"    -> VectorOps.qDedupEmbedding _,
+    "q_knn_bucketed"       -> VectorOps.qKnnBucketed _,
+    "q_agg_udaf_wavg"      -> VectorOps.qAggUdafWavg _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,112 @@
+package graft.catalyst
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for float-vector dot product with
+  * whole-stage codegen (SURVEY.md §2.4-J / §4).
+  *
+  * Why it exists: Spark's higher-order-function formulation
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)` is
+  * interpreted (HigherOrderFunction has no doGenCode), allocates an
+  * intermediate array per row, and re-evaluates lambdas through an
+  * interpreter loop. For a 64-dim embedding across an N×M candidate
+  * cross/band join that's the hot inner loop of every similarity
+  * operator. This expression compiles to a tight primitive `for` loop
+  * inside the surrounding WholeStageCodegen stage — no allocation, no
+  * lambda dispatch.
+  *
+  * Summation is left-to-right over index order, the same fold order as
+  * the `aggregate()` formulation, so results are bit-identical to the
+  * interpreted form (and to DuckDB's list_dot_product at the rounding
+  * applied by every declared key).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+/** Optimizer rule: rewrite the registered `graft_dot_udf` ScalaUDF
+  * (black box to Catalyst, breaks codegen) into the native
+  * [[DotProduct]] expression. Demonstrates the UDF-escape-hatch →
+  * native-expression upgrade path without callers changing code. */
+object RewriteDotUdf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case u: ScalaUDF if u.udfName.contains(GraftFunctions.DotUdfName) && u.children.size == 2 =>
+      DotProduct(u.children.head, u.children(1))
+  }
+}
+
+/** Session-level registration for the custom surface. Idempotent —
+  * safe to call from every query function (they receive an already-
+  * built session from the driver, so SparkSessionExtensions is not an
+  * option; runtime registry + experimental optimizations are). */
+object GraftFunctions {
+
+  val DotUdfName = "graft_dot_udf"
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_product",
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
+      "scala_udf")
+
+    val udf = org.apache.spark.sql.functions.udf(
+      (a: Seq[Float], b: Seq[Float]) => {
+        val n = math.min(a.length, b.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }).withName(DotUdfName)
+    spark.udf.register(DotUdfName, udf)
+
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotUdf)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotUdf
+    }
+  }
+}

@@ -128,5 +128,47 @@ object OracleSqlLlm {
         |ORDER BY jac DESC, doc_a, doc_b""".stripMargin
   )
 
-  def all: Map[String, String] = text ++ dedup
+  val vector: Map[String, String] = Map(
+    // Three formulations, one semantics — same oracle as q_cosine_topk.
+    "q_cosine_expr" -> OracleSql.seed("q_cosine_topk"),
+    "q_cosine_udf"  -> OracleSql.seed("q_cosine_topk"),
+
+    "q_dedup_embedding" ->
+      """SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(CAST(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
+
+    "q_knn_bucketed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN (CAST(list_sum(CAST(embedding[1:32] AS DOUBLE[])) AS DOUBLE)
+        |              - CAST(list_sum(CAST(embedding[33:64] AS DOUBLE[])) AS DOUBLE)) > 0
+        |          THEN 1 ELSE 0 END)
+        |   +(CASE WHEN (CAST(list_sum(CAST(embedding[17:48] AS DOUBLE[])) AS DOUBLE)
+        |              - (CAST(list_sum(CAST(embedding[1:16] AS DOUBLE[])) AS DOUBLE)
+        |               + CAST(list_sum(CAST(embedding[49:64] AS DOUBLE[])) AS DOUBLE))) > 0
+        |          THEN 2 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT p.vec_id, t.vec_id AS neighbor,
+        |    round(CAST(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |          CAST(t.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
+        |  FROM e p JOIN e t ON p.bucket = t.bucket AND t.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10)
+        |SELECT vec_id, neighbor, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) x
+        |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
+
+    "q_agg_udaf_wavg" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice*l_quantity)/sum(l_quantity),4) AS wavg_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+
+  def all: Map[String, String] = text ++ dedup ++ vector
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import graft.catalyst.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `embeddings`, plus the custom
+  * UDF/UDAF/Expression surface (SURVEY.md §2.4-J).
+  *
+  * Three formulations of the same cosine top-k semantics are declared
+  * (higher-order fns in LlmOps.qCosineTopk, native codegen'd
+  * Expression here, ScalaUDF-rewritten-by-rule here) — identical
+  * results, one oracle, measurably different plans. Embeddings are
+  * L2-normalized (FIXTURES.md) so cosine ≡ dot product.
+  *
+  * Scale notes: brute-force knn is a cross join — O(probes × corpus),
+  * acceptable only because probes are a broadcast-able handful; the
+  * corpus side streams through codegen without materializing pairs.
+  * The bucketed key is the 100 TB path: an equi shuffle join on a
+  * hash-bucket key prunes the candidate space by the bucket fan-out
+  * (here 4 sign-buckets; real IVF = k-means cells, same join shape).
+  */
+object VectorOps {
+
+  private val P = "p_emb"
+  private val T = "t_emb"
+
+  /** Cosine top-k via the native codegen'd DotProduct expression. */
+  def qCosineExpr(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as(P))
+    val targets = e.select(col("vec_id").as("neighbor"), col("embedding").as(T))
+    val pairs = probes.crossJoin(targets)
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("vec_id"), col("neighbor"), col("cos"))
+      .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+  }
+
+  /** Same semantics through a ScalaUDF that the injected optimizer
+    * rule (RewriteDotUdf) replaces with the native expression. */
+  def qCosineUdf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as(P))
+    val targets = e.select(col("vec_id").as("neighbor"), col("embedding").as(T))
+    val pairs = probes.crossJoin(targets)
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(call_udf(GraftFunctions.DotUdfName, col(P), col(T)), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("vec_id"), col("neighbor"), col("cos"))
+      .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 on the rounded
+    * value — thresholding after rounding keeps the cut cross-engine
+    * exact). Brute-force all-pairs baseline; the LSH-bucketed variant
+    * below is the scale path. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as(P))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as(T))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** Sign-bucket expression: 2-bit LSH code from two fixed projections
+    * (half-sum contrasts). Deterministic, engine-neutral. */
+  private def bucketExpr = {
+    val p1 = expr("aggregate(slice(embedding,1,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") -
+             expr("aggregate(slice(embedding,33,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))")
+    val p2 = expr("aggregate(slice(embedding,17,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") -
+             (expr("aggregate(slice(embedding,1,16), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") +
+              expr("aggregate(slice(embedding,49,16), cast(0.0 as double), (acc,x) -> acc + cast(x as double))"))
+    when(p1 > 0, 1).otherwise(0) + when(p2 > 0, 2).otherwise(0)
+  }
+
+  /** LSH-bucketed approximate nearest neighbours: probes search only
+    * their own sign-bucket (equi join on the bucket key → hash join,
+    * no cross product), top-3 per probe. */
+  def qKnnBucketed(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir).withColumn("bucket", bucketExpr)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("bucket"), col("embedding").as(P))
+    val targets = e.select(col("vec_id").as("neighbor"), col("bucket"), col("embedding").as(T))
+    val pairs = probes.join(targets, "bucket")
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("neighbor"), col("cos"))
+      .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+  }
+
+  /** Typed-Aggregator UDAF: weighted average price by quantity per
+    * returnflag; oracle is the algebraic sum(v*w)/sum(w). */
+  def qAggUdafWavg(spark: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(graft.agg.WeightedAvg)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+}
