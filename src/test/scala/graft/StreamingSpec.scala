@@ -1,0 +1,138 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming ops verified against their batch equivalents (SURVEY.md
+  * §2.4-I): DuckDB can't see streams, so the batch formulations that
+  * ARE oracle-verified act as the streaming test oracle, replayed
+  * through MemoryStream with out-of-order delivery.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val evs: Seq[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+  }
+  private def sentinel: Ev =
+    Ev(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0)
+
+  test("tumbling window stream == batch date_trunc aggregation, out-of-order input") {
+    import spark.implicits._
+    val shuffled = new scala.util.Random(42).shuffle(evs)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingCounts(input.toDF)
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      input.addData(shuffled)       // one batch: no watermark drops possible
+      q.processAllAvailable()
+      input.addData(sentinel)       // advances watermark, closes all windows
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("tumb")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("h"), col("event_type"), col("n"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("watermark drops events later than 10 minutes behind the high mark") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingCounts(input.toDF)
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      input.addData(Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(sentinel)       // watermark far beyond 10:05
+      q.processAllAvailable()
+      // 11 hours late — must be discarded, not resurrect the window
+      input.addData(Ev(2, Timestamp.valueOf("2024-01-01 10:06:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, Timestamp.valueOf("2030-01-02 00:00:00"), 1, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clicks = spark.table("late").filter(col("event_type") === "click")
+      .agg(sum("n")).head().getLong(0)
+    assert(clicks === 1L, "late event must have been dropped")
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    import spark.implicits._
+    val e1 = Ev(7, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 1.0)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.dedupWithinWatermark(input.toDF)
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(Seq(e1, e1.copy(value = 2.0), e1.copy(value = 3.0)))
+      q.processAllAvailable()
+      input.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd").filter(col("event_id") === 7).count() === 1)
+  }
+
+  test("flatMapGroupsWithState sessionize == batch lag+cumsum sessionize") {
+    import spark.implicits._
+    val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = ordered.grouped(math.max(1, ordered.size / 3)).toSeq
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    // update-mode snapshots are cumulative; final = max per user
+    val streamed = spark.table("sess")
+      .groupBy("user_id").agg(max("sessions").as("sessions"))
+
+    val batch = {
+      val e = Tables.events(spark, sf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) / 60000000.0 > 30, 1)
+            .otherwise(0))
+        .groupBy("user_id").agg(sum("brk").as("sessions"))
+    }
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("native session_window row-per-session count == batch session count") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.sessionCounts(input.toDF)
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sw").filter(col("user_id") >= 0)
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"))
+    val full = {
+      val e = Tables.events(spark, sf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) / 60000000.0 > 30, 1)
+            .otherwise(0))
+        .groupBy("user_id").agg(sum("brk").as("sessions"))
+    }
+    assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
+  }
+}
