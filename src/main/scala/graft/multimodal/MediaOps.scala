@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Multimodal-column plumbing (LLM-pipeline north star): image/audio/
+  * video payloads ride as opaque `binary` columns with typed metadata;
+  * decode/feature-extract/resize/frame-sample run as partition-local
+  * batch transforms.
+  *
+  * The actual codec calls are STUBBED — no image/audio libraries exist
+  * in this container (see [[StubCodec]]), and the stub is a
+  * deterministic fake over a self-describing synthetic header so every
+  * stage of the REAL plumbing (schema, batching, partition locality,
+  * output shape) is executable and tested. Swapping [[StubCodec]] for
+  * a JNI/ImageIO-backed codec changes no Spark code.
+  *
+  * Scale notes: all transforms are `mapPartitions` — codec state
+  * (decoder contexts, model weights) initializes once per partition,
+  * not per row, which is the point of batch-shaped UDFs. Payloads
+  * never shuffle unless the caller repartitions; metadata-only plans
+  * prune the binary column at the parquet scan.
+  */
+object MediaOps {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
+                       sample_rate: Int, n_frames: Int, n_bytes: Long)
+  case class MediaFeature(media_id: Long, feature: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Synthetic self-describing payload: magic "GRFT", then width,
+    * height, sampleRate, nFrames (LE int32 each), then body bytes.
+    * Stands in for a real container format in tests. */
+  def syntheticPayload(width: Int, height: Int, sampleRate: Int,
+                       nFrames: Int, body: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 16 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GRFT".getBytes("ASCII"))
+    buf.putInt(width); buf.putInt(height); buf.putInt(sampleRate); buf.putInt(nFrames)
+    buf.put(body)
+    buf.array()
+  }
+
+  /** The codec boundary. A production build implements this with real
+    * decoders; the container has none, so the deterministic stub below
+    * is the only implementation. */
+  trait Codec {
+    def probe(payload: Array[Byte]): (Int, Int, Int, Int) // w, h, rate, frames
+    def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte]
+    def embed(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB — deterministic fake over the synthetic header. A real
+    * implementation would call the platform codec here (`???` marks
+    * the boundary in [[RealCodec]]). */
+  object StubCodec extends Codec with Serializable {
+    private def header(p: Array[Byte]): ByteBuffer = {
+      require(p.length >= 20 && p(0) == 'G' && p(1) == 'R' && p(2) == 'F' && p(3) == 'T',
+        "not a GRFT synthetic payload")
+      ByteBuffer.wrap(p, 4, 16).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    override def probe(p: Array[Byte]): (Int, Int, Int, Int) = {
+      val h = header(p); (h.getInt, h.getInt, h.getInt, h.getInt)
+    }
+    override def decodeFrame(p: Array[Byte], idx: Int): Array[Byte] = {
+      val (_, _, _, nFrames) = probe(p)
+      require(idx >= 0 && idx < nFrames, s"frame $idx out of $nFrames")
+      val body = p.drop(20)
+      val sz = math.max(1, body.length / math.max(1, nFrames))
+      body.slice(idx * sz, math.min(body.length, (idx + 1) * sz))
+    }
+    override def embed(p: Array[Byte], dim: Int): Array[Float] = {
+      // deterministic byte-histogram projection — a stand-in embedding
+      val out = new Array[Float](dim)
+      p.drop(20).foreach(b => out((b & 0xff) % dim) += 1.0f)
+      val n = math.sqrt(out.map(x => x.toDouble * x).sum)
+      if (n > 0) out.map(x => (x / n).toFloat) else out
+    }
+  }
+
+  /** Unimplemented real-codec boundary, kept compiling: wire ImageIO /
+    * javacpp-ffmpeg here when the libraries exist. */
+  object RealCodec extends Codec {
+    override def probe(payload: Array[Byte]): (Int, Int, Int, Int) = ???
+    override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] = ???
+    override def embed(payload: Array[Byte], dim: Int): Array[Float] = ???
+  }
+
+  /** Metadata extraction: one codec probe per row, partition-local. */
+  def probeAll(media: Dataset[MediaRow], codec: Codec = StubCodec): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rate, frames) = codec.probe(r.payload)
+        MediaMeta(r.media_id, r.kind, w, h, rate, frames, r.payload.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind payloads: every `stride`-th frame. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int,
+                   codec: Codec = StubCodec): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, _, nFrames) = codec.probe(r.payload)
+        (0 until nFrames by stride).iterator
+          .map(i => Frame(r.media_id, i, codec.decodeFrame(r.payload, i)))
+      }
+    }
+  }
+
+  /** Feature extraction to a fixed-dim float vector — the column shape
+    * every similarity operator (VectorOps) consumes. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
+                      codec: Codec = StubCodec): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => MediaFeature(r.media_id, codec.embed(r.payload, dim))))
+  }
+
+  /** Metadata-only projection from a parquet media table: the binary
+    * column must be pruned at the scan (asserted in spec). */
+  def metaOnly(spark: SparkSession, mediaParquet: String): DataFrame =
+    spark.read.parquet(mediaParquet).select(col("media_id"), col("kind"))
+}

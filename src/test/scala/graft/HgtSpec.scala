@@ -1,0 +1,122 @@
+package graft
+
+import graft.hgt.{HgtCodec, Sinks}
+import graft.hgt.HgtCodec.ElevationPoint
+
+/** HGT codec + sink golden tests (SURVEY.md §2.1 R1/R2/R4/R5-R7,
+  * §5.2): tiles are synthesized in-test — 3×3 big-endian int16 grids
+  * including a −32768 void — no fixture files needed.
+  */
+class HgtSpec extends SparkSpec {
+
+  /** 3×3 tile, values row-major from NW: 10..80 and one void. */
+  private def tileBytes: Array[Byte] = {
+    val vals: Array[Short] = Array(10, 20, 30, 40, HgtCodec.Void, 60, 70, 80, 90)
+    val out = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      out(2 * i) = ((v >> 8) & 0xff).toByte
+      out(2 * i + 1) = (v & 0xff).toByte
+    }
+    out
+  }
+
+  test("tile name parsing: all four hemisphere quadrants") {
+    assert(HgtCodec.parseTileName("N47E006.hgt") === (47, 6))
+    assert(HgtCodec.parseTileName("S09W072.hgt") === (-9, -72))
+    assert(HgtCodec.parseTileName("n00e000.hgt") === (0, 0))
+    intercept[IllegalArgumentException](HgtCodec.parseTileName("garbage.txt"))
+  }
+
+  test("decode geometry: corners, row direction, void retention") {
+    val pts = HgtCodec.decode(tileBytes, swLat = 47, swLng = 6).toSeq
+    assert(pts.size === 9)
+    // first sample is the NW corner (lat = swLat+1, lng = swLng)
+    assert(pts.head === ElevationPoint(48.0, 6.0, 10))
+    // last sample is the SE corner
+    assert(pts.last === ElevationPoint(47.0, 7.0, 90))
+    // center cell carries the void
+    assert(pts(4).alt === HgtCodec.Void)
+    // keepVoid=false drops exactly that one
+    assert(HgtCodec.decode(tileBytes, 47, 6, keepVoid = false).size === 8)
+  }
+
+  test("grid size inference rejects non-square payloads") {
+    assert(HgtCodec.gridSize(1201L * 1201 * 2) === 1201)
+    assert(HgtCodec.gridSize(3601L * 3601 * 2) === 3601)
+    intercept[IllegalArgumentException](HgtCodec.gridSize(100))
+  }
+
+  test("point lookup hits the nearest grid sample") {
+    assert(HgtCodec.lookup(tileBytes, 47, 6, lat = 48.0, lng = 6.0) === 10)
+    assert(HgtCodec.lookup(tileBytes, 47, 6, lat = 47.0, lng = 7.0) === 90)
+    assert(HgtCodec.lookup(tileBytes, 47, 6, lat = 47.5, lng = 6.5) === HgtCodec.Void)
+    // nearest rounding: slightly off-center still snaps to the center
+    assert(HgtCodec.lookup(tileBytes, 47, 6, lat = 47.51, lng = 6.49) === HgtCodec.Void)
+  }
+
+  test("distributed decode + window sampling end to end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hgt").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "N47E006.hgt").toPath, tileBytes)
+    val pts = HgtCodec.points(spark, dir.getAbsolutePath)
+    assert(pts.count() === 8) // void dropped
+    val windows = HgtCodec.sampleWindows(pts, sxDeg = 1.0, syDeg = 1.0).collect()
+    // 3×3 tile spans lat [47,48], lng [6,7] → 1°-windows split the edges
+    assert(windows.map(_.getLong(2)).sum === 8)
+  }
+
+  test("value-mode SQL generation (golden)") {
+    val ddl = Sinks.valueTableDdl("elev")
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS elev"))
+    assert(ddl.contains("alt SMALLINT"))
+    val ins = Sinks.valueInsertSql("elev",
+      Seq(ElevationPoint(48.0, 6.0, 10), ElevationPoint(47.0, 7.0, 90)), batchSize = 10)
+    assert(ins === Seq("INSERT INTO elev (lat, lng, alt) VALUES (48.0, 6.0, 10), (47.0, 7.0, 90)"))
+    assert(Sinks.pointWkt(48.0, 6.5) === "POINT(6.5 48.0)")
+  }
+
+  test("raster WKB golden bytes: header fields and band samples round-trip") {
+    val wkb = Sinks.rasterWkb(6.0, 48.0, 1.0 / 2, 2, 2, Array[Short](10, 20, 30, 40))
+    val buf = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.get() === 1)           // NDR
+    assert(buf.getShort === 0)        // version
+    assert(buf.getShort === 1)        // 1 band
+    assert(buf.getDouble === 0.5)     // scaleX
+    assert(buf.getDouble === -0.5)    // scaleY
+    assert(buf.getDouble === 6.0)     // ipX
+    assert(buf.getDouble === 48.0)    // ipY
+    buf.getDouble; buf.getDouble      // skews
+    assert(buf.getInt === 4326)       // srid
+    assert(buf.getShort === 2)        // width
+    assert(buf.getShort === 2)        // height
+    assert((buf.get() & 0x0f) === 5)  // 16BSI
+    assert(buf.getShort === HgtCodec.Void) // nodata
+    assert(Seq(buf.getShort, buf.getShort, buf.getShort, buf.getShort) === Seq(10, 20, 30, 40))
+    // stable hex golden for the insert path
+    val hex = Sinks.rasterWkbHex(6.0, 48.0, 0.5, 1, 1, Array[Short](7))
+    assert(Sinks.rasterInsertSql("rast_t", hex) ===
+      s"INSERT INTO rast_t (rast) VALUES ('$hex'::raster)")
+  }
+
+  test("value-mode import drives DDL + batched inserts through the executor interface") {
+    import spark.implicits._
+    // singleton holder: task closures deserialize to the same module,
+    // so executor-side writes land in the driver-visible queue
+    HgtSpecState.seen.clear()
+    val pts = HgtCodec.decode(tileBytes, 47, 6, keepVoid = false).toSeq.toDS()
+    Sinks.importValues(pts, "elev",
+      () => (sql: String) => { HgtSpecState.seen.add(sql); () }, batchSize = 3)
+    val sqls = HgtSpecState.seen.toArray(new Array[String](0)).toSeq
+    assert(sqls.exists(_.startsWith("CREATE TABLE")))
+    val inserts = sqls.filter(_.startsWith("INSERT"))
+    assert(inserts.nonEmpty)
+    // every sample value appears in some insert
+    Seq("10", "20", "30", "60", "70", "80", "90").foreach { v =>
+      assert(inserts.exists(_.contains(s", $v)")), s"missing alt $v in $inserts")
+    }
+  }
+}
+
+object HgtSpecState {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.multimodal.MediaOps
+import graft.multimodal.MediaOps.MediaRow
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing (stubbed codec, real Spark plumbing) and the
+  * HLL sketch aggregator. */
+class MediaHllSpec extends SparkSpec {
+
+  private def mkMedia(n: Int): Seq[MediaRow] =
+    (0 until n).map { i =>
+      val body = Array.tabulate[Byte](120)(j => ((i * 7 + j) % 251).toByte)
+      MediaRow(i.toLong, if (i % 2 == 0) "image" else "video",
+        MediaOps.syntheticPayload(64 + i, 48 + i, 16000, 6, body))
+    }
+
+  test("probe extracts typed metadata per row via mapPartitions") {
+    import spark.implicits._
+    val meta = MediaOps.probeAll(mkMedia(10).toDS()).collect().sortBy(_.media_id)
+    assert(meta.length === 10)
+    assert(meta.head.width === 64 && meta.head.height === 48)
+    assert(meta(9).width === 73)
+    assert(meta.forall(_.n_frames === 6))
+    assert(meta.forall(_.n_bytes === 20 + 120))
+  }
+
+  test("frame sampling emits every stride-th frame with payload slices") {
+    import spark.implicits._
+    val frames = MediaOps.sampleFrames(mkMedia(4).toDS(), stride = 2).collect()
+    // 6 frames, stride 2 → frames 0,2,4 per media row
+    assert(frames.length === 4 * 3)
+    assert(frames.map(_.frame_idx).distinct.sorted.toSeq === Seq(0, 2, 4))
+    assert(frames.forall(_.frame.length === 20)) // 120 bytes / 6 frames
+  }
+
+  test("feature extraction yields L2-normalized fixed-dim vectors, deterministic") {
+    import spark.implicits._
+    val f1 = MediaOps.extractFeatures(mkMedia(8).toDS(), dim = 32).collect().sortBy(_.media_id)
+    val f2 = MediaOps.extractFeatures(mkMedia(8).toDS(), dim = 32).collect().sortBy(_.media_id)
+    assert(f1.forall(_.feature.length === 32))
+    assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
+    f1.foreach { f =>
+      val norm = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
+  test("metadata-only read prunes the binary column at the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
+    mkMedia(20).toDS().write.mode("overwrite").parquet(dir)
+    val df = MediaOps.metaOnly(spark, dir)
+    val scanSchema = df.queryExecution.executedPlan.toString
+    assert(scanSchema.contains("ReadSchema: struct<media_id:bigint,kind:string>"), scanSchema)
+  }
+
+  test("HLL sketch distinct within 5% of exact on fixture keys") {
+    import spark.implicits._
+    val hll = udaf(new graft.agg.HllDistinct())
+    val o = Tables.orders(spark, "/root/testdata/sf0.01")
+    val est = o.select(col("o_custkey")).as[Long]
+      .agg(hll(col("o_custkey")).as("e")).head().getLong(0)
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val err = math.abs(est.toDouble - exact) / exact
+    assert(err < 0.05, s"est=$est exact=$exact err=$err")
+  }
+
+  test("HLL merge associativity: sketch over repartitioned data gives the same estimate") {
+    import spark.implicits._
+    val hll = udaf(new graft.agg.HllDistinct())
+    val ds = spark.range(0, 50000).select((col("id") % 9173).as("k"))
+    val e1 = ds.repartition(2).agg(hll(col("k"))).head().getLong(0)
+    val e2 = ds.repartition(16).agg(hll(col("k"))).head().getLong(0)
+    assert(e1 === e2, "register-max merge must be partition-count invariant")
+    assert(math.abs(e1.toDouble - 9173) / 9173 < 0.05)
+  }
+}
