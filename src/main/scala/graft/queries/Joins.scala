@@ -64,22 +64,35 @@ object Joins {
   }
 
   /** As-of join: for each event, the latest order of that user with
-    * o_orderdate <= ts (trade←quote pattern). Formulated as range join
-    * + row_number pick-first; blowup bounded by orders-per-user.
-    * At 100 TB scale the shuffle-free path is a union of both tables
-    * sorted by (user, time) with last_value carry-forward — same
-    * semantics, one shuffle; kept as the window form here because the
-    * oracle must express it identically. */
+    * o_orderdate <= ts (trade←quote pattern).
+    *
+    * Implemented as the union-sort carry-forward — the 100 TB shape:
+    * both tables merge into one stream keyed by user, one shuffle, one
+    * sorted pass with `last(..., ignoreNulls)` carrying the most
+    * recent order forward onto each event row. The naive range join +
+    * row_number expands to events × orders-per-user intermediate rows
+    * (~10× here, unbounded for hot users); this form never
+    * materializes a pair. Tie discipline: at equal timestamps orders
+    * sort before events (is_e), multiple same-date orders resolve to
+    * the max o_orderkey — matching the (o_orderdate DESC, o_orderkey
+    * DESC) pick of the oracle's window formulation. */
   def qJoinAsof(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+    val e = Tables.events(spark, dir).select(
+      col("user_id").as("u"), col("ts").as("t"), lit(1).as("is_e"),
+      lit(null).cast("long").as("ok"), lit(null).cast("timestamp_ntz").as("od"),
+      col("event_id"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("u"), col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("is_e"), col("o_orderkey").as("ok"),
+      col("o_orderdate").as("od"), lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("is_e"), col("ok").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionAll(e)
+      .withColumn("o_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("o_orderdate", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("is_e") === 1 && col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("u").as("user_id"), col("o_orderkey"), col("o_orderdate"))
       .orderBy(col("event_id"))
       .limit(200)
   }

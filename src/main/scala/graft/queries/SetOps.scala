@@ -87,13 +87,17 @@ object SetOps {
     * pinned tiebreak (row_number = 1), the reproducible formulation of
     * dropDuplicates (whose tie choice is plan-dependent). */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    // keep-min-tiebreak dedup as a hash aggregation: min(struct) picks
+    // the lexicographically least (orderkey, linenumber) per key. The
+    // window formulation sorts inside 6 fat partitions (3 flags × 2
+    // statuses — pure skew at scale); this runs partial+final agg with
+    // no per-group sort and no skew sensitivity.
     Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(struct(col("l_orderkey"), col("l_linenumber"))).as("keep"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("keep.l_orderkey").as("l_orderkey"),
+        col("keep.l_linenumber").as("l_linenumber"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits (SURVEY.md §4): the properties that make these
+  * plans survive a 100× scale-up — filter pushdown into the parquet
+  * scan, column pruning, broadcast of dimension tables, and no
+  * cartesian products where an equi join exists.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_agg_pricing pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = planOf(queries.Relational.qAggPricing(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 6 referenced columns are read, not all 11
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey") && !p.contains("l_tax"), p)
+  }
+
+  test("q_join_regional broadcasts every dimension side") {
+    val p = planOf(queries.Relational.qJoinRegional(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_smj honors the merge hint (big-big shape)") {
+    val p = planOf(queries.Joins.qJoinSmj(spark, sf))
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("minhash LSH candidate generation is hash joins, not a cross product") {
+    val p = planOf(queries.DedupOps.qDedupMinhash(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("bucketed knn joins on the bucket key — no cartesian product") {
+    val p = planOf(queries.VectorOps.qKnnBucketed(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("filter + projection reach the scan for events (ns-timestamp path)") {
+    val df = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"))
+    val p = planOf(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+  }
+}
