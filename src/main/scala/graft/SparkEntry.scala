@@ -35,6 +35,7 @@ object SparkEntry {
     // §2.4-C join variants
     "q_join_left_outer"   -> Joins.qJoinLeftOuter _,
     "q_join_full_outer"   -> Joins.qJoinFullOuter _,
+    "q_join_right_outer"  -> Joins.qJoinRightOuter _,
     "q_join_range_band"   -> Joins.qJoinRangeBand _,
     "q_join_asof"         -> Joins.qJoinAsof _,
     "q_join_smj"          -> Joins.qJoinSmj _,

@@ -88,6 +88,7 @@ object Aggs {
       .groupBy(col("l_orderkey"))
       .agg(
         array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+        array_join(sort_array(collect_set(col("l_linenumber"))), ",").as("uniq"),
         count(lit(1)).as("n"))
       .orderBy(col("l_orderkey"))
   }

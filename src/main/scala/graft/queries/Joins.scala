@@ -48,6 +48,18 @@ object Joins {
       .orderBy(col("nationkey"))
   }
 
+  /** RIGHT OUTER lineitem→part: parts never shipped survive with
+    * n_li=0; ascending count surfaces them first. */
+  def qJoinRightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(p, l("l_partkey") === p("p_partkey"), "right")
+      .groupBy(p("p_partkey"), p("p_name"))
+      .agg(count(l("l_orderkey")).as("n_li"))
+      .orderBy(col("n_li"), col("p_partkey"))
+      .limit(100)
+  }
+
   /** Non-equi (theta) join: histogram banding of l_quantity against an
     * in-memory band table. Plans as BroadcastNestedLoopJoin with the
     * 5-row side broadcast — the only sane physical shape for a pure

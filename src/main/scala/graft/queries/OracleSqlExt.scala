@@ -24,6 +24,11 @@ object OracleSqlExt {
         |FROM c FULL OUTER JOIN s ON nk_c = nk_s
         |ORDER BY nationkey""".stripMargin,
 
+    "q_join_right_outer" ->
+      """SELECT p.p_partkey, p.p_name, count(l.l_orderkey) AS n_li
+        |FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_partkey, p.p_name ORDER BY n_li, p_partkey LIMIT 100""".stripMargin,
+
     "q_join_range_band" ->
       """WITH bands AS (SELECT CAST(1.0 AS DOUBLE) + id*10 AS lo,
         |                      CAST(11.0 AS DOUBLE) + id*10 AS hi
@@ -180,6 +185,7 @@ object OracleSqlExt {
 
     "q_agg_collect" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |       array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') AS uniq,
         |       count(*) AS n
         |FROM lineitem WHERE l_orderkey <= 400 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
