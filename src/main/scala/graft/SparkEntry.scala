@@ -60,6 +60,8 @@ object SparkEntry {
     "q_agg_stats"          -> Aggs.qAggStats _,
     "q_agg_percentile"     -> Aggs.qAggPercentile _,
     "q_agg_collect"        -> Aggs.qAggCollect _,
+    "q_agg_pivot"          -> Aggs.qAggPivot _,
+    "q_agg_unpivot"        -> Aggs.qAggUnpivot _,
     // §2.4-G scalar function families
     "q_fn_string"          -> Functions.qFnString _,
     "q_fn_datetime"        -> Functions.qFnDatetime _,

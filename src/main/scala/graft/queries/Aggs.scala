@@ -79,6 +79,28 @@ object Aggs {
       .orderBy(col("l_returnflag"))
   }
 
+  /** PIVOT: linestatus breakout columns per returnflag. Explicit value
+    * list — at scale an implicit pivot forces a distinct-values
+    * collect on the driver before planning. */
+  def qAggPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** UNPIVOT (melt): wide per-flag metrics back to long form. */
+  def qAggUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("revenue")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   /** Ordered collect_list, emitted as a joined string so the result is
     * a comparable scalar (array columns stringify differently across
     * parquet readers): line numbers per order. */

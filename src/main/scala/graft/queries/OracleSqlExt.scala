@@ -106,10 +106,11 @@ object OracleSqlExt {
 
   val windows: Map[String, String] = Map(
     "q_window_rank_family" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk, drk, prk, quartile FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk, drk, prk, cd, quartile FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         rank() OVER w AS rk, dense_rank() OVER w AS drk,
         |         round(percent_rank() OVER w, 6) AS prk,
+        |         round(cume_dist() OVER w, 6) AS cd,
         |         ntile(4) OVER w AS quartile
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
@@ -182,6 +183,21 @@ object OracleSqlExt {
         |       round(quantile_cont(l_quantity, 0.75),4) AS p75,
         |       round(median(l_extendedprice),4) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
+        |       round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
+        |                  round(sum(l_extendedprice),2) AS revenue
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'revenue' AS metric, revenue AS value FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines,

@@ -31,6 +31,7 @@ object Windows {
         rank().over(w).as("rk"),
         dense_rank().over(w).as("drk"),
         round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"),
         ntile(4).over(w).as("quartile"))
       .filter(col("rk") <= 20)
       .orderBy(col("o_orderpriority"), col("rk"))
