@@ -39,6 +39,35 @@ object Events {
       .limit(50)
   }
 
+  /** Sliding 1-hour windows every 15 minutes, batch form of
+    * `window(ts, '1 hour', '15 minutes')` — each event lands in 4
+    * overlapping windows (epoch-aligned starts, like the streaming
+    * operator). Row expansion ×4 happens before the shuffle; the
+    * window start is the shuffle key. */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+      .orderBy(col("ws"), col("event_type"))
+      .limit(300)
+  }
+
+  /** Native session_window in batch mode: per-user sessions with a
+    * 30-minute gap; window end = last event + gap. The oracle derives
+    * identical bounds via lag + cumulative-break + max(ts)+interval
+    * (break at diff >= gap, matching session_window's half-open
+    * [start, last+gap) semantics). */
+  def qEventsSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"))
+      .orderBy(col("user_id"), col("ss"))
+      .limit(300)
+  }
+
   /** JSON scalar extraction (`props` is a JSON string column) + agg. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

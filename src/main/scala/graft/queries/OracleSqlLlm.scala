@@ -128,6 +128,26 @@ object OracleSqlLlm {
         |ORDER BY jac DESC, doc_a, doc_b""".stripMargin
   )
 
+  val eventsExt: Map[String, String] = Map(
+    "q_events_sliding" ->
+      """SELECT ws, event_type, count(*) AS n, round(sum(value),2) AS sv FROM (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000 - u) * 900000000) AS ws,
+        |         event_type, value
+        |  FROM events, unnest([0,1,2,3]) AS t(u))
+        |GROUP BY ws, event_type ORDER BY ws, event_type LIMIT 300""".stripMargin,
+
+    "q_events_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                                         ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT min(ts) AS ss, max(ts) + INTERVAL 30 MINUTE AS se, user_id,
+        |       count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss LIMIT 300""".stripMargin
+  )
+
   val vector: Map[String, String] = Map(
     // Three formulations, one semantics — same oracle as q_cosine_topk.
     "q_cosine_expr" -> OracleSql.seed("q_cosine_topk"),
@@ -170,5 +190,5 @@ object OracleSqlLlm {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 
-  def all: Map[String, String] = text ++ dedup ++ vector
+  def all: Map[String, String] = text ++ dedup ++ vector ++ eventsExt
 }

@@ -65,6 +65,21 @@ class HgtSpec extends SparkSpec {
     assert(windows.map(_.getLong(2)).sum === 8)
   }
 
+  test("hgt_points Generator UDTF explodes a tile inside SQL") {
+    import spark.implicits._
+    graft.hgt.HgtPoints.register(spark)
+    val df = Seq((tileBytes, 47, 6)).toDF("content", "la", "lo")
+    df.createOrReplaceTempView("tiles")
+    val rows = spark.sql(
+      "SELECT p.lat, p.lng, p.alt FROM tiles LATERAL VIEW hgt_points(content, la, lo) p AS lat, lng, alt")
+      .collect()
+    assert(rows.length === 8) // void dropped
+    // matches the flatMap decoder exactly
+    val expect = HgtCodec.decode(tileBytes, 47, 6, keepVoid = false)
+      .map(p => (p.lat, p.lng, p.alt.toInt)).toSet
+    assert(rows.map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2))).toSet === expect)
+  }
+
   test("value-mode SQL generation (golden)") {
     val ddl = Sinks.valueTableDdl("elev")
     assert(ddl.contains("CREATE TABLE IF NOT EXISTS elev"))
