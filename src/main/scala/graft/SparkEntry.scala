@@ -41,6 +41,9 @@ object SparkEntry {
     "q_join_range_band"   -> Joins.qJoinRangeBand _,
     "q_join_asof"         -> Joins.qJoinAsof _,
     "q_join_smj"          -> Joins.qJoinSmj _,
+    "q_subquery_scalar"   -> Joins.qSubqueryScalar _,
+    "q_subquery_in"       -> Joins.qSubqueryIn _,
+    "q_join_nullsafe"     -> Joins.qJoinNullsafe _,
     // §2.4-F set ops + exact dedup
     "q_set_union_all"     -> SetOps.qSetUnionAll _,
     "q_set_union"         -> SetOps.qSetUnion _,

@@ -109,6 +109,47 @@ object Joins {
       .limit(200)
   }
 
+  /** Correlated scalar subquery: orders above their customer's own
+    * average — Catalyst decorrelates (RewriteCorrelatedScalarSubquery)
+    * into an aggregate + join; no per-row re-execution. */
+  def qSubqueryScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM orders_v o
+        |WHERE o.o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice)
+        |                              FROM orders_v o2
+        |                              WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** IN-subquery on a non-join column (RewritePredicateSubquery →
+    * left semi join on the subquery output). */
+  def qSubqueryIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n FROM orders_v
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Null-safe equality join (<=>): match per-nation customer/supplier
+    * count buckets including the NULL bucket. */
+  def qJoinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    // bucket = acctbal band, NULL for negative balances — exercises
+    // <=> matching NULL with NULL (plain = would drop those rows)
+    val c = Tables.customer(spark, dir)
+      .select(when(col("c_acctbal") >= 0, floor(col("c_acctbal") / 5000)).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .select(when(col("s_acctbal") >= 0, floor(col("s_acctbal") / 5000)).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("band") <=> s("band"))
+      .select(c("band").as("band"), col("n_cust"), col("n_supp"))
+      .orderBy(col("band").asc_nulls_first)
+  }
+
   /** Big-big join forced to sort-merge via the MERGE hint — the shape
     * a lineitem⋈orders join takes at 100 TB where neither side
     * broadcasts. Same answer as the hash join by definition. */

@@ -46,6 +46,30 @@ object OracleSqlExt {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
         |WHERE rk = 1 ORDER BY event_id LIMIT 200""".stripMargin,
 
+    "q_subquery_scalar" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice)
+        |                              FROM orders o2
+        |                              WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH c AS (SELECT CASE WHEN c_acctbal >= 0 THEN CAST(floor(c_acctbal/5000) AS BIGINT) END AS band,
+        |                  count(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |     s AS (SELECT CASE WHEN s_acctbal >= 0 THEN CAST(floor(s_acctbal/5000) AS BIGINT) END AS band,
+        |                  count(*) AS n_supp
+        |           FROM supplier GROUP BY 1)
+        |SELECT c.band AS band, n_cust, n_supp
+        |FROM c JOIN s ON c.band IS NOT DISTINCT FROM s.band
+        |ORDER BY band NULLS FIRST""".stripMargin,
+
     "q_join_smj" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice),2) AS s
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
