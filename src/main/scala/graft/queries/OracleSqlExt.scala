@@ -145,7 +145,7 @@ object OracleSqlExt {
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
         |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg3
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin,
 
     "q_window_range_frame" ->

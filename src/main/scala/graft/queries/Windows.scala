@@ -48,7 +48,13 @@ object Windows {
     o.select(
         col("o_custkey"), col("o_orderkey"),
         round(sum(col("o_totalprice")).over(cum), 2).as("cum_spend"),
-        round(avg(col("o_totalprice")).over(mov), 2).as("mov_avg3"))
+        // 4 dp, not 2: a 3-row avg divides 2-decimal sums by 2 or 3 —
+        // /2 lands EXACTLY on the .xx5 half-up boundary whenever the
+        // cents are odd, and the two engines disagree on rounding a
+        // double 1 ulp off the boundary (observed at sf0.1). At 4 dp
+        // the quotient (k/200·10^4 integer, k/300·10^4 never half-way)
+        // has no boundary case at all. §2.2-2 refinement.
+        round(avg(col("o_totalprice")).over(mov), 4).as("mov_avg3"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
       .limit(300)
   }
