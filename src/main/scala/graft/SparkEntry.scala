@@ -93,7 +93,8 @@ object SparkEntry {
     "q_cosine_udf"         -> VectorOps.qCosineUdf _,
     "q_dedup_embedding"    -> VectorOps.qDedupEmbedding _,
     "q_knn_bucketed"       -> VectorOps.qKnnBucketed _,
-    "q_agg_udaf_wavg"      -> VectorOps.qAggUdafWavg _
+    "q_agg_udaf_wavg"      -> VectorOps.qAggUdafWavg _,
+    "q_topk_custom"        -> VectorOps.qTopkCustom _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

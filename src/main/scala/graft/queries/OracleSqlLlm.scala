@@ -183,6 +183,9 @@ object OracleSqlLlm {
         |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) x
         |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
 
+    // custom plan-node top-k ≡ the window idiom; reuse its oracle
+    "q_topk_custom" -> OracleSql.seed("q_window_topk"),
+
     "q_agg_udaf_wavg" ->
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice*l_quantity)/sum(l_quantity),4) AS wavg_price,

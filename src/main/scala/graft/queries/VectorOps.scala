@@ -108,6 +108,22 @@ object VectorOps {
       .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
   }
 
+  /** Top-3 orders per customer through the custom TopKPerGroup plan
+    * node (graft.plans: logical node → strategy → partial/final
+    * physical top-k) — same rows as the window row_number idiom, same
+    * oracle as q_window_topk, different (better) physical plan. */
+  def qTopkCustom(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = c.join(o, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup(joined, Seq("c_custkey"),
+        Seq(graft.plans.TopKPerGroup.Ord("o_totalprice", desc = true),
+            graft.plans.TopKPerGroup.Ord("o_orderkey")), 3)
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Typed-Aggregator UDAF: weighted average price by quantity per
     * returnflag; oracle is the algebraic sum(v*w)/sum(w). */
   def qAggUdafWavg(spark: SparkSession, dir: String): DataFrame = {
