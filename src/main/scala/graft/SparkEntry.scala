@@ -94,7 +94,9 @@ object SparkEntry {
     "q_dedup_embedding"    -> VectorOps.qDedupEmbedding _,
     "q_knn_bucketed"       -> VectorOps.qKnnBucketed _,
     "q_agg_udaf_wavg"      -> VectorOps.qAggUdafWavg _,
-    "q_topk_custom"        -> VectorOps.qTopkCustom _
+    "q_topk_custom"        -> VectorOps.qTopkCustom _,
+    "q_emb_centroid"       -> VectorOps.qEmbCentroid _,
+    "q_knn_ivf"            -> VectorOps.qKnnIvf _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

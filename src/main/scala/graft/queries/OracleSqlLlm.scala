@@ -186,6 +186,36 @@ object OracleSqlLlm {
     // custom plan-node top-k ≡ the window idiom; reuse its oracle
     "q_topk_custom" -> OracleSql.seed("q_window_topk"),
 
+    "q_emb_centroid" ->
+      """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS c
+        |FROM embeddings, unnest(range(1,65)) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "q_knn_ivf" ->
+      """WITH cent AS (
+        |  SELECT label AS c_label, list(c ORDER BY pos) AS cvec FROM (
+        |    SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS c
+        |    FROM embeddings, unnest(range(1,65)) t(i) GROUP BY label, i) x
+        |  GROUP BY label),
+        |assigned AS (
+        |  SELECT p.vec_id, p.embedding,
+        |         list_dot_product(CAST(p.embedding AS DOUBLE[]), cvec) AS cos_c, c_label
+        |  FROM embeddings p CROSS JOIN cent WHERE p.vec_id < 10),
+        |cell AS (
+        |  SELECT vec_id, embedding, c_label AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY cos_c DESC, c_label) AS rk FROM assigned) y
+        |  WHERE rk = 1),
+        |pairs AS (
+        |  SELECT p.vec_id, t.vec_id AS neighbor,
+        |         round(CAST(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |               CAST(t.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
+        |  FROM cell p JOIN embeddings t ON t.label = p.cell AND t.vec_id <> p.vec_id)
+        |SELECT vec_id, neighbor, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) z
+        |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
+
     "q_agg_udaf_wavg" ->
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice*l_quantity)/sum(l_quantity),4) AS wavg_price,

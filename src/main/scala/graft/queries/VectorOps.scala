@@ -108,6 +108,50 @@ object VectorOps {
       .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
   }
 
+  /** Per-label centroids, one row per (label, dimension): the coarse
+    * quantizer build step of IVF. posexplode ↔ unnest(range) in the
+    * oracle (Spark pos is 0-based; +1 aligns with DuckDB's 1-based
+    * subscripts). */
+  def qEmbCentroid(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + lit(1)).as("pos"))
+      .agg(round(avg(col("v").cast("double")), 4).as("c"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** IVF-style two-stage ANN: assign each probe to its nearest
+    * label-centroid (10 cells, broadcast), then search only that
+    * cell's vectors — the learned-quantizer counterpart of the
+    * sign-bucket key. Centroids are the ROUNDED per-dim means, so both
+    * engines compute dot products from bit-identical inputs. */
+  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cent = qEmbCentroid(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as(P))
+    val assigned = probes.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col(P),
+        expr(s"aggregate(zip_with(cast($P as array<double>), cvec, (a,b) -> a*b), cast(0.0 as double), (acc,x) -> acc + x)").as("cos_c"),
+        col("c_label"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_label"))
+    val probeCell = assigned.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col(P), col("c_label").as("cell"))
+    val targets = e.select(col("vec_id").as("neighbor"), col("label").as("cell"), col("embedding").as(T))
+    val pairs = probeCell.join(targets, "cell")
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("neighbor"), col("cos"))
+      .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+  }
+
   /** Top-3 orders per customer through the custom TopKPerGroup plan
     * node (graft.plans: logical node → strategy → partial/final
     * physical top-k) — same rows as the window row_number idiom, same
