@@ -31,6 +31,8 @@ object SparkEntry {
     "q_events_sessionize" -> Events.qEventsSessionize _,
     "q_events_sliding"    -> Events.qEventsSliding _,
     "q_events_session_window" -> Events.qEventsSessionWindow _,
+    "q_events_retention"  -> Events.qEventsRetention _,
+    "q_events_funnel"     -> Events.qEventsFunnel _,
     "q_json_extract"      -> Events.qJsonExtract _,
     "q_dedup_near"        -> LlmOps.qDedupNear _,
     "q_cosine_topk"       -> LlmOps.qCosineTopk _,

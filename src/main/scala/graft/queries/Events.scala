@@ -68,6 +68,39 @@ object Events {
       .limit(300)
   }
 
+  /** Retention cohort curve: distinct active (user, day) pairs joined
+    * to each user's first-seen day; day_n = days since first seen.
+    * Two shuffles (per-user min, then per-day_n count). */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    e.distinct()
+      .join(first, "user_id")
+      .select(datediff(col("d"), col("first_d")).as("day_n"))
+      .groupBy(col("day_n")).agg(count(lit(1)).as("active"))
+      .orderBy(col("day_n"))
+      .limit(31)
+  }
+
+  /** Funnel stages from first-occurrence ordering of view → click →
+    * purchase per user (conditional min + CASE chain). */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_v"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_p"))
+      .withColumn("stage",
+        when(col("t_v").isNotNull && col("t_c") > col("t_v") && col("t_p") > col("t_c"), "full_funnel")
+          .when(col("t_v").isNotNull && col("t_c") > col("t_v"), "view_click")
+          .when(col("t_v").isNotNull, "view_only")
+          .otherwise("no_view"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+      .orderBy(col("stage"))
+  }
+
   /** JSON scalar extraction (`props` is a JSON string column) + agg. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

@@ -148,6 +148,29 @@ object OracleSqlLlm {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, ss LIMIT 300""".stripMargin
   )
 
+  val analytics: Map[String, String] = Map(
+    "q_events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS first_d FROM e GROUP BY user_id)
+        |SELECT date_diff('day', CAST(first_d AS DATE), CAST(d AS DATE)) AS day_n,
+        |       count(*) AS active
+        |FROM e JOIN f USING(user_id)
+        |GROUP BY day_n ORDER BY day_n LIMIT 31""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type='view' THEN ts END) AS t_v,
+        |    min(CASE WHEN event_type='click' THEN ts END) AS t_c,
+        |    min(CASE WHEN event_type='purchase' THEN ts END) AS t_p
+        |  FROM events GROUP BY user_id)
+        |SELECT CASE WHEN t_v IS NOT NULL AND t_c > t_v AND t_p > t_c THEN 'full_funnel'
+        |            WHEN t_v IS NOT NULL AND t_c > t_v THEN 'view_click'
+        |            WHEN t_v IS NOT NULL THEN 'view_only'
+        |            ELSE 'no_view' END AS stage, count(*) AS users
+        |FROM m GROUP BY 1 ORDER BY stage""".stripMargin
+  )
+
   val vector: Map[String, String] = Map(
     // Three formulations, one semantics — same oracle as q_cosine_topk.
     "q_cosine_expr" -> OracleSql.seed("q_cosine_topk"),
@@ -223,5 +246,5 @@ object OracleSqlLlm {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 
-  def all: Map[String, String] = text ++ dedup ++ vector ++ eventsExt
+  def all: Map[String, String] = text ++ dedup ++ vector ++ eventsExt ++ analytics
 }
