@@ -68,6 +68,9 @@ object SparkEntry {
     "q_agg_percentile"     -> Aggs.qAggPercentile _,
     "q_agg_collect"        -> Aggs.qAggCollect _,
     "q_agg_pivot"          -> Aggs.qAggPivot _,
+    "q_agg_cond_bool"      -> Aggs.qAggCondBool _,
+    "q_agg_regr"           -> Aggs.qAggRegr _,
+    "q_fn_try"             -> Functions.qFnTry _,
     "q_agg_unpivot"        -> Aggs.qAggUnpivot _,
     // §2.4-G scalar function families
     "q_fn_string"          -> Functions.qFnString _,

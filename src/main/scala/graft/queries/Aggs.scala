@@ -79,6 +79,37 @@ object Aggs {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Conditional / boolean / positional aggregates: count_if,
+    * bool_or/bool_and, bit_and/or/xor, max_by/min_by (ordered by the
+    * UNIQUE orderkey — ordering by a tied column like price would be
+    * nondeterministic across engines). */
+  def qAggCondBool(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        expr("bool_or(o_orderstatus = 'P')").as("any_p"),
+        expr("bool_and(o_totalprice > 0)").as("all_pos"),
+        expr("bit_and(o_orderkey % 256)").as("band"),
+        expr("bit_or(o_orderkey % 256)").as("bor"),
+        expr("bit_xor(o_orderkey % 256)").as("bxor"),
+        expr("max_by(o_custkey, o_orderkey)").as("last_cust"),
+        expr("min_by(o_custkey, o_orderkey)").as("first_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Linear-regression aggregates over (quantity → extendedprice). */
+  def qAggRegr(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** PIVOT: linestatus breakout columns per returnflag. Explicit value
     * list — at scale an implicit pivot forces a distinct-values
     * collect on the driver before planning. */

@@ -155,6 +155,24 @@ object Functions {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** ANSI-safe `try_` family: malformed casts and division by zero
+    * yield NULL instead of failing the job — the behavior a 100 TB
+    * pipeline needs on dirty data (one bad row must not kill a stage). */
+  def qFnTry(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_cast('not a number' AS int)").as("tc_bad"),
+        expr("try_cast(cast(l_linenumber AS string) AS int)").as("tc_ok"),
+        // integral numerator: k/d with d ≤ 49 has no non-representable
+        // 4-decimal half-way case, unlike 2-decimal money ÷ d (§2.2-2)
+        round(expr("try_divide(round(l_extendedprice, 0), l_quantity - 50)"), 4).as("td"),
+        expr("try_element_at(split(l_returnflag, ''), 100)").as("te"),
+        expr("try_add(l_orderkey, 1)").as("ta"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Structured JSON parse (from_json → struct field), vs the seeded
     * string-path get_json_object key. */
   def qFnJsonStruct(spark: SparkSession, dir: String): DataFrame = {

@@ -208,6 +208,36 @@ object OracleSqlExt {
         |       round(median(l_extendedprice),4) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_agg_cond_bool" ->
+      """SELECT o_orderpriority,
+        |       count_if(o_totalprice > 200000) AS n_big,
+        |       bool_or(o_orderstatus = 'P') AS any_p,
+        |       bool_and(o_totalprice > 0) AS all_pos,
+        |       bit_and(o_orderkey % 256) AS band,
+        |       bit_or(o_orderkey % 256) AS bor,
+        |       bit_xor(o_orderkey % 256) AS bxor,
+        |       arg_max(o_custkey, o_orderkey) AS last_cust,
+        |       arg_min(o_custkey, o_orderkey) AS first_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_fn_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       TRY_CAST('not a number' AS INTEGER) AS tc_bad,
+        |       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS tc_ok,
+        |       round(CASE WHEN l_quantity = 50 THEN NULL
+        |             ELSE round(l_extendedprice, 0) / (l_quantity - 50) END, 4) AS td,
+        |       string_split(l_returnflag, '')[100] AS te,
+        |       l_orderkey + 1 AS ta
+        |FROM lineitem WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_agg_pivot" ->
       """SELECT l_returnflag,
         |       round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
