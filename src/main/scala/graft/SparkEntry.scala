@@ -32,6 +32,7 @@ object SparkEntry {
     "q_events_sliding"    -> Events.qEventsSliding _,
     "q_events_session_window" -> Events.qEventsSessionWindow _,
     "q_events_retention"  -> Events.qEventsRetention _,
+    "q_events_session_ids" -> Events.qEventsSessionIds _,
     "q_events_funnel"     -> Events.qEventsFunnel _,
     "q_json_extract"      -> Events.qJsonExtract _,
     "q_dedup_near"        -> LlmOps.qDedupNear _,

@@ -68,6 +68,24 @@ object Events {
       .limit(300)
   }
 
+  /** Row-level session assignment: every event tagged with its
+    * session ordinal (cumulative break count) — the per-row form of
+    * qEventsSessionize's per-user counts. */
+  def qEventsSessionIds(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+             (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(60000000.0) > 30, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("sid"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(300)
+  }
+
   /** Retention cohort curve: distinct active (user, day) pairs joined
     * to each user's first-seen day; day_n = days since first seen.
     * Two shuffles (per-user min, then per-day_n count). */

@@ -149,6 +149,18 @@ object OracleSqlLlm {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_events_session_ids" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR (epoch_us(ts) - epoch_us(lag(ts) OVER w))/60000000.0 > 30
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |FROM g ORDER BY user_id, event_id LIMIT 300""".stripMargin,
+
     "q_events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS first_d FROM e GROUP BY user_id)

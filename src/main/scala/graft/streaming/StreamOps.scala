@@ -52,6 +52,23 @@ object StreamOps {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n"))
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and
+    * the join has a time-range constraint, so state on each side is
+    * bounded (Spark evicts rows older than watermark + interval). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id")).withWatermark("c_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id")).withWatermark("p_ts", "10 minutes")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Stateful exact dedup on event_id within the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

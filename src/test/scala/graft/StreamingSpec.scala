@@ -109,6 +109,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join == batch range join on the same events") {
+    import spark.implicits._
+    val clicksIn = MemoryStream[Ev](spark)
+    val purchasesIn = MemoryStream[Ev](spark)
+    val q = StreamOps.clickToPurchase(clicksIn.toDF, purchasesIn.toDF)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicksIn.addData(evs.filter(_.event_type == "click"))
+      purchasesIn.addData(evs.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      clicksIn.addData(sentinel); purchasesIn.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj")
+      .filter(col("user_id") >= 0)
+      .select(col("purchase_id"), col("click_id"))
+    val e = Tables.events(spark, sf)
+    val batch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .join(e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id")),
+        col("pu") === col("cu") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0, "fixture should produce at least one click→purchase pair")
+  }
+
   test("native session_window row-per-session count == batch session count") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
