@@ -94,6 +94,8 @@ object SparkEntry {
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_simhash"      -> DedupOps.qDedupSimhash _,
     "q_dedup_ngram_jaccard" -> DedupOps.qDedupNgramJaccard _,
+    "q_dedup_levenshtein"  -> DedupOps.qDedupLevenshtein _,
+    "q_fn_string2"         -> Functions.qFnString2 _,
     // §2.4-J custom Expression / UDF / UDAF + vector similarity
     "q_cosine_expr"        -> VectorOps.qCosineExpr _,
     "q_cosine_udf"         -> VectorOps.qCosineUdf _,

@@ -88,6 +88,24 @@ object DedupOps {
       .limit(100)
   }
 
+  /** Edit-distance verification over prefix-blocked candidate pairs:
+    * classic Levenshtein (identical DP definition in both engines).
+    * Quadratic per pair — only ever run on blocked candidates, never
+    * all pairs (SCALE.md). */
+  def qDedupLevenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"), lower(substring(col("text"), 1, 60)).as("k"))
+    val a = d.select(col("doc_id").as("doc_a"), col("k"), col("text").as("t_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("k"), col("text").as("t_b"))
+    a.join(b, "k")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).as("dist"),
+        (greatest(length(col("t_a")), length(col("t_b"))) -
+          levenshtein(col("t_a"), col("t_b"))).as("overlap"))
+      .orderBy(col("dist"), col("doc_a"), col("doc_b"))
+  }
+
   /** n-gram (token-set) Jaccard similarity over candidate pairs
     * blocked by shared 60-char prefix — the verify stage that follows
     * any LSH/blocking candidate generator. */

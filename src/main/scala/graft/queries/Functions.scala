@@ -155,6 +155,25 @@ object Functions {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** String family 2: repeat, reverse, left/right, contains/starts/
+    * ends predicates, ascii/char codecs. */
+  def qFnString2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        expr("repeat(p_brand, 2)").as("rep"),
+        reverse(col("p_name")).as("rev"),
+        expr("left(p_name, 3)").as("l3"),
+        expr("right(p_name, 3)").as("r3"),
+        expr("contains(p_name, 'ring')").as("has_ring"),
+        expr("startswith(p_name, 's')").as("sw"),
+        expr("endswith(p_type, 'Y')").as("ew"),
+        ascii(col("p_name")).as("asc_1"),
+        expr("char(p_size + 64)").as("ch"))
+      .orderBy(col("p_partkey"))
+      .limit(300)
+  }
+
   /** ANSI-safe `try_` family: malformed casts and division by zero
     * yield NULL instead of failing the job — the behavior a 100 TB
     * pipeline needs on dirty data (one bad row must not kill a stage). */

@@ -228,6 +228,16 @@ object OracleSqlExt {
         |       regr_count(l_extendedprice, l_quantity) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_fn_string2" ->
+      """SELECT p_partkey, repeat(p_brand, 2) AS rep, reverse(p_name) AS rev,
+        |       left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+        |       contains(p_name, 'ring') AS has_ring,
+        |       starts_with(p_name, 's') AS sw,
+        |       ends_with(p_type, 'Y') AS ew,
+        |       ascii(p_name) AS asc_1,
+        |       chr(p_size + 64) AS ch
+        |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin,
+
     "q_fn_try" ->
       """SELECT l_orderkey, l_linenumber,
         |       TRY_CAST('not a number' AS INTEGER) AS tc_bad,

@@ -118,6 +118,14 @@ object OracleSqlLlm {
         |SELECT simhash, count(*) AS n, min(doc_id) AS keep FROM sig GROUP BY simhash
         |HAVING count(*) > 1 ORDER BY n DESC, simhash LIMIT 100""".stripMargin,
 
+    "q_dedup_levenshtein" ->
+      """WITH d AS (SELECT doc_id, text, lower(substring(text,1,60)) AS k FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.text, b.text) AS dist,
+        |       greatest(length(a.text), length(b.text)) - levenshtein(a.text, b.text) AS overlap
+        |FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id
+        |ORDER BY dist, doc_a, doc_b""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lower(substring(text,1,60)) AS k,
         |           list_distinct(string_split(text,' ')) AS ts FROM documents)

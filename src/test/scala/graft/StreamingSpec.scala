@@ -137,6 +137,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0, "fixture should produce at least one click→purchase pair")
   }
 
+  test("end-to-end file sink: stream → parquet with checkpoint, exactly-once readback") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toFile.getAbsolutePath
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingCounts(input.toDF)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.parquet(out).filter(col("event_type") =!= "sentinel")
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+    assert(written.exceptAll(batch).isEmpty && batch.exceptAll(written).isEmpty)
+  }
+
+  test("foreachBatch bridges the stream into the reference-style SQL sink") {
+    import spark.implicits._
+    StreamingSpecState.sqls.clear()
+    val input = MemoryStream[Ev](spark)
+    val q = input.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.select(col("event_id"), col("user_id")).collect().foreach { r =>
+          StreamingSpecState.sqls.add(
+            s"INSERT INTO ev (event_id, user_id) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(evs.take(25))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingSpecState.sqls.size === 25)
+    assert(StreamingSpecState.sqls.toArray(new Array[String](0)).forall(_.startsWith("INSERT INTO ev")))
+  }
+
   test("native session_window row-per-session count == batch session count") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
@@ -163,4 +206,8 @@ class StreamingSpec extends SparkSpec {
     }
     assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
   }
+}
+
+object StreamingSpecState {
+  val sqls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
