@@ -47,4 +47,33 @@ class SourcesSpec extends SparkSpec {
   test("in-memory range source") {
     assert(spark.range(1, 101).agg(sum("id")).head().getLong(0) === 5050)
   }
+
+  test("ORC round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toFile.getAbsolutePath
+    nation.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === nation.schema)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+
+  test("text source round-trip (single string column, line per row)") {
+    val dir = java.nio.file.Files.createTempDirectory("txt").toFile.getAbsolutePath
+    nation.select(concat_ws("|", col("n_nationkey"), col("n_name")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() === 25)
+    val parsed = back.select(split(col("value"), "\\|").getItem(1).as("n_name"))
+    assert(parsed.exceptAll(nation.select("n_name")).isEmpty)
+  }
+
+  test("write modes: append doubles, ignore no-ops, overwrite resets") {
+    val dir = java.nio.file.Files.createTempDirectory("modes").toFile.getAbsolutePath
+    nation.write.mode("overwrite").parquet(dir)
+    nation.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 50)
+    nation.write.mode("ignore").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 50)
+    nation.write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 25)
+  }
 }
