@@ -135,3 +135,57 @@ class HgtSpec extends SparkSpec {
 object HgtSpecState {
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
+
+/** CLI facades over the codec/sinks — the reference's console-command
+  * surface (hgtread / hgtget unzip stage / hgtload). */
+class HgtCliSpec extends SparkSpec {
+
+  private def tileBytes: Array[Byte] = {
+    val vals: Array[Short] = Array(10, 20, 30, 40, graft.hgt.HgtCodec.Void, 60, 70, 80, 90)
+    val out = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      out(2 * i) = ((v >> 8) & 0xff).toByte
+      out(2 * i + 1) = (v & 0xff).toByte
+    }
+    out
+  }
+
+  test("hgtread: point read from a tile file, void reported as None") {
+    val dir = java.nio.file.Files.createTempDirectory("cli").toFile
+    val f = new java.io.File(dir, "N47E006.hgt")
+    java.nio.file.Files.write(f.toPath, tileBytes)
+    assert(graft.cli.HgtRead.read(48.0, 6.0, f.getAbsolutePath) === Some(10.toShort))
+    assert(graft.cli.HgtRead.read(47.5, 6.5, f.getAbsolutePath) === None) // void
+  }
+
+  test("hgtget: extracts hgt entries from zips, skips already-present files") {
+    val dir = java.nio.file.Files.createTempDirectory("cliget").toFile
+    val zipPath = new java.io.File(dir, "tiles.zip")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("N47E006.hgt")); zos.write(tileBytes)
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt")); zos.write("x".getBytes)
+    zos.closeEntry(); zos.close()
+    val work = new java.io.File(dir, "work").getAbsolutePath
+    val first = graft.cli.HgtGet.extract(Seq(zipPath.getAbsolutePath), work)
+    assert(first === Seq("N47E006.hgt"))
+    // idempotent second run: skip logic (reference R8)
+    val second = graft.cli.HgtGet.extract(Seq(zipPath.getAbsolutePath), work)
+    assert(second.isEmpty)
+  }
+
+  test("hgtload value mode writes the decoded point table as parquet") {
+    val in = java.nio.file.Files.createTempDirectory("cliload").toFile
+    java.nio.file.Files.write(new java.io.File(in, "N47E006.hgt").toPath, tileBytes)
+    val out = java.nio.file.Files.createTempDirectory("cliout").toFile.getAbsolutePath
+    val n = graft.cli.HgtLoad.loadParquet(spark, in.getAbsolutePath, out)
+    assert(n === 8) // void dropped
+    assert(spark.read.parquet(out).columns.sorted.toSeq === Seq("alt", "lat", "lng"))
+  }
+
+  test("hgtload raster mode emits one INSERT per window with decodable WKB") {
+    val sqls = graft.cli.HgtLoad.rasterSql(tileBytes, 47, 6, sampleEvery = 2, table = "rast")
+    assert(sqls.size === 4) // 3x3 grid, stride 2 → 2x2 windows
+    assert(sqls.forall(_.startsWith("INSERT INTO rast (rast) VALUES ('01")))
+  }
+}
