@@ -67,6 +67,21 @@ object OracleSqlLlm {
         |       count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
 
+    "q_text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+        |           FROM documents WHERE doc_id < 100),
+        |e AS (SELECT doc_id, t, unnest(range(1, len(t)+1, 10)) AS s FROM d)
+        |SELECT doc_id, s AS chunk_start,
+        |       array_to_string(t[s:s+19], ' ') AS chunk,
+        |       len(t[s:s+19]) AS chunk_toks
+        |FROM e ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "q_text_sample" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substring(md5(text),1,4)) AS INTEGER) % 100 < 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, substring(sha256(text),1,16) AS fp_sha,
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -121,6 +121,31 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 
+  /** Document chunking: overlapping 20-token windows every 10 tokens —
+    * the context-window preprocessing step of a training pipeline.
+    * Row expansion ≈ tokens/stride before the shuffle; only (doc_id,
+    * start, chunk) is carried. */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t), 10)")).as("s"))
+      .select(col("doc_id"), col("s").as("chunk_start"),
+        expr("array_join(slice(t, s, 20), ' ')").as("chunk"),
+        expr("size(slice(t, s, 20))").as("chunk_toks"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+
+  /** Deterministic hash-based sampling (~10%): reproducible, engine-
+    * neutral, and cluster-stable — the sampling a 100 TB pipeline can
+    * actually re-run (rand()-based sampling is none of those). */
+  def qTextSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(expr("cast(conv(substring(md5(text),1,4),16,10) as int) % 100 < 10"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+
   /** Content fingerprinting: md5, sha-256 prefix, and an order-
     * sensitive polynomial rolling hash over tokens (mod 2^31−1) whose
     * per-token value is derived from md5 so both engines agree. */
