@@ -91,6 +91,7 @@ object SparkEntry {
     "q_text_langid"        -> TextOps.qTextLangid _,
     "q_text_fingerprint"   -> TextOps.qTextFingerprint _,
     "q_text_chunk"         -> TextOps.qTextChunk _,
+    "q_text_bigrams"       -> TextOps.qTextBigrams _,
     "q_text_sample"        -> TextOps.qTextSample _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,

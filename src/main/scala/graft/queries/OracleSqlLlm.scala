@@ -67,6 +67,16 @@ object OracleSqlLlm {
         |       count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
 
+    "q_text_bigrams" ->
+      """WITH bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2 FROM (
+        |    SELECT t, unnest(range(1, len(t))) AS i
+        |    FROM (SELECT string_split(text,' ') AS t FROM documents) d) x),
+        |counts AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2),
+        |marg AS (SELECT w1, count(*) AS n_w1 FROM bi GROUP BY w1)
+        |SELECT counts.w1, w2, n, n_w1 FROM counts JOIN marg USING(w1)
+        |ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin,
+
     "q_text_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS t
         |           FROM documents WHERE doc_id < 100),

@@ -121,6 +121,23 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 
+  /** Token-bigram statistics — n-gram LM preparation: corpus-wide
+    * bigram counts with the left-token marginal (counts only; the
+    * conditional probability is a client-side division, kept out of
+    * the declared result to avoid rounding-boundary classes §2.2-2). */
+  def qTextBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val bi = docs(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val marg = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    counts.join(marg, "w1")
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   /** Document chunking: overlapping 20-token windows every 10 tokens —
     * the context-window preprocessing step of a training pipeline.
     * Row expansion ≈ tokens/stride before the shuffle; only (doc_id,
