@@ -35,11 +35,15 @@ object TextOps {
     * on the ROUNDED score so cross-engine ordering is stable. */
   def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val toks = d.select(col("lang"), col("doc_id"),
-      explode(split(col("text"), " ")).as("word"))
-    val tf = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfw = toks.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // explode ONCE into a per-(doc, word) base aggregate; both tf and
+    // df derive from it — at corpus scale the token stream is the
+    // dominant volume and must not be materialized twice.
+    val base = d.select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val tf = base.groupBy(col("lang"), col("word")).agg(sum(col("c")).as("tf"))
+    val dfw = base.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nd = d.agg(count(lit(1)).as("nd"))
     val scored = tf.join(dfw, "word")
       .crossJoin(broadcast(nd))
