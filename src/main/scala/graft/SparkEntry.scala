@@ -55,6 +55,7 @@ object SparkEntry {
     "q_set_except_all"    -> SetOps.qSetExceptAll _,
     "q_set_intersect_all" -> SetOps.qSetIntersectAll _,
     "q_dedup_exact"       -> SetOps.qDedupExact _,
+    "q_merge_upsert"      -> SetOps.qMergeUpsert _,
     // §2.4-E window functions
     "q_window_rank_family" -> Windows.qWindowRankFamily _,
     "q_window_running"     -> Windows.qWindowRunning _,

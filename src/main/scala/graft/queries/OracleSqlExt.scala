@@ -119,6 +119,20 @@ object OracleSqlExt {
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |SELECT o_custkey, count(*) AS n FROM d GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS b_key, o_custkey AS b_cust,
+        |                     o_totalprice AS b_price
+        |              FROM orders WHERE o_orderstatus <> 'P'),
+        |     upd  AS (SELECT o_orderkey AS u_key, o_custkey AS u_cust,
+        |                     round(o_totalprice * 1.1, 3) AS u_price
+        |              FROM orders WHERE o_orderstatus = 'P')
+        |SELECT coalesce(u_key, b_key) AS o_orderkey,
+        |       coalesce(u_cust, b_cust) AS o_custkey,
+        |       coalesce(u_price, b_price) AS price,
+        |       u_key IS NOT NULL AS updated
+        |FROM base FULL OUTER JOIN upd ON b_key = u_key
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM (
         |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,

@@ -83,6 +83,30 @@ object SetOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** CDC-style upsert (MERGE): apply an updates relation onto a base
+    * by key — updated rows replace, new rows insert, untouched rows
+    * carry through. Parquet has no MERGE INTO; the engine expresses it
+    * as a full outer join + coalesce, which is exactly the shuffle
+    * MERGE plans to. Here: 'P'-status orders act as the update feed
+    * (10% price bump) against the non-P base. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey").as("b_key"), col("o_custkey").as("b_cust"),
+        col("o_totalprice").as("b_price"))
+    val updates = o.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey").as("u_key"), col("o_custkey").as("u_cust"),
+        round(col("o_totalprice") * 1.1, 3).as("u_price"))
+    base.join(updates, col("b_key") === col("u_key"), "full")
+      .select(
+        coalesce(col("u_key"), col("b_key")).as("o_orderkey"),
+        coalesce(col("u_cust"), col("b_cust")).as("o_custkey"),
+        coalesce(col("u_price"), col("b_price")).as("price"),
+        col("u_key").isNotNull.as("updated"))
+      .orderBy(col("o_orderkey"))
+      .limit(500)
+  }
+
   /** Deterministic exact dedup: keep exactly one row per key with a
     * pinned tiebreak (row_number = 1), the reproducible formulation of
     * dropDuplicates (whose tie choice is plan-dependent). */

@@ -1,0 +1,58 @@
+package graft
+
+import graft.api.GraftOps
+import org.apache.spark.sql.functions._
+
+/** The reusable library surface: each GraftOps function must agree
+  * with the corresponding declared (oracle-verified) query shape when
+  * bound to the same fixtures. */
+class GraftOpsSpec extends SparkSpec {
+
+  test("minhashSignatures + lshCandidates reproduce the declared minhash key's pairs") {
+    val docs = Tables.documents(spark, sf)
+    val sigs = GraftOps.minhashSignatures(docs, "doc_id", "text")
+    val cand = GraftOps.lshCandidates(sigs, "doc_id")
+      .filter(col("jacc_est") >= 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_est"))
+      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+    val declared = queries.DedupOps.qDedupMinhash(spark, sf)
+    assert(cand.exceptAll(declared).isEmpty && declared.exceptAll(cand).isEmpty)
+  }
+
+  test("cosineTopK reproduces the declared cosine key's neighbours") {
+    val e = Tables.embeddings(spark, sf)
+    val api = GraftOps.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("probe_id").as("vec_id"), col("neighbor"), round(col("cos"), 4).as("cos"))
+    val declared = queries.LlmOps.qCosineTopk(spark, sf)
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("dedupExact keeps exactly the min-tiebreak row per key") {
+    val l = Tables.lineitem(spark, sf)
+    val api = GraftOps.dedupExact(l,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_orderkey", "l_linenumber"))
+    val declared = queries.SetOps.qDedupExact(spark, sf)
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("chunk and sampleByHash produce the declared shapes") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = GraftOps.chunk(docs.filter(col("doc_id") < 100), "text", 20, 10)
+    assert(chunks.count() ===
+      queries.TextOps.qTextChunk(spark, sf).count())
+    val sampled = GraftOps.sampleByHash(docs, "text", 10)
+    val total = docs.count().toDouble
+    assert(sampled.count() > 0 && sampled.count() < total * 0.35)
+    // reproducible: same selection every run
+    assert(sampled.agg(sum("doc_id")).head().getLong(0) ===
+      GraftOps.sampleByHash(docs, "text", 10).agg(sum("doc_id")).head().getLong(0))
+  }
+
+  test("topKPerGroup API bounds rows per group") {
+    val o = Tables.orders(spark, sf)
+    val top = GraftOps.topKPerGroup(o, Seq("o_custkey"), "o_totalprice", desc = true, 2)
+    val maxPer = top.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 2)
+  }
+}
