@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +57,9 @@ object SparkEntry {
     "q_set_intersect_all" -> SetOps.qSetIntersectAll _,
     "q_dedup_exact"       -> SetOps.qDedupExact _,
     "q_merge_upsert"      -> SetOps.qMergeUpsert _,
+    // true Structured Streaming execution, oracle-verified (bounded
+    // replay, complete mode ⇒ deterministic final table)
+    "q_stream_tumbling"   -> StreamOps.qStreamTumbling _,
     // §2.4-E window functions
     "q_window_rank_family" -> Windows.qWindowRankFamily _,
     "q_window_running"     -> Windows.qWindowRunning _,

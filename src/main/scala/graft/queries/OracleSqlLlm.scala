@@ -182,6 +182,10 @@ object OracleSqlLlm {
   )
 
   val analytics: Map[String, String] = Map(
+    // the streaming execution of the tumbling aggregate must equal the
+    // batch oracle — same SQL as q_events_tumbling
+    "q_stream_tumbling" -> OracleSql.seed("q_events_tumbling"),
+
     "q_events_session_ids" ->
       """WITH g AS (
         |  SELECT event_id, user_id, ts,

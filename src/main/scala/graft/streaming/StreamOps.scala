@@ -114,4 +114,44 @@ object StreamOps {
     * specs; not a declared t2 key. */
   def replayBatch(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.events(spark, sfDir)
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** DECLARED streaming key (t2-verified): the tumbling aggregation
+    * executed as a real Structured Streaming query — file source over
+    * the events parquet, Trigger.AvailableNow, COMPLETE-mode memory
+    * sink (complete mode emits every window each trigger, so the final
+    * table equals the batch aggregate regardless of how the source
+    * splits batches — no watermark/sentinel dance needed for a bounded
+    * replay). Returns the sink table ordered like the batch twin; the
+    * oracle is the same SQL as q_events_tumbling. */
+  def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.Tables.configure(spark)
+    val sinkName = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
+    // streaming file source needs an explicit schema; under
+    // nanosAsLong the ts column arrives as raw nanos (long)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source wants a directory; select just the
+    // events file out of the fixture dir by name
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+      .orderBy(col("h"), col("event_type"))
+      .limit(200)
+  }
 }
