@@ -2,13 +2,22 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — times every declared query on SPARK_GRAFT_SF_DIR
-  * and prints one JSON line for the driver.
+/** Benchmark main — times every declared query on SPARK_GRAFT_SF_DIR.
+  *
+  * Output protocol (driver-parseable): the FIRST stdout line is a short
+  * (<200 char) JSON object `{"metric":"total","value":N,"unit":"sec",...}`.
+  * Round 1 buried the total in a single ~3 KB line with the 84-key map
+  * embedded and the driver truncated it (`parsed: null`), so per-key
+  * timings now go on a SEPARATE second line plus a file
+  * (bench_detail.json) that cannot be truncated by a pipe buffer.
   *
   * Methodology matches BASELINE.md: each query runs once untimed
   * (warmup: parquet footer reads, plan compile, whole-stage codegen)
   * and the SECOND run is timed — the baseline's 8.07 s total is a
-  * warm number measured the same way (run once cold, time 2nd run).
+  * warm number measured the same way.
+  *
+  * A key whose execution throws is recorded in `errors` and excluded
+  * from the total rather than silently contributing a near-zero time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,16 +30,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count() // warmup
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(120)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timings.values.sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs   = timings.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${jstr(sfDir)},"keys":${timings.size},"failed":${errors.size}}"""
+    val detail = s"""{"metric":"per_query","queries":$qs,"errors":$errs}"""
+    println(summary)
+    println(detail)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        (summary + "\n" + detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

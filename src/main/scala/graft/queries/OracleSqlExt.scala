@@ -224,7 +224,7 @@ object OracleSqlExt {
 
     "q_agg_cond_bool" ->
       """SELECT o_orderpriority,
-        |       count_if(o_totalprice > 200000) AS n_big,
+        |       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
         |       bool_or(o_orderstatus = 'P') AS any_p,
         |       bool_and(o_totalprice > 0) AS all_pos,
         |       bit_and(o_orderkey % 256) AS band,

@@ -19,6 +19,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the STRICT pre-normalization check.
+
+    The driver hashes raw values (int 1822 vs float 1822.0 differ), so
+    the local harness must reject int-vs-float column mismatches BEFORE
+    normalize() coerces them away — that masking is exactly how
+    q_agg_cond_bool shipped red in round 1.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    if s.dtype == object:
+        for v in s:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            import decimal
+            if isinstance(v, decimal.Decimal):
+                return "int" if v == v.to_integral_value() else "float"
+            if isinstance(v, float):
+                return "float"
+            return "str"
+        return "str"
+    return str(s.dtype)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -69,6 +103,14 @@ def main():
             continue
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             fails.append((name, f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))
+            continue
+        # Strict dtype-class check BEFORE normalization (driver hash semantics).
+        dt_bad = [(c, dtype_class(spark_df[c]), dtype_class(duck_df[c]))
+                  for c in sorted(spark_df.columns)
+                  if dtype_class(spark_df[c]) != dtype_class(duck_df[c])]
+        if dt_bad:
+            fails.append((name, "dtype mismatch (driver hash would differ): " +
+                          ", ".join(f"{c}: spark={a} duck={b}" for c, a, b in dt_bad)))
             continue
         a, b = normalize(spark_df), normalize(duck_df)
         if len(a) != len(b):
