@@ -226,11 +226,27 @@ object OracleSqlLlm {
     "q_cosine_udf"  -> OracleSql.seed("q_cosine_topk"),
 
     "q_dedup_embedding" ->
-      """SELECT vec_a, vec_b, cos FROM (
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN (CAST(list_sum(CAST(embedding[1:32] AS DOUBLE[])) AS DOUBLE)
+        |              - CAST(list_sum(CAST(embedding[33:64] AS DOUBLE[])) AS DOUBLE)) > 0
+        |          THEN 1 ELSE 0 END) AS b1,
+        |    (CASE WHEN (CAST(list_sum(CAST(embedding[17:48] AS DOUBLE[])) AS DOUBLE)
+        |              - (CAST(list_sum(CAST(embedding[1:16] AS DOUBLE[])) AS DOUBLE)
+        |               + CAST(list_sum(CAST(embedding[49:64] AS DOUBLE[])) AS DOUBLE))) > 0
+        |          THEN 1 ELSE 0 END) AS b2
+        |  FROM embeddings),
+        |pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    round(CAST(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |          CAST(b.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |  FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+        |  UNION
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(CAST(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
+        |  FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM pairs
         |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
 
     "q_knn_bucketed" ->

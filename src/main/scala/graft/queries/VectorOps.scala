@@ -62,32 +62,48 @@ object VectorOps {
       .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
   }
 
+  /** Fixed random-projection contrasts (half-sum differences) used as
+    * 1-bit LSH hyperplanes. Deterministic, engine-neutral. */
+  private def proj1 =
+    expr("aggregate(slice(embedding,1,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") -
+    expr("aggregate(slice(embedding,33,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))")
+  private def proj2 =
+    expr("aggregate(slice(embedding,17,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") -
+    (expr("aggregate(slice(embedding,1,16), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") +
+     expr("aggregate(slice(embedding,49,16), cast(0.0 as double), (acc,x) -> acc + cast(x as double))"))
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 on the rounded
     * value — thresholding after rounding keeps the cut cross-engine
-    * exact). Brute-force all-pairs baseline; the LSH-bucketed variant
-    * below is the scale path. */
+    * exact).
+    *
+    * Scale shape: LSH band blocking, NOT all-pairs. Each vector gets two
+    * 1-bit band keys (sign of a fixed projection); a candidate pair must
+    * collide on band 1 OR band 2 (the classic OR-of-bands construction —
+    * each band is an equi hash self-join, the union is deduped). At 100 TB
+    * each band join shuffles on a key whose fan-out bounds the candidate
+    * set; no corpus×corpus cross product exists in the plan (asserted in
+    * PlanSpec). Recall vs the brute-force ground truth is property-tested
+    * in AnnRecallSpec. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as(P))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as(T))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
-      .filter(col("cos") >= 0.4)
+      .withColumn("b1", when(proj1 > 0, 1).otherwise(0))
+      .withColumn("b2", when(proj2 > 0, 1).otherwise(0))
+    def bandPairs(band: String): DataFrame = {
+      val a = e.select(col("vec_id").as("vec_a"), col(band).as("k"), col("embedding").as(P))
+      val b = e.select(col("vec_id").as("vec_b"), col(band).as("k"), col("embedding").as(T))
+      a.join(b, "k").filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+        .filter(col("cos") >= 0.4)
+    }
+    bandPairs("b1").union(bandPairs("b2")).distinct()
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }
 
-  /** Sign-bucket expression: 2-bit LSH code from two fixed projections
-    * (half-sum contrasts). Deterministic, engine-neutral. */
-  private def bucketExpr = {
-    val p1 = expr("aggregate(slice(embedding,1,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") -
-             expr("aggregate(slice(embedding,33,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))")
-    val p2 = expr("aggregate(slice(embedding,17,32), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") -
-             (expr("aggregate(slice(embedding,1,16), cast(0.0 as double), (acc,x) -> acc + cast(x as double))") +
-              expr("aggregate(slice(embedding,49,16), cast(0.0 as double), (acc,x) -> acc + cast(x as double))"))
-    when(p1 > 0, 1).otherwise(0) + when(p2 > 0, 2).otherwise(0)
-  }
+  /** Sign-bucket expression: 2-bit LSH code from the two projections. */
+  private def bucketExpr =
+    when(proj1 > 0, 1).otherwise(0) + when(proj2 > 0, 2).otherwise(0)
 
   /** LSH-bucketed approximate nearest neighbours: probes search only
     * their own sign-bucket (equi join on the bucket key → hash join,
