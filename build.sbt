@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench protocol: the JSON summary printed by graft.Bench must be
+// the literal last stdout line. StdoutOutput makes the forked run's output
+// bypass sbt's logger (no `[info] ` prefix); showSuccess := false drops the
+// trailing `[success] Total time: …` line. Verified:
+// `sbt "runMain graft.Bench" | tail -1` is bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

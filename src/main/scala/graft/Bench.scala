@@ -85,8 +85,12 @@ object Bench {
     // "sf0.1" → 0.1; unknown layouts fall back to the raw dir string
     val sfJson = """sf(\d+(?:\.\d+)?)""".r.findFirstMatchIn(
       new java.io.File(sfDir).getName).map(_.group(1)).getOrElse(jstr(sfDir))
+    // metric is named for what `value` holds — the 14-seed subtotal
+    // (BASELINE.md comparison set). r1–r3 called this "total" while the
+    // all-keys total lived in all_keys_sec; the rename (ADVICE r3) stops
+    // cross-round consumers reading a metric redefinition as a speedup.
     val summary =
-      s"""{"metric":"total","value":${num(seedTotal)},"unit":"sec","queries":${jmap(seedTimings)},"sf":$sfJson,"sf_dir":${jstr(sfDir)},"seed_keys":${seedTimings.size},"all_keys":${timings.size},"all_keys_sec":${num(allTotal)},"failed":${errors.size}}"""
+      s"""{"metric":"seed_total","value":${num(seedTotal)},"unit":"sec","queries":${jmap(seedTimings)},"sf":$sfJson,"sf_dir":${jstr(sfDir)},"seed_keys":${seedTimings.size},"all_keys":${timings.size},"all_keys_sec":${num(allTotal)},"failed":${errors.size}}"""
 
     try {
       java.nio.file.Files.write(
@@ -97,7 +101,10 @@ object Bench {
         System.err.println(s"bench_detail.json write failed: ${t.getMessage}")
     }
     println(detail)
-    spark.stop() // stop BEFORE the summary so no late Spark log line can follow it
+    // stop BEFORE the summary so no late Spark log line can follow it;
+    // a shutdown-race exception must not swallow the summary (ADVICE r3)
+    try spark.stop()
+    catch { case t: Throwable => System.err.println(s"spark.stop failed: ${t.getMessage}") }
     println(summary)
   }
 }
