@@ -225,39 +225,32 @@ object OracleSqlLlm {
     "q_cosine_expr" -> OracleSql.seed("q_cosine_topk"),
     "q_cosine_udf"  -> OracleSql.seed("q_cosine_topk"),
 
+    // band keys generated from the SAME ±1 hyperplane source as the
+    // Spark side (EmbLsh) — identical arithmetic, identical rounding
     "q_dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    (CASE WHEN (CAST(list_sum(CAST(embedding[1:32] AS DOUBLE[])) AS DOUBLE)
-        |              - CAST(list_sum(CAST(embedding[33:64] AS DOUBLE[])) AS DOUBLE)) > 0
-        |          THEN 1 ELSE 0 END) AS b1,
-        |    (CASE WHEN (CAST(list_sum(CAST(embedding[17:48] AS DOUBLE[])) AS DOUBLE)
-        |              - (CAST(list_sum(CAST(embedding[1:16] AS DOUBLE[])) AS DOUBLE)
-        |               + CAST(list_sum(CAST(embedding[49:64] AS DOUBLE[])) AS DOUBLE))) > 0
-        |          THEN 1 ELSE 0 END) AS b2
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(CAST(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |          CAST(b.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
-        |  FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
-        |  UNION
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(CAST(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |          CAST(b.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
-        |  FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos FROM pairs
+      s"""WITH keyed AS (
+        |  SELECT vec_id, unnest(${EmbLsh.duckKeysSql}) AS k FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    round(CAST(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+        |          CAST(eb.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        |            JOIN embeddings eb ON eb.vec_id = cand.vec_b)
+        |SELECT vec_a, vec_b, cos FROM scored
         |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
 
     "q_knn_bucketed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
-        |    (CASE WHEN (CAST(list_sum(CAST(embedding[1:32] AS DOUBLE[])) AS DOUBLE)
-        |              - CAST(list_sum(CAST(embedding[33:64] AS DOUBLE[])) AS DOUBLE)) > 0
+        |    (CASE WHEN round(CAST(list_sum(CAST(embedding[1:32] AS DOUBLE[])) AS DOUBLE)
+        |              - CAST(list_sum(CAST(embedding[33:64] AS DOUBLE[])) AS DOUBLE), 6) > 0
         |          THEN 1 ELSE 0 END)
-        |   +(CASE WHEN (CAST(list_sum(CAST(embedding[17:48] AS DOUBLE[])) AS DOUBLE)
+        |   +(CASE WHEN round(CAST(list_sum(CAST(embedding[17:48] AS DOUBLE[])) AS DOUBLE)
         |              - (CAST(list_sum(CAST(embedding[1:16] AS DOUBLE[])) AS DOUBLE)
-        |               + CAST(list_sum(CAST(embedding[49:64] AS DOUBLE[])) AS DOUBLE))) > 0
+        |               + CAST(list_sum(CAST(embedding[49:64] AS DOUBLE[])) AS DOUBLE)), 6) > 0
         |          THEN 2 ELSE 0 END) AS bucket
         |  FROM embeddings),
         |pairs AS (
@@ -293,7 +286,7 @@ object OracleSqlLlm {
         |  SELECT vec_id, embedding, c_label AS cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |                                 ORDER BY cos_c DESC, c_label) AS rk FROM assigned) y
-        |  WHERE rk = 1),
+        |  WHERE rk <= 2),
         |pairs AS (
         |  SELECT p.vec_id, t.vec_id AS neighbor,
         |         round(CAST(list_dot_product(CAST(p.embedding AS DOUBLE[]),

@@ -76,38 +76,49 @@ object VectorOps {
     * value — thresholding after rounding keeps the cut cross-engine
     * exact).
     *
-    * Scale shape: LSH band blocking, NOT all-pairs. Each vector gets two
-    * 1-bit band keys (sign of a fixed projection); a candidate pair must
-    * collide on band 1 OR band 2 (the classic OR-of-bands construction —
-    * each band is an equi hash self-join, the union is deduped). At 100 TB
-    * each band join shuffles on a key whose fan-out bounds the candidate
-    * set; no corpus×corpus cross product exists in the plan (asserted in
-    * PlanSpec). Recall vs the brute-force ground truth is property-tested
-    * in AnnRecallSpec. */
+    * Scale shape: multi-band sign-LSH blocking (EmbLsh: 21 bands × 6
+    * sign bits, 64 buckets/band, deterministic ±1 hyperplanes shared
+    * with the DuckDB oracle). Each vector explodes into 21 (band,
+    * bucket) keys; ONE equi self-join on the key generates candidates
+    * across all bands, pairs are deduped, and the dot product runs
+    * once per distinct candidate pair. No corpus×corpus cross product
+    * exists in the plan (asserted in PlanSpec) and the observed bucket
+    * fan-out and recall vs brute force (0.74 at the fixture's
+    * adversarial cos≈0.45 geometry — see EmbLsh scaladoc for why
+    * that's near the sign-LSH bound there) are measured in
+    * AnnRecallSpec. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .withColumn("b1", when(proj1 > 0, 1).otherwise(0))
-      .withColumn("b2", when(proj2 > 0, 1).otherwise(0))
-    def bandPairs(band: String): DataFrame = {
-      val a = e.select(col("vec_id").as("vec_a"), col(band).as("k"), col("embedding").as(P))
-      val b = e.select(col("vec_id").as("vec_b"), col(band).as("k"), col("embedding").as(T))
-      a.join(b, "k").filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
-        .filter(col("cos") >= 0.4)
-    }
-    bandPairs("b1").union(bandPairs("b2")).distinct()
+    val keyed = e.select(col("vec_id"), explode(expr(EmbLsh.sparkKeysExpr)).as("k"))
+    val cand = keyed.select(col("vec_id").as("vec_a"), col("k"))
+      .join(keyed.select(col("vec_id").as("vec_b"), col("k")), "k")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as(P))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as(T))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }
 
-  /** Sign-bucket expression: 2-bit LSH code from the two projections. */
+  /** Sign-bucket expression: 2-bit LSH code from the two projections.
+    * Projections are rounded to 6 decimals before the sign test so a
+    * value near 0 cannot round to opposite signs across engines
+    * (mirrored in the DuckDB oracle). */
   private def bucketExpr =
-    when(proj1 > 0, 1).otherwise(0) + when(proj2 > 0, 2).otherwise(0)
+    when(round(proj1, 6) > 0, 1).otherwise(0) +
+    when(round(proj2, 6) > 0, 2).otherwise(0)
 
   /** LSH-bucketed approximate nearest neighbours: probes search only
     * their own sign-bucket (equi join on the bucket key → hash join,
-    * no cross product), top-3 per probe. */
+    * no cross product), top-3 per probe. Deliberately the minimal
+    * 2-bit/4-bucket variant — measured top-3 recall 0.43 at 1/4 scan
+    * on the isotropic fixture (AnnRecallSpec); the production-shaped
+    * variants are qKnnIvf (learned cells + multi-probe) and the
+    * multi-band EmbLsh construction behind qDedupEmbedding. */
   def qKnnBucketed(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir).withColumn("bucket", bucketExpr)
@@ -136,11 +147,17 @@ object VectorOps {
       .orderBy(col("label"), col("pos"))
   }
 
-  /** IVF-style two-stage ANN: assign each probe to its nearest
-    * label-centroid (10 cells, broadcast), then search only that
-    * cell's vectors — the learned-quantizer counterpart of the
-    * sign-bucket key. Centroids are the ROUNDED per-dim means, so both
-    * engines compute dot products from bit-identical inputs. */
+  /** IVF-style two-stage ANN with multi-probe: assign each probe to
+    * its nprobe=2 nearest label-centroids (10 cells, broadcast), then
+    * search only those cells' vectors — the learned-quantizer
+    * counterpart of the sign-bucket key. nprobe is THE recall/cost
+    * knob of IVF: on this isotropic random fixture nprobe 1→2 doubles
+    * measured top-3 recall (0.13→0.30, AnnRecallSpec) at 2/10 of the
+    * corpus scanned; clustered real embeddings concentrate neighbors
+    * in the top cell and need fewer probes for the same recall.
+    * Centroids are the ROUNDED per-dim means, so both engines compute
+    * dot products from bit-identical inputs. Each target lives in
+    * exactly one cell, so multi-probe joins stay duplicate-free. */
   def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
@@ -155,7 +172,7 @@ object VectorOps {
         col("c_label"))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_label"))
     val probeCell = assigned.withColumn("rk", row_number().over(wA))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= 2)
       .select(col("vec_id"), col(P), col("c_label").as("cell"))
     val targets = e.select(col("vec_id").as("neighbor"), col("label").as("cell"), col("embedding").as(T))
     val pairs = probeCell.join(targets, "cell")

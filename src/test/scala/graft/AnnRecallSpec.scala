@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalyst.GraftFunctions
+import graft.queries.{EmbLsh, VectorOps}
+
+/** Measured recall of every approximate vector operator against the
+  * brute-force ground truth, on the sf0.001 fixture (SURVEY.md §4 /
+  * round-3 verdict item 3). These are the numbers the oracle CANNOT
+  * check — each approximate key's DuckDB oracle reproduces the same
+  * blocking, so a recall collapse would stay oracle-green; this spec
+  * is the guard.
+  *
+  * All inputs are deterministic (fixed hyperplanes, fixed fixture), so
+  * the measured recalls are exact reproducible values; the asserted
+  * floors sit just below them and exist to catch structural
+  * regressions, not noise. Context for the absolute numbers: the
+  * fixture is isotropic random data — near-dup pairs at cos ∈
+  * [0.4,0.5] and true top-3 neighbours at cos ∈ [0.29,0.39], the
+  * regime where the LSH exponent ρ = ln p₁/ln p₂ ≈ 0.6 makes high
+  * recall and strong pruning mutually exclusive (see EmbLsh scaladoc
+  * and SCALE.md §ANN). Clustered real embeddings do strictly better.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val emb = {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.embeddings(spark, sf)
+  }
+
+  /** Brute-force near-dup ground truth: all pairs with rounded cos ≥ 0.4. */
+  private lazy val gtNearDup: Set[(Long, Long)] = {
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("e_b"))
+    pairsOf(
+      a.crossJoin(b).filter(col("va") < col("vb"))
+        .filter(round(expr("graft_dot_product(e_a, e_b)"), 4) >= 0.4), "va", "vb")
+  }
+
+  /** Brute-force top-3 neighbours of the 10 probe vectors. */
+  private lazy val gtTop3: Set[(Long, Long)] = {
+    val p = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as("e_p"))
+    val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as("e_t"))
+    val scored = p.crossJoin(t).filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(expr("graft_dot_product(e_p, e_t)"), 4).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    pairsOf(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3),
+      "vec_id", "neighbor")
+  }
+
+  test("q_dedup_embedding: sound (no false positives) and recall ≥ 0.70 vs brute force") {
+    val found = pairsOf(VectorOps.qDedupEmbedding(spark, sf), "vec_a", "vec_b")
+    assert(found.subsetOf(gtNearDup),
+      s"reported pairs must all be true near-dups; extras: ${found -- gtNearDup}")
+    val recall = found.size.toDouble / gtNearDup.size
+    info(f"dedup_embedding recall = ${found.size}/${gtNearDup.size} = $recall%.3f")
+    assert(recall >= 0.70, f"recall $recall%.3f below 0.70 floor (measured 0.742)")
+  }
+
+  test("EmbLsh band keys have real fan-out — hundreds of buckets, bounded skew") {
+    val keyed = emb.select(explode(expr(EmbLsh.sparkKeysExpr)).as("k"))
+    val sizes = keyed.groupBy("k").count()
+    val (buckets, maxBucket) = {
+      val r = sizes.agg(count(lit(1)).as("b"), max("count").as("m")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    info(s"distinct band-bucket keys = $buckets, max bucket = $maxBucket of 500")
+    assert(buckets > 1000, s"fan-out collapsed: only $buckets buckets")
+    assert(maxBucket <= 40, s"skewed bucket of $maxBucket vectors (measured max 27)")
+  }
+
+  test("q_knn_bucketed: measured top-3 recall ≥ 0.40 at 1/4 corpus scanned") {
+    val found = pairsOf(VectorOps.qKnnBucketed(spark, sf), "vec_id", "neighbor")
+    val recall = (found & gtTop3).size.toDouble / gtTop3.size
+    info(f"knn_bucketed recall = ${(found & gtTop3).size}/${gtTop3.size} = $recall%.3f")
+    assert(recall >= 0.40, f"recall $recall%.3f below 0.40 floor (measured 0.433)")
+  }
+
+  test("q_knn_ivf (nprobe=2): measured top-3 recall ≥ 0.25 at 2/10 corpus scanned") {
+    val found = pairsOf(VectorOps.qKnnIvf(spark, sf), "vec_id", "neighbor")
+    val recall = (found & gtTop3).size.toDouble / gtTop3.size
+    info(f"knn_ivf recall = ${(found & gtTop3).size}/${gtTop3.size} = $recall%.3f")
+    assert(recall >= 0.25, f"recall $recall%.3f below 0.25 floor (measured 0.30)")
+  }
+}

@@ -40,6 +40,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("embedding dedup LSH candidates come from an equi join on the band key — no cartesian/BNLJ") {
+    val p = planOf(queries.VectorOps.qDedupEmbedding(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("filter + projection reach the scan for events (ns-timestamp path)") {
     val df = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
