@@ -57,9 +57,11 @@ object SparkEntry {
     "q_set_intersect_all" -> SetOps.qSetIntersectAll _,
     "q_dedup_exact"       -> SetOps.qDedupExact _,
     "q_merge_upsert"      -> SetOps.qMergeUpsert _,
-    // true Structured Streaming execution, oracle-verified (bounded
-    // replay, complete mode ⇒ deterministic final table)
+    // true Structured Streaming executions, oracle-verified (bounded
+    // replay; complete-mode agg / update-mode stateful snapshots ⇒
+    // deterministic final table)
     "q_stream_tumbling"   -> StreamOps.qStreamTumbling _,
+    "q_stream_sessionize" -> StreamOps.qStreamSessionize _,
     // §2.4-E window functions
     "q_window_rank_family" -> Windows.qWindowRankFamily _,
     "q_window_running"     -> Windows.qWindowRunning _,

@@ -99,6 +99,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
       "scala_udf")
 
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_emb_lsh_keys",
+      (exprs: Seq[Expression]) => EmbLshKeys(exprs.head),
+      "scala_udf")
+
     val udf = org.apache.spark.sql.functions.udf(
       (a: Seq[Float], b: Seq[Float]) => {
         val n = math.min(a.length, b.length)

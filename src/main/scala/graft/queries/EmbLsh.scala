@@ -47,16 +47,11 @@ object EmbLsh {
   /** Spark SQL expression: array of the `Bands` band keys for column
     * `embedding`. Key i lives in [i·2^B, (i+1)·2^B) so one int column
     * carries (band, bucket) and a single equi join covers all bands.
-    * Uses the codegen'd graft_dot_product for the projections. */
-  def sparkKeysExpr: String = {
-    val keys = (0 until Bands).map { band =>
-      val bits = (0 until Bits).map { j =>
-        s"(case when round(graft_dot_product(embedding, cast(array(${lits(band * Bits + j)}) as array<float>)), 6) > 0 then ${1 << j} else 0 end)"
-      }
-      s"(${band * (1 << Bits)} + ${bits.mkString(" + ")})"
-    }
-    s"array(${keys.mkString(",")})"
-  }
+    * Delegates to the codegen'd catalyst.EmbLshKeys expression
+    * (requires GraftFunctions.ensureRegistered) — the unrolled-SQL
+    * spelling of the same arithmetic builds a ~20k-node tree that
+    * falls out of codegen and costs ~10 µs/projection interpreted. */
+  def sparkKeysExpr: String = "graft_emb_lsh_keys(embedding)"
 
   /** DuckDB list literal mirroring [[sparkKeysExpr]] exactly (same
     * weights, same rounding, same band offsets). */

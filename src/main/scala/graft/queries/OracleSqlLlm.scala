@@ -186,6 +186,10 @@ object OracleSqlLlm {
     // batch oracle — same SQL as q_events_tumbling
     "q_stream_tumbling" -> OracleSql.seed("q_events_tumbling"),
 
+    // flatMapGroupsWithState sessionize replayed as a stream must equal
+    // the batch lag+cumsum sessionize — same SQL as q_events_sessionize
+    "q_stream_sessionize" -> OracleSql.seed("q_events_sessionize"),
+
     "q_events_session_ids" ->
       """WITH g AS (
         |  SELECT event_id, user_id, ts,

@@ -154,4 +154,42 @@ object StreamOps {
       .orderBy(col("h"), col("event_type"))
       .limit(200)
   }
+
+  /** DECLARED streaming key (t2-verified): per-user session counts via
+    * [[sessionizeStateful]] (flatMapGroupsWithState) executed as a real
+    * Structured Streaming query — file source over the events parquet,
+    * Trigger.AvailableNow, UPDATE-mode memory sink. The sink holds one
+    * running snapshot per user per trigger; the session count is
+    * nondecreasing, so max(sessions) per user is the final state and
+    * the result equals the batch lag+cumsum sessionize — the oracle is
+    * the same SQL as q_events_sessionize. The single-file source makes
+    * the bounded replay one micro-batch, so the in-batch sort inside
+    * the state function sees each user's full history in order. */
+  def qStreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    graft.Tables.configure(spark)
+    val sinkName = s"graft_stream_sessionize_${runSeq.incrementAndGet()}"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    val q = sessionizeStateful(src)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+      .groupBy(col("user_id"))
+      .agg(max(col("sessions")).as("sessions"))
+      .orderBy(col("sessions").desc, col("user_id"))
+      .limit(50)
+  }
 }
