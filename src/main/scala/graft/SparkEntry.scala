@@ -57,6 +57,8 @@ object SparkEntry {
     "q_set_intersect_all" -> SetOps.qSetIntersectAll _,
     "q_dedup_exact"       -> SetOps.qDedupExact _,
     "q_merge_upsert"      -> SetOps.qMergeUpsert _,
+    // physical layout: partitionBy write → partition-pruned read
+    "q_part_pruned"       -> Layout.qPartPruned _,
     // true Structured Streaming executions, oracle-verified (bounded
     // replay; complete-mode agg / update-mode stateful snapshots ⇒
     // deterministic final table)

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * band join is an equi shuffle join on the band key, and candidate
   * verification touches only colliding pairs. The O(n²) work the naive
   * approach needs never materializes. Skewed bands (e.g. boilerplate
-  * docs sharing a signature) are the hazard: cap band bucket size or
-  * salt the band key before the join.
+  * docs sharing a signature) are the hazard: each band join caps its
+  * bucket size ([[MaxBandBucket]]) before candidate generation.
   */
 object DedupOps {
 
@@ -28,11 +28,32 @@ object DedupOps {
   private def hx(colName: String): String =
     s"cast(conv(substring(md5($colName),1,8),16,10) as bigint)"
 
+  /** Default band-bucket cap for [[qDedupMinhash]]: far above any
+    * fixture bucket (max observed 20 of 5 000 docs at sf0.1) but a
+    * hard bound on the join fan-out of a boilerplate mega-cluster at
+    * corpus scale. */
+  val MaxBandBucket = 500
+
   /** MinHash (4 permutations over 3-token shingles) + LSH with two
     * 2-row bands; candidate pairs carry the signature-estimated
     * Jaccard. Bands are equi-join keys — each band join is a plain
-    * hash join, unioned then de-duplicated. */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    * hash join, unioned then de-duplicated.
+    *
+    * Band-skew guard: a bucket of n docs sharing a band signature
+    * yields n²/2 candidate pairs in one partition; boilerplate docs
+    * (identical headers/footers) make n unbounded at corpus scale.
+    * Each band counts its bucket size (window over the band key — the
+    * same partitioning the join shuffles on) and drops buckets over
+    * `maxBandBucket` from CANDIDATE GENERATION: a mega-cluster of
+    * that size is exact-duplicate territory, handled by the hash-agg
+    * q_dedup_exact pass, not pairwise verification. Fixture results
+    * are provably unaffected (MinhashCapSpec: capped ≡ uncapped). */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    qDedupMinhashCapped(spark, dir, MaxBandBucket)
+
+  private[graft] def qDedupMinhashCapped(
+      spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val shingles = d.select(col("doc_id"),
@@ -47,12 +68,18 @@ object DedupOps {
       min((col("h") * 5 + 13) % P).as("mh3"),
       min((col("h") * 7 + 17) % P).as("mh4"))
 
-    val a = mh.select(mh.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = mh.select(mh.columns.map(c => col(c).as(s"b_$c")): _*)
-    val band1 = a.join(b,
+    def capped(k1: String, k2: String) = mh
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col(k1), col(k2))))
+      .filter(col("bsz") <= maxBandBucket).drop("bsz")
+    def renamed(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
+
+    val a1 = renamed(capped("mh1", "mh2"), "a_"); val b1 = renamed(capped("mh1", "mh2"), "b_")
+    val a2 = renamed(capped("mh3", "mh4"), "a_"); val b2 = renamed(capped("mh3", "mh4"), "b_")
+    val band1 = a1.join(b1,
       col("a_mh1") === col("b_mh1") && col("a_mh2") === col("b_mh2") &&
       col("a_doc_id") < col("b_doc_id"))
-    val band2 = a.join(b,
+    val band2 = a2.join(b2,
       col("a_mh3") === col("b_mh3") && col("a_mh4") === col("b_mh4") &&
       col("a_doc_id") < col("b_doc_id"))
     band1.unionAll(band2).distinct()

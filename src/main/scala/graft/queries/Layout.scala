@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators (SURVEY.md §2.4-A write modes / SCALE.md
+  * "Physical layout"): the declared write-partitioned → pruned-read
+  * path. BucketingSpec asserts the same properties at spec level; this
+  * key makes the layout story oracle-verified end to end.
+  */
+object Layout {
+
+  /** Where the partitioned copy lands — inside the repo (the driver
+    * forbids writes elsewhere), keyed by scale factor so sf runs don't
+    * clobber each other. */
+  private def layoutDir(dir: String): String =
+    s"/root/repo/target/graft_layout/${new java.io.File(dir).getName}/orders_by_month"
+
+  /** Write orders `partitionBy` order-month, read back filtered to one
+    * month, aggregate. The scan of the read-back side prunes to 1 of
+    * 12 partition directories (PartitionFilters — asserted on THIS
+    * key's plan in BucketingSpec); the oracle computes the same
+    * aggregate from the unpartitioned table, so the declared result
+    * also proves the partitioned round-trip loses nothing. The write
+    * runs on every invocation — the key deliberately measures the
+    * full layout round-trip, not just the pruned scan. */
+  def qPartPruned(spark: SparkSession, dir: String): DataFrame = {
+    val out = layoutDir(dir)
+    Tables.orders(spark, dir)
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_month").parquet(out)
+    prunedRead(spark, out)
+  }
+
+  /** The read side alone (reused by BucketingSpec's plan assertion). */
+  private[graft] def prunedRead(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+      .filter(col("o_month") === 3)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .orderBy(col("o_orderpriority"))
+}

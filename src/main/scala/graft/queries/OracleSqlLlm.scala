@@ -190,6 +190,13 @@ object OracleSqlLlm {
     // the batch lag+cumsum sessionize — same SQL as q_events_sessionize
     "q_stream_sessionize" -> OracleSql.seed("q_events_sessionize"),
 
+    // the partitioned write→pruned read round-trip must equal the same
+    // aggregate over the unpartitioned table
+    "q_part_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
+        |FROM orders WHERE month(o_orderdate) = 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_events_session_ids" ->
       """WITH g AS (
         |  SELECT event_id, user_id, ts,

@@ -128,7 +128,10 @@ object TextOps {
   /** Token-bigram statistics — n-gram LM preparation: corpus-wide
     * bigram counts with the left-token marginal (counts only; the
     * conditional probability is a client-side division, kept out of
-    * the declared result to avoid rounding-boundary classes §2.2-2). */
+    * the declared result to avoid rounding-boundary classes §2.2-2).
+    * The marginal Σ_w2 n(w1,w2) is a window sum over the bigram
+    * aggregate — one explode and one shuffle total, instead of a
+    * second aggregation over the exploded bigrams plus a join. */
   def qTextBigrams(spark: SparkSession, dir: String): DataFrame = {
     val bi = docs(spark, dir)
       .select(split(col("text"), " ").as("t"))
@@ -136,8 +139,10 @@ object TextOps {
         "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-    val marg = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
-    counts.join(marg, "w1")
+    counts
+      .withColumn("n_w1", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"), col("n"), col("n_w1"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(100)
   }

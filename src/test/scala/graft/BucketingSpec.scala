@@ -24,6 +24,17 @@ class BucketingSpec extends SparkSpec {
     assert(pruned.count() === o.filter(col("o_year") === 1997).count())
   }
 
+  test("declared key q_part_pruned reads 1 of 12 month partitions (PartitionFilters in ITS plan)") {
+    val df = queries.Layout.qPartPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_month"), plan)
+    assert(plan.contains("(o_month") && plan.contains("= 3)"), plan)
+    val files = spark.read.parquet(s"/root/repo/target/graft_layout/${new java.io.File(sf).getName}/orders_by_month")
+      .filter(col("o_month") === 3)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("o_month=3")), files.mkString("\n"))
+  }
+
   test("bucketed+sorted tables join with zero Exchange (co-located join)") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse conf is static and can't move after session start.

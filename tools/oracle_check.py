@@ -36,6 +36,8 @@ def dtype_class(s: pd.Series) -> str:
     if pd.api.types.is_datetime64_any_dtype(s):
         return "ts"
     if s.dtype == object:
+        import datetime
+        import decimal
         for v in s:
             if v is None:
                 continue
@@ -43,11 +45,17 @@ def dtype_class(s: pd.Series) -> str:
                 return "bool"
             if isinstance(v, int):
                 return "int"
-            import decimal
+            # Decimal classifies by DECLARED type, never by value: an
+            # integral-valued Decimal masquerading as "int" is exactly the
+            # data-dependent masking that hid a driver hash mismatch
+            # (ADVICE r2) — a decimal column must be explicitly cast in
+            # the oracle SQL, not silently reclassified here.
             if isinstance(v, decimal.Decimal):
-                return "int" if v == v.to_integral_value() else "float"
+                return "decimal"
             if isinstance(v, float):
                 return "float"
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return "ts"
             return "str"
         return "str"
     return str(s.dtype)
