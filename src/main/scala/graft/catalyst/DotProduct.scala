@@ -104,6 +104,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => EmbLshKeys(exprs.head),
       "scala_udf")
 
+    // TypedImperativeAggregate surface of the HLL sketch — the analyzer
+    // wraps the returned AggregateFunction in an AggregateExpression
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_distinct",
+      (exprs: Seq[Expression]) => graft.agg.HllSketchAgg(exprs.head),
+      "scala_udf")
+
     val udf = org.apache.spark.sql.functions.udf(
       (a: Seq[Float], b: Seq[Float]) => {
         val n = math.min(a.length, b.length)

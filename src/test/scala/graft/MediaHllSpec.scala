@@ -75,4 +75,33 @@ class MediaHllSpec extends SparkSpec {
     assert(e1 === e2, "register-max merge must be partition-count invariant")
     assert(math.abs(e1.toDouble - 9173) / 9173 < 0.05)
   }
+
+  test("TypedImperativeAggregate SQL function ≡ Aggregator bit-exactly, grouped and global") {
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val hll = udaf(new graft.agg.HllDistinct())
+    val o = Tables.orders(spark, "/root/testdata/sf0.01")
+    // global: identical estimate from both surfaces (shared HllCore)
+    val viaAggregator = o.agg(hll(col("o_custkey"))).head().getLong(0)
+    val viaSql = o.agg(expr("graft_hll_distinct(o_custkey)")).head().getLong(0)
+    assert(viaSql === viaAggregator, s"sql=$viaSql aggregator=$viaAggregator")
+    // grouped through SQL — the partial/merge/serialize path per group
+    val grouped = o.groupBy(col("o_orderpriority"))
+      .agg(expr("graft_hll_distinct(o_custkey)").as("e"),
+           countDistinct(col("o_custkey")).as("x"))
+      .collect()
+    assert(grouped.length === 5)
+    grouped.foreach { r =>
+      val (e, x) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(e.toDouble - x) / x < 0.05, s"group ${r.getString(0)}: est=$e exact=$x")
+    }
+  }
+
+  test("TypedImperativeAggregate merge path is partition-count invariant too") {
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val ds = spark.range(0, 50000).select((col("id") % 9173).as("k"))
+    val e1 = ds.repartition(2).agg(expr("graft_hll_distinct(k)")).head().getLong(0)
+    val e2 = ds.repartition(16).agg(expr("graft_hll_distinct(k)")).head().getLong(0)
+    assert(e1 === e2)
+    assert(math.abs(e1.toDouble - 9173) / 9173 < 0.05)
+  }
 }
