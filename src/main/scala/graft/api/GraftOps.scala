@@ -71,6 +71,44 @@ object GraftOps {
           when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
   }
 
+  /** Attach the multi-band sign-LSH key array (EmbLshKeys: 21 bands ×
+    * 6 bits, codegen'd) for an `array<float>` embedding column. */
+  def embLshKeys(df: DataFrame, vecCol: String, out: String = "lsh_keys"): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(out, expr(s"graft_emb_lsh_keys($vecCol)"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over an arbitrary frame:
+    * multi-band LSH blocking (one equi self-join on the exploded band
+    * key), then one codegen'd dot product per distinct candidate pair.
+    * Approximate by construction — measured recall/fan-out at the
+    * fixture geometry in AnnRecallSpec; see SCALE.md §ANN for the
+    * recall-vs-pruning trade. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val keyed = df.select(col(idCol), explode(expr(s"graft_emb_lsh_keys($vecCol)")).as("__k"))
+    val cand = keyed.select(col(idCol).as("id_a"), col("__k"))
+      .join(keyed.select(col(idCol).as("id_b"), col("__k")), "__k")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ea = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val eb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Approximate distinct count of an integral column via the
+    * HyperLogLog TypedImperativeAggregate (graft_hll_distinct):
+    * partial sketches map-side, register-max merge, ~2.3% σ at the
+    * default precision. Usable in any agg/groupBy. */
+  def approxDistinct(df: DataFrame, colName: String): Column = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    expr(s"graft_hll_distinct($colName)")
+  }
+
   /** Exact cosine top-k: probes × corpus through the codegen'd
     * DotProduct expression; probes ride the broadcast side. */
   def cosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,

@@ -49,6 +49,23 @@ class GraftOpsSpec extends SparkSpec {
       GraftOps.sampleByHash(docs, "text", 10).agg(sum("doc_id")).head().getLong(0))
   }
 
+  test("embeddingNearDups reproduces the declared embedding-dedup key's pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val api = GraftOps.embeddingNearDups(e, "vec_id", "embedding", 0.4)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+    val declared = queries.VectorOps.qDedupEmbedding(spark, sf)
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("approxDistinct agrees with the HLL Aggregator surface") {
+    val o = Tables.orders(spark, sf)
+    val viaApi = o.agg(GraftOps.approxDistinct(o, "o_custkey")).head().getLong(0)
+    val hll = udaf(new graft.agg.HllDistinct())
+    val viaAggregator = o.agg(hll(col("o_custkey"))).head().getLong(0)
+    assert(viaApi === viaAggregator)
+  }
+
   test("topKPerGroup API bounds rows per group") {
     val o = Tables.orders(spark, sf)
     val top = GraftOps.topKPerGroup(o, Seq("o_custkey"), "o_totalprice", desc = true, 2)
