@@ -53,7 +53,6 @@ object DedupOps {
 
   private[graft] def qDedupMinhashCapped(
       spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val shingles = d.select(col("doc_id"),
@@ -68,9 +67,16 @@ object DedupOps {
       min((col("h") * 5 + 13) % P).as("mh3"),
       min((col("h") * 7 + 17) % P).as("mh4"))
 
-    def capped(k1: String, k2: String) = mh
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col(k1), col(k2))))
-      .filter(col("bsz") <= maxBandBucket).drop("bsz")
+    // The over-cap key set is bounded small by construction (≤ N/cap
+    // keys can exceed the cap), so the guard is a broadcast anti-join
+    // — no extra sorted window pass over the signatures.
+    def capped(k1: String, k2: String) = {
+      val big = mh.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBandBucket)
+        .select(col(k1).as("big_k1"), col(k2).as("big_k2"))
+      mh.join(broadcast(big),
+        col(k1) === col("big_k1") && col(k2) === col("big_k2"), "left_anti")
+    }
     def renamed(df: org.apache.spark.sql.DataFrame, p: String) =
       df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
 
