@@ -104,6 +104,7 @@ object SparkEntry {
     "q_text_sample"        -> TextOps.qTextSample _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
+    "q_dedup_clusters"     -> DedupOps.qDedupClusters _,
     "q_dedup_simhash"      -> DedupOps.qDedupSimhash _,
     "q_dedup_ngram_jaccard" -> DedupOps.qDedupNgramJaccard _,
     "q_dedup_levenshtein"  -> DedupOps.qDedupLevenshtein _,

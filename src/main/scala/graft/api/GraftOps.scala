@@ -124,6 +124,43 @@ object GraftOps {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation (the large-star idea of the MapReduce CC
+    * literature, driven to fixpoint): every node adopts the smallest
+    * component id among itself and its neighbours each round, so ids
+    * converge to the component-minimum node id — a unique fixpoint,
+    * independent of execution order.
+    *
+    * Scale shape: each round is one equi join edges⋈labels + a
+    * partial-agg min — all shuffles on node id; the driver loop runs
+    * O(diameter) rounds and touches only the scalar convergence count
+    * (the standard Pregel driver pattern — no row data ever reaches
+    * the driver). `localCheckpoint` cuts lineage per round so the plan
+    * stays constant-size; a cluster deployment would use reliable
+    * checkpointing instead. Returns (id, component). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .unionAll(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .localCheckpoint(true)
+    var comp = e.select(col("__src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val cand = e.join(comp, col("__src") === col("id"))
+        .groupBy(col("__dst")).agg(min(col("component")).as("__cand"))
+      val next = comp.join(cand, col("id") === col("__dst"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__cand"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next
+        .join(comp.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old")).count()
+      comp = next
+    }
+    comp
+  }
+
   /** Deterministic exact dedup: one row per key set, keeping the
     * minimum of the tiebreak columns (hash agg — skew-immune). */
   def dedupExact(df: DataFrame, keys: Seq[String], tiebreak: Seq[String]): DataFrame = {

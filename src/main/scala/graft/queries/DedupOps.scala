@@ -52,6 +52,14 @@ object DedupOps {
     qDedupMinhashCapped(spark, dir, MaxBandBucket)
 
   private[graft] def qDedupMinhashCapped(
+      spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame =
+    minhashPairs(spark, dir, maxBandBucket)
+      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+
+  /** The un-truncated candidate pair set (doc_a, doc_b, jacc_est ≥
+    * 0.5) — shared by the declared pair key and the clustering key. */
+  private[graft] def minhashPairs(
       spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -96,8 +104,21 @@ object DedupOps {
           when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
           when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
       .filter(col("jacc_est") >= 0.5)
-      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
-      .limit(200)
+  }
+
+  /** Near-duplicate CLUSTERS: connected components of the (uncapped,
+    * untruncated) MinHash candidate-pair graph, labelled by the
+    * minimum doc_id of each component — the canonicalization step
+    * that follows pair generation in every production dedup pipeline
+    * (keep cluster rep, drop the rest). Iterative min-label
+    * propagation via GraftOps.connectedComponents (Pregel-style
+    * driver loop, O(diameter) rounds — the oracle computes the same
+    * fixpoint with a recursive CTE). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir, MaxBandBucket)
+    graft.api.GraftOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+      .orderBy(col("cluster"), col("doc_id"))
   }
 
   /** SimHash: 8-bit signature from per-bit ±1 votes of token hashes;

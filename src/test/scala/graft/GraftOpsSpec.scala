@@ -66,6 +66,17 @@ class GraftOpsSpec extends SparkSpec {
     assert(viaApi === viaAggregator)
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    import spark.implicits._
+    // two chains and an isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("s", "d")
+    val got = GraftOps.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("topKPerGroup API bounds rows per group") {
     val o = Tables.orders(spark, sf)
     val top = GraftOps.topKPerGroup(o, Seq("o_custkey"), "o_totalprice", desc = true, 2)
