@@ -102,6 +102,7 @@ object SparkEntry {
     "q_text_chunk"         -> TextOps.qTextChunk _,
     "q_text_bigrams"       -> TextOps.qTextBigrams _,
     "q_text_sample"        -> TextOps.qTextSample _,
+    "q_text_contamination" -> TextOps.qTextContamination _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

@@ -139,9 +139,12 @@ object GraftOps {
     * stays constant-size; a cluster deployment would use reliable
     * checkpointing instead. Returns (id, component). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .unionAll(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+    // checkpoint BEFORE doubling so the (possibly expensive) edge
+    // subtree materializes once; the direction-flip union is a cheap
+    // projection over the in-memory checkpoint each round
+    val base = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .localCheckpoint(true)
+    val e = base.unionAll(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
     var comp = e.select(col("__src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)

@@ -92,6 +92,17 @@ object OracleSqlLlm {
         |WHERE CAST(concat('0x', substring(md5(text),1,4)) AS INTEGER) % 100 < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_text_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |bench AS (SELECT DISTINCT gram, doc_id AS bench_doc FROM e WHERE doc_id < 5)
+        |SELECT c.doc_id, bench_doc, count(DISTINCT c.gram) AS shared
+        |FROM e c JOIN bench b USING(gram) WHERE c.doc_id >= 5
+        |GROUP BY 1, 2 ORDER BY shared DESC, doc_id, bench_doc""".stripMargin,
+
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, substring(sha256(text),1,16) AS fp_sha,
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -172,6 +172,30 @@ object TextOps {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang"))
 
+  /** Benchmark decontamination: corpus docs sharing an n-gram with
+    * the benchmark set (docs 0–4 as the stand-in) and how many
+    * distinct n-grams they share — the overlap report a training
+    * pipeline uses to drop contaminated documents before training.
+    * n=3 here because the fixture's 31-word vocab makes longer grams
+    * unique; production uses 8–13-grams, same plan. Scale shape: the
+    * benchmark side is small by definition → its distinct gram set
+    * broadcasts; the corpus explodes to (doc, gram) once and hash-
+    * joins — no shuffle of the corpus beyond the final count agg. */
+  def qTextContamination(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+      ))).as("gram"))
+    val bench = g.filter(col("doc_id") < 5)
+      .select(col("gram"), col("doc_id").as("bench_doc")).distinct()
+    g.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(countDistinct(col("gram")).as("shared"))
+      .orderBy(col("shared").desc, col("doc_id"), col("bench_doc"))
+  }
+
   /** Content fingerprinting: md5, sha-256 prefix, and an order-
     * sensitive polynomial rolling hash over tokens (mod 2^31−1) whose
     * per-token value is derived from md5 so both engines agree. */
