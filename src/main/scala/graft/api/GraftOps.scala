@@ -44,6 +44,7 @@ object GraftOps {
                         shingle: Int = 3): DataFrame = {
     val idxs = (0 until shingle).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     df.select(col(idCol), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= shingle) // sub-shingle docs yield no shingles, not partial ones
       .select(col(idCol), explode(array_distinct(expr(
         s"transform(sequence(0, size(t)-$shingle), i -> $idxs)"))).as("s"))
       .select(col(idCol), expr("cast(conv(substring(md5(s),1,8),16,10) as bigint)").as("h"))

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * left-to-right in double, rounded HALF_UP to 6 decimals before the
   * sign test — see [[EmbLshKeys.positiveAfterRound6]], which matches
   * Spark SQL `round(_, 6) > 0` exactly.
+  *
+  * Null elements: a NULL anywhere in the array makes every dot
+  * product NULL in the oracle (`list_dot_product` propagates NULL),
+  * and `CASE WHEN round(NULL,6) > 0` takes the ELSE branch — so every
+  * sign bit is unset and band i's key is exactly its offset
+  * `i << Bits`. Both eval paths below detect a null element up front
+  * and return those offset-only keys, rather than reading garbage
+  * through `getFloat` on a null slot (fixtures have no null elements;
+  * this pins the cross-engine rule for data that does).
   */
 case class EmbLshKeys(child: Expression) extends UnaryExpression {
 
@@ -42,6 +51,11 @@ case class EmbLshKeys(child: Expression) extends UnaryExpression {
     val planes = EmbLshKeys.planes
     val keys = new Array[Int](EmbLsh.Bands)
     val dims = math.min(EmbLsh.Dims, emb.numElements())
+    var i = 0
+    while (i < dims) {
+      if (emb.isNullAt(i)) return UnsafeArrayData.fromPrimitiveArray(EmbLshKeys.nullElementKeys)
+      i += 1
+    }
     var band = 0
     while (band < EmbLsh.Bands) {
       var k = band << EmbLsh.Bits
@@ -71,10 +85,19 @@ case class EmbLshKeys(child: Expression) extends UnaryExpression {
       val w = ctx.freshName("w")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val hasNull = ctx.freshName("hasNull")
+      val ni = ctx.freshName("ni")
       s"""
          |int[] $keys = new int[${EmbLsh.Bands}];
          |int $dims = java.lang.Math.min(${EmbLsh.Dims}, $a.numElements());
-         |for (int $band = 0; $band < ${EmbLsh.Bands}; $band++) {
+         |boolean $hasNull = false;
+         |for (int $ni = 0; $ni < $dims; $ni++) {
+         |  if ($a.isNullAt($ni)) { $hasNull = true; break; }
+         |}
+         |if ($hasNull) {
+         |  $keys = graft.catalyst.EmbLshKeys.nullElementKeys();
+         |}
+         |else for (int $band = 0; $band < ${EmbLsh.Bands}; $band++) {
          |  int $k = $band << ${EmbLsh.Bits};
          |  for (int $j = 0; $j < ${EmbLsh.Bits}; $j++) {
          |    float[] $w = $planes[$band * ${EmbLsh.Bits} + $j];
@@ -103,6 +126,11 @@ object EmbLshKeys {
     * the DuckDB oracle literals). */
   lazy val planes: Array[Array[Float]] =
     Array.tabulate(EmbLsh.Bands * EmbLsh.Bits, EmbLsh.Dims)((p, d) => EmbLsh.weight(p, d).toFloat)
+
+  /** Keys of an embedding with a null element: every sign test takes
+    * the oracle's ELSE-0 branch, leaving only each band's offset. */
+  def nullElementKeys: Array[Int] =
+    Array.tabulate(EmbLsh.Bands)(band => band << EmbLsh.Bits)
 
   /** Exactly Spark SQL `round(s, 6) > 0`: Spark's RoundBase goes
     * through scala.math.BigDecimal(double) = java BigDecimal.valueOf,

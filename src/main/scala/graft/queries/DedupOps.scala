@@ -61,8 +61,13 @@ object DedupOps {
     * 0.5) — shared by the declared pair key and the clustering key. */
   private[graft] def minhashPairs(
       spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
+    // size >= 3: Spark's sequence(0, size-3) counts DOWN for shorter
+    // docs and would emit spurious partial shingles the oracle's
+    // end-exclusive range(1, len-1) never produces (same guard as
+    // TextOps.qTextContamination).
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
     val shingles = d.select(col("doc_id"),
       explode(array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
@@ -106,14 +111,21 @@ object DedupOps {
       .filter(col("jacc_est") >= 0.5)
   }
 
-  /** Near-duplicate CLUSTERS: connected components of the (uncapped,
-    * untruncated) MinHash candidate-pair graph, labelled by the
+  /** Near-duplicate CLUSTERS: connected components of the (capped —
+    * MaxBandBucket applies, see below) MinHash candidate-pair graph
+    * with no LIMIT truncation, labelled by the
     * minimum doc_id of each component — the canonicalization step
     * that follows pair generation in every production dedup pipeline
     * (keep cluster rep, drop the rest). Iterative min-label
     * propagation via GraftOps.connectedComponents (Pregel-style
     * driver loop, O(diameter) rounds — the oracle computes the same
-    * fixpoint with a recursive CTE). */
+    * fixpoint with a recursive CTE). The engine side passes the
+    * MaxBandBucket skew cap to minhashPairs while the DuckDB oracle
+    * is uncapped: the cap MUST stay above the largest band bucket of
+    * every fixture the key runs on (MinhashCapSpec asserts capped ≡
+    * uncapped on the fixtures — observed max bucket 20, 25× headroom)
+    * or capped-out edges would silently
+    * shrink clusters only on the engine side. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir, MaxBandBucket)
     graft.api.GraftOps.connectedComponents(pairs, "doc_a", "doc_b")

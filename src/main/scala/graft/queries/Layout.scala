@@ -11,11 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Root of all layout copies — under the build's target dir relative
+    * to the JVM working directory (sbt runs from the repo root), so the
+    * key works wherever the repo is checked out. Shared with
+    * BucketingSpec so the spec inspects the same physical files. */
+  private[graft] val layoutRoot: String =
+    new java.io.File(sys.props("user.dir"), "target/graft_layout").getAbsolutePath
+
   /** Where the partitioned copy lands — inside the repo (the driver
     * forbids writes elsewhere), keyed by scale factor so sf runs don't
     * clobber each other. */
-  private def layoutDir(dir: String): String =
-    s"/root/repo/target/graft_layout/${new java.io.File(dir).getName}/orders_by_month"
+  private[graft] def layoutDir(dir: String): String =
+    s"$layoutRoot/${new java.io.File(dir).getName}/orders_by_month"
 
   /** Write orders `partitionBy` order-month, read back filtered to one
     * month, aggregate. The scan of the read-back side prunes to 1 of

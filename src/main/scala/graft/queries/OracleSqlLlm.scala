@@ -134,7 +134,11 @@ object OracleSqlLlm {
 
     // connected components of the same candidate graph (no limit), by
     // transitive closure + min over reachable set — the recursive-CTE
-    // twin of the engine's iterative min-label propagation fixpoint
+    // twin of the engine's iterative min-label propagation fixpoint.
+    // NOTE: this oracle is UNCAPPED while the engine applies the
+    // MaxBandBucket skew cap; equality requires the cap to exceed the
+    // largest band bucket of every fixture (MinhashCapSpec pins this —
+    // observed max 20 vs cap 500).
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |sh AS (

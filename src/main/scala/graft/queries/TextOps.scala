@@ -135,6 +135,7 @@ object TextOps {
   def qTextBigrams(spark: SparkSession, dir: String): DataFrame = {
     val bi = docs(spark, dir)
       .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2) // descending-sequence guard, see qTextContamination
       .select(explode(expr(
         "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
@@ -182,8 +183,14 @@ object TextOps {
     * broadcasts; the corpus explodes to (doc, gram) once and hash-
     * joins — no shuffle of the corpus beyond the final count agg. */
   def qTextContamination(spark: SparkSession, dir: String): DataFrame = {
+    // size(t) >= 3 guard: for a sub-trigram doc, sequence(0, size(t)-3)
+    // would count DOWN (e.g. [0,-1]) and concat_ws would silently skip
+    // the out-of-range null lookups, emitting spurious partial grams —
+    // the DuckDB oracle's range(1, len(t)-1) emits none. The filter
+    // makes both engines contribute zero grams for short docs.
     val g = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
       ))).as("gram"))

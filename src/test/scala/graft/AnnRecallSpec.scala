@@ -82,6 +82,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.40, f"recall $recall%.3f below 0.40 floor (measured 0.433)")
   }
 
+  test("EmbLsh keys of a null-element embedding = band offsets (oracle's ELSE-0 rule), both eval paths") {
+    // DuckDB: list_dot_product propagates NULL, CASE WHEN NULL>0 takes
+    // ELSE 0 — so every sign bit is unset. Codegen path:
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 3.0f))).toDF("embedding")
+    val viaSql = df.select(expr(EmbLsh.sparkKeysExpr).as("k")).head().getSeq[Int](0)
+    assert(viaSql == graft.catalyst.EmbLshKeys.nullElementKeys.toSeq, viaSql)
+    // Interpreted path (direct eval, bypasses codegen):
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Any](1.0f, null, 3.0f))
+    val viaEval = graft.catalyst.EmbLshKeys(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray.toSeq
+    assert(viaEval == graft.catalyst.EmbLshKeys.nullElementKeys.toSeq, viaEval)
+  }
+
   test("q_knn_ivf (nprobe=2): measured top-3 recall ≥ 0.25 at 2/10 corpus scanned") {
     val found = pairsOf(VectorOps.qKnnIvf(spark, sf), "vec_id", "neighbor")
     val recall = (found & gtTop3).size.toDouble / gtTop3.size

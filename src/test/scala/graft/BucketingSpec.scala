@@ -29,7 +29,7 @@ class BucketingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(o_month"), plan)
     assert(plan.contains("(o_month") && plan.contains("= 3)"), plan)
-    val files = spark.read.parquet(s"/root/repo/target/graft_layout/${new java.io.File(sf).getName}/orders_by_month")
+    val files = spark.read.parquet(queries.Layout.layoutDir(sf))
       .filter(col("o_month") === 3)
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(_.contains("o_month=3")), files.mkString("\n"))
