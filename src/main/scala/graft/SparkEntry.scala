@@ -103,6 +103,7 @@ object SparkEntry {
     "q_text_bigrams"       -> TextOps.qTextBigrams _,
     "q_text_sample"        -> TextOps.qTextSample _,
     "q_text_contamination" -> TextOps.qTextContamination _,
+    "q_text_repetition"    -> TextOps.qTextRepetition _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

@@ -103,6 +103,36 @@ object OracleSqlLlm {
         |FROM e c JOIN bench b USING(gram) WHERE c.doc_id >= 5
         |GROUP BY 1, 2 ORDER BY shared DESC, doc_id, bench_doc""".stripMargin,
 
+    // 1-indexed twin of TextOps.qTextRepetition: same run-start /
+    // difference arithmetic, same exact-integer verdict; DuckDB's
+    // out-of-range t[0] is NULL so '<>' filters it, i=1 admitted by
+    // the explicit arm — mirroring Spark's t[-1] behaviour.
+    "q_text_repetition" ->
+      """WITH x AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, len(t) AS n_tok,
+        |    list_max(list_transform(list_distinct(t),
+        |                            u -> len(list_filter(t, w -> w = u)))) AS top1,
+        |    greatest(len(t)-1, 0) AS bi_tot,
+        |    CASE WHEN len(t) >= 2 THEN len(list_distinct(list_transform(
+        |      range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])))) ELSE 0 END AS bi_dis,
+        |    greatest(len(t)-2, 0) AS tri_tot,
+        |    CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) ELSE 0 END AS tri_dis,
+        |    list_filter(range(1, len(t)+1), i -> i = 1 OR t[i] <> t[i-1]) AS b
+        |  FROM x)
+        |SELECT doc_id, n_tok,
+        |  round(top1 / CAST(n_tok AS DOUBLE), 4) AS top1_frac,
+        |  CASE WHEN bi_tot > 0
+        |       THEN round((bi_tot - bi_dis) / CAST(bi_tot AS DOUBLE), 4)
+        |       ELSE 0.0 END AS dup_bi_frac,
+        |  CASE WHEN tri_tot > 0
+        |       THEN round((tri_tot - tri_dis) / CAST(tri_tot AS DOUBLE), 4)
+        |       ELSE 0.0 END AS dup_tri_frac,
+        |  list_max(list_transform(range(1, len(b)+1),
+        |    j -> (CASE WHEN j+1 <= len(b) THEN b[j+1] ELSE n_tok+1 END) - b[j])) AS max_run,
+        |  (top1 * 5 > n_tok OR (tri_tot - tri_dis) * 10 > tri_tot * 3) AS repetitive
+        |FROM s ORDER BY doc_id LIMIT 300""".stripMargin,
+
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, substring(sha256(text),1,16) AS fp_sha,
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -220,4 +220,58 @@ object TextOps {
             |  (acc, x) -> (acc * 131 + x) % 2147483647)""".stripMargin).as("fp_poly"))
       .orderBy(col("doc_id"))
       .limit(300)
+
+  /** Gopher-style repetition signals per document — the filter family
+    * a training pipeline runs before dedup (Rae et al. 2021, public):
+    * most-common-token mass, duplicate bigram/trigram fraction,
+    * longest consecutive-token run, and a composite `repetitive`
+    * verdict. Everything is per-doc array lambdas — no explode, no
+    * token shuffle, embarrassingly parallel at any scale (the whole
+    * key is one narrow projection; only the final presentation sort
+    * exchanges). The verdict compares exact integer cross-products
+    * (top1·5 > n_tok, dup_tri·10 > tri_tot·3) so no rounded double
+    * sits on a cross-engine decision boundary (§2.2-2).
+    *
+    * The run-length trick: run START positions are the indices where
+    * t[i] ≠ t[i−1] (out-of-range t[−1] is NULL → the ‘≠’ is NULL →
+    * filtered, so position 0 is admitted by the explicit i=0 arm);
+    * run lengths are differences of consecutive starts, closed by
+    * size(t). The oracle does the same arithmetic 1-indexed. */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(docs(spark, dir))
+      .orderBy(col("doc_id"))
+      .limit(300)
+
+  /** The signal projection of [[qTextRepetition]] over any (doc_id,
+    * text) frame — unsorted, so specs can drive it with synthetic
+    * repetitive/short docs the fixture lacks. */
+  private[graft] def repetitionSignals(d: DataFrame): DataFrame =
+    d.withColumn("t", split(col("text"), " "))
+      .withColumn("top1",
+        expr("array_max(transform(array_distinct(t), u -> size(filter(t, w -> w = u))))"))
+      .withColumn("bi_tot", greatest(size(col("t")) - 1, lit(0)))
+      .withColumn("bi_dis", expr(
+        "CASE WHEN size(t) >= 2 THEN size(array_distinct(transform(" +
+          "sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1])))) ELSE 0 END"))
+      .withColumn("tri_tot", greatest(size(col("t")) - 2, lit(0)))
+      .withColumn("tri_dis", expr(
+        "CASE WHEN size(t) >= 3 THEN size(array_distinct(transform(" +
+          "sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) ELSE 0 END"))
+      .withColumn("b", expr("filter(sequence(0, size(t)-1), i -> i = 0 OR t[i] != t[i-1])"))
+      .withColumn("max_run", expr(
+        "array_max(transform(sequence(0, size(b)-1), " +
+          "j -> (CASE WHEN j+1 < size(b) THEN b[j+1] ELSE size(t) END) - b[j]))"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tok"),
+        round(col("top1") / size(col("t")).cast("double"), 4).as("top1_frac"),
+        when(col("bi_tot") > 0,
+          round((col("bi_tot") - col("bi_dis")) / col("bi_tot").cast("double"), 4))
+          .otherwise(0.0).as("dup_bi_frac"),
+        when(col("tri_tot") > 0,
+          round((col("tri_tot") - col("tri_dis")) / col("tri_tot").cast("double"), 4))
+          .otherwise(0.0).as("dup_tri_frac"),
+        col("max_run"),
+        (col("top1") * 5 > size(col("t")) ||
+          (col("tri_tot") - col("tri_dis")) * 10 > col("tri_tot") * 3).as("repetitive"))
 }
