@@ -104,6 +104,8 @@ object SparkEntry {
     "q_text_sample"        -> TextOps.qTextSample _,
     "q_text_contamination" -> TextOps.qTextContamination _,
     "q_text_repetition"    -> TextOps.qTextRepetition _,
+    "q_pii_scrub"          -> ScrubOps.qPiiScrub _,
+    "q_text_normalize"     -> ScrubOps.qTextNormalize _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

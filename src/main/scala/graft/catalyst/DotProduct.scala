@@ -104,6 +104,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => EmbLshKeys(exprs.head),
       "scala_udf")
 
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head),
+      "scala_udf")
+
     // TypedImperativeAggregate surface of the HLL sketch — the analyzer
     // wraps the returned AggregateFunction in an AggregateExpression
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

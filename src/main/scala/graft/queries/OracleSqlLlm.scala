@@ -103,6 +103,32 @@ object OracleSqlLlm {
         |FROM e c JOIN bench b USING(gram) WHERE c.doc_id >= 5
         |GROUP BY 1, 2 ORDER BY shared DESC, doc_id, bench_doc""".stripMargin,
 
+    "q_pii_scrub" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS key, 'customer' AS entity, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, 'supplier', s_name FROM supplier)
+        |SELECT key, entity,
+        |  regexp_replace(name, '[0-9]', '#', 'g') AS name_masked,
+        |  CAST(regexp_extract(name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+        |  substring(md5(name), 1, 12) AS id_token,
+        |  len(regexp_extract_all(name, '[0-9]')) AS n_digits
+        |FROM u ORDER BY entity, key LIMIT 300""".stripMargin,
+
+    // chr(769) = U+0301 combining acute: the decomposed suffix the
+    // engine adds as a literal; nfc_normalize composes it so the
+    // accent-fold replace ('é' composed) fires on both engines.
+    "q_text_normalize" ->
+      """SELECT p_partkey, length(raw) AS raw_len,
+        |  length(nfc_normalize(raw)) AS nfc_len,
+        |  trim(regexp_replace(regexp_replace(
+        |    replace(lower(nfc_normalize(raw)), 'é', 'e'),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM (SELECT p_partkey,
+        |        concat_ws(' ', p_name, p_brand, p_type) || ' e' || chr(769) AS raw
+        |      FROM part) x
+        |ORDER BY p_partkey LIMIT 300""".stripMargin,
+
     // 1-indexed twin of TextOps.qTextRepetition: same run-start /
     // difference arithmetic, same exact-integer verdict; DuckDB's
     // out-of-range t[0] is NULL so '<>' filters it, i=1 admitted by

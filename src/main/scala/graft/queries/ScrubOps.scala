@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import graft.catalyst.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators (the LLM-pipeline north star): PII
+  * masking/pseudonymization and unicode text normalization — the two
+  * transforms a training pipeline runs on every record before dedup
+  * and training.
+  *
+  * Scale notes: both keys are narrow per-row projections (regex +
+  * hash + normalizer, all codegen'd) — zero shuffles besides the
+  * presentation sort; at 100 TB they stream through the scan at full
+  * parallelism. Nothing collects.
+  */
+object ScrubOps {
+
+  /** PII scrub over the entity tables: mask embedded numeric
+    * identifiers (`Customer#000000042` → `Customer##########`),
+    * extract the identifier, count its digits, and emit a stable
+    * irreversible surrogate (md5 prefix) — the pseudonymization that
+    * keeps records joinable after the raw identifier is dropped. The
+    * slim fixture has no phones/emails; the same regex machinery
+    * applies unchanged to those patterns (the digit class and the
+    * capture are the operator under test, not the dictionary). */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    def scrub(df: DataFrame, key: String, name: String, entity: String): DataFrame =
+      df.select(
+        col(key).as("key"),
+        lit(entity).as("entity"),
+        regexp_replace(col(name), "[0-9]", "#").as("name_masked"),
+        regexp_extract(col(name), "([0-9]+)", 1).cast("long").as("id_num"),
+        substring(md5(col(name)), 1, 12).as("id_token"),
+        expr(s"regexp_count($name, '[0-9]')").as("n_digits"))
+    scrub(Tables.customer(spark, dir), "c_custkey", "c_name", "customer")
+      .unionAll(scrub(Tables.supplier(spark, dir), "s_suppkey", "s_name", "supplier"))
+      .orderBy(col("entity"), col("key"))
+      .limit(300)
+  }
+
+  /** Unicode normalization chain over part descriptions: NFC
+    * composition (the codegen'd graft_nfc expression ↔ DuckDB's
+    * native nfc_normalize), case folding, accent folding, punctuation
+    * strip, and whitespace collapse. The fixture is pure ASCII — NFC
+    * of it is the identity — so each row's input is suffixed with a
+    * DECOMPOSED `e + U+0301` literal (same codepoints in the oracle
+    * SQL): nfc_len < raw_len proves canonical composition actually
+    * ran, and the accent-fold replace matches only the COMPOSED form,
+    * which is exactly why normalization must precede folding. */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.part(spark, dir)
+      .withColumn("raw",
+        concat(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")),
+          lit(" e\u0301"))) // decomposed: e + combining acute
+      .withColumn("nfc", expr("graft_nfc(raw)"))
+      .select(
+        col("p_partkey"),
+        length(col("raw")).as("raw_len"),
+        length(col("nfc")).as("nfc_len"),
+        trim(regexp_replace(regexp_replace(
+          regexp_replace(lower(col("nfc")), "\u00e9", "e"), // composed only
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+      .orderBy(col("p_partkey"))
+      .limit(300)
+  }
+}
