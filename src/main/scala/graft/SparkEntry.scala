@@ -106,6 +106,8 @@ object SparkEntry {
     "q_text_repetition"    -> TextOps.qTextRepetition _,
     "q_pii_scrub"          -> ScrubOps.qPiiScrub _,
     "q_text_normalize"     -> ScrubOps.qTextNormalize _,
+    "q_sample_stratified"  -> TextOps.qSampleStratified _,
+    "q_stream_join"        -> StreamOps.qStreamJoin _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

@@ -103,6 +103,17 @@ object OracleSqlLlm {
         |FROM e c JOIN bench b USING(gram) WHERE c.doc_id >= 5
         |GROUP BY 1, 2 ORDER BY shared DESC, doc_id, bench_doc""".stripMargin,
 
+    // same exact-integer keep rule (bucket·cnt < 20·10⁴) as the engine
+    "q_sample_stratified" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |k AS (SELECT d.lang, cnt, n_chars,
+        |        CAST(concat('0x', substring(md5(text),1,4)) AS BIGINT) % 10000 AS bucket
+        |      FROM documents d JOIN c USING (lang))
+        |SELECT lang, CAST(max(cnt) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN bucket * cnt < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN bucket * cnt < 200000 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_pii_scrub" ->
       """WITH u AS (
         |  SELECT c_custkey AS key, 'customer' AS entity, c_name AS name FROM customer
@@ -293,6 +304,17 @@ object OracleSqlLlm {
     // flatMapGroupsWithState sessionize replayed as a stream must equal
     // the batch lag+cumsum sessionize — same SQL as q_events_sessionize
     "q_stream_sessionize" -> OracleSql.seed("q_events_sessionize"),
+
+    // the streaming interval join must equal the batch epoch-µs
+    // interval self-join (§2.2-4: epoch subtraction, not date_diff)
+    "q_stream_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |       c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY purchase_id, click_id LIMIT 300""".stripMargin,
 
     // the partitioned write→pruned read round-trip must equal the same
     // aggregate over the unpartitioned table

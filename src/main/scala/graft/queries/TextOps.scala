@@ -173,6 +173,34 @@ object TextOps {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang"))
 
+  /** Stratified (balanced-allocation) sampling: downsample every
+    * language stratum toward ~20 docs, deterministically. Two passes:
+    * (1) tiny per-stratum counts, broadcast; (2) stateless keep rule
+    * `bucket(text) · cnt < 20 · 10⁴` (bucket = 4 hex chars of md5 mod
+    * 10⁴, uniform), an exact integer comparison both engines evaluate
+    * identically — the per-stratum rate adapts as 20/cnt without any
+    * per-stratum ranking. This is the 100 TB shape: a window
+    * row_number over (lang) would shuffle the whole corpus into a
+    * handful of skewed stratum partitions; the broadcast-rate filter
+    * touches each row once, embarrassingly parallel, and only the
+    * 5-row count aggregate shuffles. Trade-off (documented, inherent):
+    * hash sampling yields ≈N per stratum, not exactly N — binomial
+    * noise around 20/cnt · cnt; exact-N needs the rank shuffle. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val keep = col("bucket") * col("cnt") < lit(200000L)
+    d.select(col("lang"), col("n_chars"),
+        expr("cast(conv(substring(md5(text),1,4),16,10) as int) % 10000").as("bucket"))
+      .join(broadcast(counts), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        max(col("cnt")).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Benchmark decontamination: corpus docs sharing an n-gram with
     * the benchmark set (docs 0–4 as the stand-in) and how many
     * distinct n-grams they share — the overlap report a training

@@ -155,6 +155,40 @@ object StreamOps {
       .limit(200)
   }
 
+  /** DECLARED streaming key (t2-verified): the stream-stream interval
+    * join [[clickToPurchase]] executed as a real Structured Streaming
+    * query — ONE file source over the events parquet split into two
+    * filtered branches (Spark plans two scans of the same stream),
+    * APPEND-mode memory sink, Trigger.AvailableNow. An inner
+    * stream-stream join emits matches in the micro-batch that finds
+    * them (the watermark only bounds join state for eviction), so the
+    * bounded single-file replay yields exactly the batch join — the
+    * oracle is the equivalent epoch-µs interval self-join. */
+  def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.Tables.configure(spark)
+    val sinkName = s"graft_stream_join_${runSeq.incrementAndGet()}"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = clickToPurchase(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+      .orderBy(col("purchase_id"), col("click_id"))
+      .limit(300)
+  }
+
   /** DECLARED streaming key (t2-verified): per-user session counts via
     * [[sessionizeStateful]] (flatMapGroupsWithState) executed as a real
     * Structured Streaming query — file source over the events parquet,
