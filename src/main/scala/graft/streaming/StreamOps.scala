@@ -117,6 +117,23 @@ object StreamOps {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`. Stateful streaming operators allocate one state-store
+    * instance per shuffle partition per stateful operator (a
+    * stream-stream join keeps FOUR per partition), and the store
+    * lifecycle — open, checkpoint, commit, close — dominates a bounded
+    * single-batch replay: at 32 partitions q_stream_join spent ~6 s in
+    * store management for a 2k×2k join. The partition count is fixed
+    * at query start, so the scope only needs to cover `start()`. At
+    * production scale the right value is sized to state volume (state
+    * partitions ≫ cores), not to this bounded-replay optimum. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** DECLARED streaming key (t2-verified): the tumbling aggregation
     * executed as a real Structured Streaming query — file source over
     * the events parquet, Trigger.AvailableNow, COMPLETE-mode memory
@@ -141,14 +158,16 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = src
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
-      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withShufflePartitions(spark, 4) {
+      src
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .orderBy(col("h"), col("event_type"))
@@ -176,13 +195,15 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = clickToPurchase(
-        src.filter(col("event_type") === "click"),
-        src.filter(col("event_type") === "purchase"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withShufflePartitions(spark, 4) {
+      clickToPurchase(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "purchase"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .orderBy(col("purchase_id"), col("click_id"))
@@ -214,11 +235,13 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
-    val q = sessionizeStateful(src)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withShufflePartitions(spark, 4) {
+      sessionizeStateful(src)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .groupBy(col("user_id"))
