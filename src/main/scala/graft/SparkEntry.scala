@@ -108,6 +108,8 @@ object SparkEntry {
     "q_text_normalize"     -> ScrubOps.qTextNormalize _,
     "q_sample_stratified"  -> TextOps.qSampleStratified _,
     "q_stream_join"        -> StreamOps.qStreamJoin _,
+    "q_pack_shards"        -> PipelineOps.qPackShards _,
+    "q_sketch_cms"         -> PipelineOps.qSketchCms _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

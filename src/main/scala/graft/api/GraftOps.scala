@@ -146,21 +146,29 @@ object GraftOps {
     val base = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .localCheckpoint(true)
     val e = base.unionAll(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
-    var comp = e.select(col("__src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // Init already folds in one propagation round: every node starts at
+    // min(id, min(direct neighbors)) — for the clique-shaped components
+    // near-dup clustering produces, that IS the fixpoint and the loop
+    // only runs the confirming round. Costs the same single shuffle a
+    // plain distinct() init would.
+    var comp = e.groupBy(col("__src").as("id"))
+      .agg(min(col("__dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("component"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val cand = e.join(comp, col("__src") === col("id"))
         .groupBy(col("__dst")).agg(min(col("component")).as("__cand"))
+      // carry the per-row changed flag inside the checkpointed frame:
+      // the convergence check is then a scan of in-memory blocks, not
+      // another join of two checkpoints
       val next = comp.join(cand, col("id") === col("__dst"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("__cand"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("__cand"), col("component"))).as("component"),
+          (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
         .localCheckpoint(true)
-      changed = next
-        .join(comp.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") =!= col("__old")).count()
-      comp = next
+      changed = next.filter(col("__changed")).count()
+      comp = next.select(col("id"), col("component"))
     }
     comp
   }

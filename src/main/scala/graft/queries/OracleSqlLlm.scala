@@ -103,6 +103,36 @@ object OracleSqlLlm {
         |FROM e c JOIN bench b USING(gram) WHERE c.doc_id >= 5
         |GROUP BY 1, 2 ORDER BY shared DESC, doc_id, bench_doc""".stripMargin,
 
+    // single-window twin of the engine's two-pass distributed prefix
+    // sum — the cumsum is partition-layout-independent so they agree
+    "q_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER
+        |        (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT CAST((cum - n_tok) // 2000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same fixed md5 bucket hash on both sides — a CMS is deterministic
+    // relational algebra, unlike randomized sketches
+    "q_sketch_cms" ->
+      """WITH toks AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |entries AS (SELECT token, d,
+        |    CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), token)),1,8)) AS BIGINT) % 16 AS b
+        |  FROM toks, range(0,4) r(d)),
+        |sketch AS (SELECT d, b, count(*) AS c FROM entries GROUP BY d, b),
+        |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM toks
+        |          GROUP BY token ORDER BY exact_n DESC, token LIMIT 15),
+        |cand AS (SELECT token, exact_n, d,
+        |    CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), token)),1,8)) AS BIGINT) % 16 AS b
+        |  FROM exact, range(0,4) r(d))
+        |SELECT token, exact_n, CAST(min(c) AS BIGINT) AS est_n
+        |FROM cand JOIN sketch USING (d, b)
+        |GROUP BY token, exact_n ORDER BY exact_n DESC, token""".stripMargin,
+
     // same exact-integer keep rule (bucket·cnt < 20·10⁴) as the engine
     "q_sample_stratified" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

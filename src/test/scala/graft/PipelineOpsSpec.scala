@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.PipelineOps
+
+/** The properties of the pipeline-assembly operators their oracles
+  * don't directly state.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("two-pass distributed prefix sum == naive single-partition global window") {
+    val twoPass = PipelineOps.qPackShards(spark, sf)
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val naive = d
+      .withColumn("cum", sum(col("n_tok")).over(Window.orderBy(col("doc_id"))))
+      .withColumn("shard", expr(s"(cum - n_tok) div ${PipelineOps.ShardBudget}"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    assert(twoPass.exceptAll(naive).isEmpty && naive.exceptAll(twoPass).isEmpty,
+      "range-partitioned cumsum must be layout-independent")
+  }
+
+  test("every shard except the last holds at least the budget; none started above it") {
+    val rows = PipelineOps.qPackShards(spark, sf).collect()
+    assert(rows.length > 1, "fixture should need multiple shards")
+    // greedy rule: a shard closes once its running total crosses the
+    // budget, so every non-final shard's tokens >= budget - (max doc)
+    rows.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("tokens") >= PipelineOps.ShardBudget - 200,
+        s"shard ${r.getAs[Long]("shard")} underfilled: ${r.getAs[Long]("tokens")}")
+    }
+  }
+
+  test("CMS estimate is always >= exact and within the N/width error bound") {
+    val total = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val rows = PipelineOps.qSketchCms(spark, sf).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact, s"${r.getString(0)}: CMS must never underestimate")
+      // classic CMS guarantee shape: excess ≤ e·N/width w.h.p.; the
+      // deliberately tiny width (collisions on a 31-token vocab) still
+      // keeps the min-over-depth excess within ~2N/width here
+      assert(est - exact <= 2 * total / PipelineOps.CmsWidth,
+        s"${r.getString(0)}: est $est vs exact $exact (N=$total)")
+    }
+  }
+}
