@@ -173,6 +173,103 @@ object GraftOps {
     comp
   }
 
+  /** Gopher-style repetition signals (top-token mass, duplicate
+    * bigram/trigram fractions, longest run, composite verdict) over
+    * any (id, text) frame — per-row array lambdas, zero shuffle. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.queries.TextOps.repetitionSignals(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Deterministic balanced-allocation stratified sampling: keep rows
+    * so every stratum lands near `target`, via a broadcast per-stratum
+    * count and the exact integer keep rule `bucket·cnt < target·10⁴`
+    * (bucket = 4 md5 hex chars of `keyCol` mod 10⁴). One stateless
+    * pass over the data — no per-stratum ranking shuffle. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       target: Int): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    df.withColumn("__bucket",
+        expr(s"cast(conv(substring(md5($keyCol),1,4),16,10) as int) % 10000"))
+      .join(broadcast(counts), stratumCol)
+      .filter(col("__bucket") * col("__cnt") < lit(target.toLong * 10000L))
+      .drop("__bucket", "__cnt")
+  }
+
+  /** PII scrub of a text column: digit masking, identifier extraction,
+    * and a stable irreversible md5 surrogate (pseudonymization). */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(s"${textCol}_masked", regexp_replace(col(textCol), "[0-9]", "#"))
+      .withColumn(s"${textCol}_id",
+        regexp_extract(col(textCol), "([0-9]+)", 1).cast("long"))
+      .withColumn(s"${textCol}_token", substring(md5(col(textCol)), 1, 12))
+
+  /** Normalization chain: NFC composition (codegen'd graft_nfc) →
+    * case fold → accent fold (composed forms) → punctuation strip →
+    * whitespace collapse. */
+  def normalizeText(df: DataFrame, textCol: String, out: String = "norm"): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(out, trim(regexp_replace(regexp_replace(
+      regexp_replace(lower(expr(s"graft_nfc($textCol)")), "\u00e9", "e"),
+      "[^a-z0-9 ]", " "), " +", " ")))
+  }
+
+  /** Exact global prefix sum of `tokCol` in `idCol` order WITHOUT a
+    * single-partition global window: range-partition on the order key,
+    * per-partition window cumsum (parallel), broadcast per-partition
+    * offsets. The result is layout-independent (PipelineOpsSpec proves
+    * equality with the naive global window). */
+  def prefixSum(df: DataFrame, idCol: String, tokCol: String,
+                out: String = "cum"): DataFrame = {
+    val parted = df.repartitionByRange(col(idCol))
+    val local = parted.withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum",
+        sum(col(tokCol)).over(Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+    val offsets = local.groupBy(col("__pid")).agg(max(col("__lcum")).as("__pt"))
+      .withColumn("__off",
+        coalesce(sum(col("__pt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__lcum") + col("__off"))
+      .drop("__pid", "__lcum", "__off")
+  }
+
+  /** Greedy sequential shard assignment: `shard = tokens-before div
+    * budget` over the [[prefixSum]] running total. */
+  def packShards(df: DataFrame, idCol: String, tokCol: String,
+                 budget: Long): DataFrame =
+    prefixSum(df, idCol, tokCol)
+      .withColumn("shard", expr(s"(cum - $tokCol) div $budget"))
+
+  /** Count-min-sketch counter table over a token column: one row per
+    * (hash row, bucket) — plain relational algebra (merge = sum),
+    * deterministic via the fixed md5 bucket hash. */
+  def cmsSketch(df: DataFrame, tokenCol: String,
+                depth: Int = 4, width: Int = 16): DataFrame =
+    df.select(explode(cmsBuckets(tokenCol, depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates from a [[cmsSketch]]: adds `est_n` = min over the
+    * candidate token's depth counters (never underestimates). */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, tokenCol: String,
+                  depth: Int = 4, width: Int = 16): DataFrame = {
+    val others = candidates.columns.map(col)
+    candidates
+      .withColumn("rb", explode(cmsBuckets(tokenCol, depth, width)))
+      .join(broadcast(sketch), col("rb.r") === col("r") && col("rb.b") === col("b"))
+      .groupBy(others: _*)
+      .agg(min(col("c")).as("est_n"))
+  }
+
+  private[graft] def cmsBuckets(tokenCol: String, depth: Int, width: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${depth - 1}), d ->
+         |  named_struct('r', d,
+         |    'b', cast(conv(substring(md5(concat(cast(d as string), $tokenCol)),1,8),16,10) as bigint) % $width))
+         |""".stripMargin)
+
   /** Deterministic exact dedup: one row per key set, keeping the
     * minimum of the tiebreak columns (hash agg — skew-immune). */
   def dedupExact(df: DataFrame, keys: Seq[String], tiebreak: Seq[String]): DataFrame = {

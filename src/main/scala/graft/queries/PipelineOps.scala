@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-pipeline assembly operators: packing a corpus into
@@ -31,18 +30,7 @@ object PipelineOps {
   def qPackShards(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val parted = d.repartitionByRange(col("doc_id"))
-    val local = parted.withColumn("pid", spark_partition_id())
-      .withColumn("local_cum",
-        sum(col("n_tok")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
-    val offsets = local.groupBy(col("pid")).agg(max(col("local_cum")).as("pt"))
-      .withColumn("offset",
-        coalesce(sum(col("pt")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("offset"))
-    local.join(broadcast(offsets), "pid")
-      .withColumn("cum", col("local_cum") + col("offset"))
-      .withColumn("shard", expr(s"(cum - n_tok) div $ShardBudget"))
+    graft.api.GraftOps.packShards(d, "doc_id", "n_tok", ShardBudget)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -71,30 +59,13 @@ object PipelineOps {
     * candidate stream (the sketch itself answers point queries), while
     * the sketch side is already the scalable shape. */
   def qSketchCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.GraftOps
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
-    // (row, bucket) pairs: bucket_d(token) = md5(d||token) mod width
-    val entries = toks.select(col("token"),
-        explode(expr(
-          s"""transform(sequence(0, ${CmsDepth - 1}), d ->
-             |  named_struct('r', d,
-             |    'b', cast(conv(substring(md5(concat(cast(d as string), token)),1,8),16,10) as bigint) % $CmsWidth))
-             |""".stripMargin)).as("rb"))
-    val sketch = entries.groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+    val sketch = GraftOps.cmsSketch(toks, "token", CmsDepth, CmsWidth)
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token")).limit(15)
-    // estimate: min over the candidate's CmsDepth counters
-    val cand = exact.select(col("token"), col("exact_n"),
-      explode(expr(
-        s"""transform(sequence(0, ${CmsDepth - 1}), d ->
-           |  named_struct('r', d,
-           |    'b', cast(conv(substring(md5(concat(cast(d as string), token)),1,8),16,10) as bigint) % $CmsWidth))
-           |""".stripMargin)).as("rb"))
-    cand.join(broadcast(sketch),
-        col("rb.r") === col("r") && col("rb.b") === col("b"))
-      .groupBy(col("token"), col("exact_n"))
-      .agg(min(col("c")).as("est_n"))
+    GraftOps.cmsEstimate(sketch, exact, "token", CmsDepth, CmsWidth)
       .orderBy(col("exact_n").desc, col("token"))
   }
 }

@@ -83,4 +83,51 @@ class GraftOpsSpec extends SparkSpec {
     val maxPer = top.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
     assert(maxPer <= 2)
   }
+
+  test("repetitionSignals reproduces the declared repetition key") {
+    val api = GraftOps.repetitionSignals(Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy(col("doc_id")).limit(300)
+    val declared = queries.TextOps.qTextRepetition(spark, sf)
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("stratifiedSample's kept counts equal the declared sampling summary") {
+    val api = GraftOps.stratifiedSample(Tables.documents(spark, sf), "lang", "text", 20)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val declared = queries.TextOps.qSampleStratified(spark, sf)
+      .select(col("lang"), col("n_kept"))
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("piiScrub reproduces the declared scrub columns on customer") {
+    val api = GraftOps.piiScrub(Tables.customer(spark, sf), "c_name")
+      .select(col("c_custkey").as("key"), col("c_name_masked").as("name_masked"),
+        col("c_name_id").as("id_num"), col("c_name_token").as("id_token"))
+    val declared = queries.ScrubOps.qPiiScrub(spark, sf)
+      .filter(col("entity") === "customer")
+      .select(col("key"), col("name_masked"), col("id_num"), col("id_token"))
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("normalizeText matches the declared normalization chain") {
+    val base = Tables.part(spark, sf).withColumn("raw",
+      concat(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")),
+        lit(" é")))
+    val api = GraftOps.normalizeText(base, "raw")
+      .select(col("p_partkey"), col("norm"))
+    val declared = queries.ScrubOps.qTextNormalize(spark, sf)
+      .select(col("p_partkey"), col("norm"))
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
+
+  test("packShards assigns contiguous budget-bounded shards (declared key is its rollup)") {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val api = GraftOps.packShards(d, "doc_id", "n_tok", queries.PipelineOps.ShardBudget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    val declared = queries.PipelineOps.qPackShards(spark, sf)
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+  }
 }
