@@ -116,18 +116,19 @@ object OracleSqlLlm {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // same fixed md5 bucket hash on both sides — a CMS is deterministic
+    // same fixed bucket hash on both sides — the depth rows are the 4
+    // disjoint 8-hex-char slices of one md5; a CMS is deterministic
     // relational algebra, unlike randomized sketches
     "q_sketch_cms" ->
       """WITH toks AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
         |entries AS (SELECT token, d,
-        |    CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), token)),1,8)) AS BIGINT) % 16 AS b
+        |    CAST(concat('0x', substring(md5(token), 1 + d * 8, 8)) AS BIGINT) % 16 AS b
         |  FROM toks, range(0,4) r(d)),
         |sketch AS (SELECT d, b, count(*) AS c FROM entries GROUP BY d, b),
         |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM toks
         |          GROUP BY token ORDER BY exact_n DESC, token LIMIT 15),
         |cand AS (SELECT token, exact_n, d,
-        |    CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), token)),1,8)) AS BIGINT) % 16 AS b
+        |    CAST(concat('0x', substring(md5(token), 1 + d * 8, 8)) AS BIGINT) % 16 AS b
         |  FROM exact, range(0,4) r(d))
         |SELECT token, exact_n, CAST(min(c) AS BIGINT) AS est_n
         |FROM cand JOIN sketch USING (d, b)

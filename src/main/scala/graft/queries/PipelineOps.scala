@@ -60,11 +60,16 @@ object PipelineOps {
     * the sketch side is already the scalable shape. */
   def qSketchCms(spark: SparkSession, dir: String): DataFrame = {
     import graft.api.GraftOps
-    val toks = Tables.documents(spark, dir)
+    // ONE pass over the token stream: the (token, n) aggregate feeds
+    // both the sketch (counters are additive) and the exact baseline;
+    // localCheckpoint keeps the tiny counts frame from recomputing the
+    // corpus shuffle for each branch.
+    val counts = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
-    val sketch = GraftOps.cmsSketch(toks, "token", CmsDepth, CmsWidth)
-    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("token")).limit(15)
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint(true)
+    val sketch = GraftOps.cmsSketchFromCounts(counts, "token", "exact_n", CmsDepth, CmsWidth)
+    val exact = counts.orderBy(col("exact_n").desc, col("token")).limit(15)
     GraftOps.cmsEstimate(sketch, exact, "token", CmsDepth, CmsWidth)
       .orderBy(col("exact_n").desc, col("token"))
   }

@@ -45,6 +45,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("corpus-cleaning keys are pure projections — no Exchange before the presentation sort") {
+    // repetition/pii/normalize must stream through the scan; the only
+    // shuffle allowed is the final orderBy's range exchange
+    Seq(
+      "q_text_repetition" -> queries.TextOps.qTextRepetition(spark, sf),
+      "q_pii_scrub"       -> queries.ScrubOps.qPiiScrub(spark, sf),
+      "q_text_normalize"  -> queries.ScrubOps.qTextNormalize(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = planOf(df)
+      val exchanges = "(?i)exchange".r.findAllIn(p).size
+      // ideal: sorted limit fuses into TakeOrderedAndProject (per-
+      // partition top-N + driver merge, zero exchanges); a bounded
+      // number of exchanges for an explicit sort is also acceptable
+      assert(exchanges <= 2 && (exchanges == 0 || p.contains("TakeOrderedAndProject")
+          || p.toLowerCase.contains("rangepartitioning")),
+        s"$name should shuffle only for the final sort ($exchanges exchanges):\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q_pack_shards' corpus window is per-partition, not a single global partition") {
+    val p = planOf(queries.PipelineOps.qPackShards(spark, sf))
+    // the running sum over the corpus must be partitioned by __pid;
+    // only the tiny per-partition offsets frame gets a global window
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"two-pass prefix sum lost its partitioned window:\n$p")
+  }
+
+  test("q_sample_stratified joins the broadcast counts — corpus is never range/hash shuffled") {
+    val p = planOf(queries.TextOps.qSampleStratified(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"counts join must broadcast:\n$p")
+  }
+
   test("filter + projection reach the scan for events (ns-timestamp path)") {
     val df = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
