@@ -110,6 +110,8 @@ object SparkEntry {
     "q_stream_join"        -> StreamOps.qStreamJoin _,
     "q_pack_shards"        -> PipelineOps.qPackShards _,
     "q_sketch_cms"         -> PipelineOps.qSketchCms _,
+    "q_bucket_join"        -> Layout.qBucketJoin _,
+    "q_skew_salted"        -> Aggs.qSkewSalted _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

@@ -145,4 +145,26 @@ object Aggs {
         count(lit(1)).as("n"))
       .orderBy(col("l_orderkey"))
   }
+
+  /** DECLARED skew-mitigation key: two-stage SALTED aggregation on the
+    * maximally skewed l_returnflag (3 values over the whole fact
+    * table). Stage 1 aggregates (key, salt) — each hot key spread over
+    * 8 reducers — stage 2 merges the partials per key; the oracle is
+    * the PLAIN one-stage GROUP BY, so the green row is a standing
+    * proof that salting is a pure execution-strategy change. The salt
+    * is a deterministic integer derived from the row's natural key
+    * (engine-neutral, no rand()); sum/count/min/max all re-aggregate
+    * losslessly — this is the manual form of what AQE skew-join does
+    * for joins, needed when a groupBy itself is the skew point. */
+  def qSkewSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("salt",
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(8)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pn"),
+        min(col("l_extendedprice")).as("pmin"), max(col("l_extendedprice")).as("pmax"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("ps")), 2).as("q"), sum(col("pn")).as("n"),
+        round(min(col("pmin")), 2).as("min_price"), round(max(col("pmax")), 2).as("max_price"))
+      .orderBy(col("l_returnflag"))
 }

@@ -347,6 +347,23 @@ object OracleSqlLlm {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY purchase_id, click_id LIMIT 300""".stripMargin,
 
+    // the bucketed write→co-located merge-join round-trip must equal
+    // the same join aggregate over the raw parquet tables
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 2) AS q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the salted two-stage aggregation must equal the plain GROUP BY —
+    // salting is an execution-strategy change, not a semantic one
+    "q_skew_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS q,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the partitioned write→pruned read round-trip must equal the same
     // aggregate over the unpartitioned table
     "q_part_pruned" ->

@@ -35,6 +35,16 @@ class BucketingSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("o_month=3")), files.mkString("\n"))
   }
 
+  test("declared key q_bucket_join: co-located SMJ over bucket files, no join-key Exchange") {
+    val df = queries.Layout.qBucketJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle either side on the join key:\n$plan")
+  }
+
   test("bucketed+sorted tables join with zero Exchange (co-located join)") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse conf is static and can't move after session start.
