@@ -218,13 +218,18 @@ object GraftOps {
     * single-partition global window: range-partition on the order key,
     * per-partition window cumsum (parallel), broadcast per-partition
     * offsets. The result is layout-independent (PipelineOpsSpec proves
-    * equality with the naive global window). */
+    * equality with the naive global window). `idCol` must be UNIQUE:
+    * the ROWS frame makes each row its own step (the default RANGE
+    * frame would lump order-key peers into one cumulative value), but
+    * with duplicate keys the per-row order among peers — and hence
+    * each peer's cum — would be nondeterministic. */
   def prefixSum(df: DataFrame, idCol: String, tokCol: String,
                 out: String = "cum"): DataFrame = {
     val parted = df.repartitionByRange(col(idCol))
     val local = parted.withColumn("__pid", spark_partition_id())
       .withColumn("__lcum",
-        sum(col(tokCol)).over(Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+        sum(col(tokCol)).over(Window.partitionBy(col("__pid")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val offsets = local.groupBy(col("__pid")).agg(max(col("__lcum")).as("__pt"))
       .withColumn("__off",
         coalesce(sum(col("__pt")).over(
@@ -263,15 +268,20 @@ object GraftOps {
       .agg(sum(col(nCol)).as("c"))
 
   /** Point estimates from a [[cmsSketch]]: adds `est_n` = min over the
-    * candidate token's depth counters (never underestimates). */
+    * candidate token's depth counters (never underestimates). The join
+    * is LEFT with a zero default: a sketch stores only nonzero
+    * counters, so a candidate bucket absent from the sketch is an
+    * implicit 0 — an inner join would silently drop a token whose
+    * buckets are all empty, and overestimate when only some are. */
   def cmsEstimate(sketch: DataFrame, candidates: DataFrame, tokenCol: String,
                   depth: Int = 4, width: Int = 16): DataFrame = {
     val others = candidates.columns.map(col)
     candidates
       .withColumn("rb", explode(cmsBuckets(tokenCol, depth, width)))
-      .join(broadcast(sketch), col("rb.r") === col("r") && col("rb.b") === col("b"))
+      .join(broadcast(sketch),
+        col("rb.r") === col("r") && col("rb.b") === col("b"), "left")
       .groupBy(others: _*)
-      .agg(min(col("c")).as("est_n"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 
   /** The depth hash rows are the four disjoint 8-hex-char slices of

@@ -51,8 +51,11 @@ case class EmbLshKeys(child: Expression) extends UnaryExpression {
     val planes = EmbLshKeys.planes
     val keys = new Array[Int](EmbLsh.Bands)
     val dims = math.min(EmbLsh.Dims, emb.numElements())
+    // scan the WHOLE array, not just the first Dims slots: the
+    // oracle's list_dot_product sees every element, so a null past
+    // Dims still NULLs every projection there
     var i = 0
-    while (i < dims) {
+    while (i < emb.numElements()) {
       if (emb.isNullAt(i)) return UnsafeArrayData.fromPrimitiveArray(EmbLshKeys.nullElementKeys)
       i += 1
     }
@@ -91,7 +94,7 @@ case class EmbLshKeys(child: Expression) extends UnaryExpression {
          |int[] $keys = new int[${EmbLsh.Bands}];
          |int $dims = java.lang.Math.min(${EmbLsh.Dims}, $a.numElements());
          |boolean $hasNull = false;
-         |for (int $ni = 0; $ni < $dims; $ni++) {
+         |for (int $ni = 0; $ni < $a.numElements(); $ni++) {
          |  if ($a.isNullAt($ni)) { $hasNull = true; break; }
          |}
          |if ($hasNull) {

@@ -189,12 +189,12 @@ object OracleSqlLlm {
         |    list_filter(range(1, len(t)+1), i -> i = 1 OR t[i] <> t[i-1]) AS b
         |  FROM x)
         |SELECT doc_id, n_tok,
-        |  round(top1 / CAST(n_tok AS DOUBLE), 4) AS top1_frac,
+        |  ((20000 * top1 + n_tok) // (2 * n_tok)) / CAST(10000 AS DOUBLE) AS top1_frac,
         |  CASE WHEN bi_tot > 0
-        |       THEN round((bi_tot - bi_dis) / CAST(bi_tot AS DOUBLE), 4)
+        |       THEN ((20000 * (bi_tot - bi_dis) + bi_tot) // (2 * bi_tot)) / CAST(10000 AS DOUBLE)
         |       ELSE 0.0 END AS dup_bi_frac,
         |  CASE WHEN tri_tot > 0
-        |       THEN round((tri_tot - tri_dis) / CAST(tri_tot AS DOUBLE), 4)
+        |       THEN ((20000 * (tri_tot - tri_dis) + tri_tot) // (2 * tri_tot)) / CAST(10000 AS DOUBLE)
         |       ELSE 0.0 END AS dup_tri_frac,
         |  list_max(list_transform(range(1, len(b)+1),
         |    j -> (CASE WHEN j+1 <= len(b) THEN b[j+1] ELSE n_tok+1 END) - b[j])) AS max_run,

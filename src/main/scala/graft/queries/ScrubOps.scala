@@ -26,13 +26,14 @@ object ScrubOps {
     * applies unchanged to those patterns (the digit class and the
     * capture are the operator under test, not the dictionary). */
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    // one implementation of the scrub chain: GraftOps.piiScrub
     def scrub(df: DataFrame, key: String, name: String, entity: String): DataFrame =
-      df.select(
+      graft.api.GraftOps.piiScrub(df, name).select(
         col(key).as("key"),
         lit(entity).as("entity"),
-        regexp_replace(col(name), "[0-9]", "#").as("name_masked"),
-        regexp_extract(col(name), "([0-9]+)", 1).cast("long").as("id_num"),
-        substring(md5(col(name)), 1, 12).as("id_token"),
+        col(s"${name}_masked").as("name_masked"),
+        col(s"${name}_id").as("id_num"),
+        col(s"${name}_token").as("id_token"),
         expr(s"regexp_count($name, '[0-9]')").as("n_digits"))
     scrub(Tables.customer(spark, dir), "c_custkey", "c_name", "customer")
       .unionAll(scrub(Tables.supplier(spark, dir), "s_suppkey", "s_name", "supplier"))
@@ -56,13 +57,13 @@ object ScrubOps {
         concat(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")),
           lit(" e\u0301"))) // decomposed: e + combining acute
       .withColumn("nfc", expr("graft_nfc(raw)"))
+      // one implementation of the fold/squash chain: GraftOps.normalizeText
+      .transform(d => graft.api.GraftOps.normalizeText(d, "raw"))
       .select(
         col("p_partkey"),
         length(col("raw")).as("raw_len"),
         length(col("nfc")).as("nfc_len"),
-        trim(regexp_replace(regexp_replace(
-          regexp_replace(lower(col("nfc")), "\u00e9", "e"), // composed only
-          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+        col("norm"))
       .orderBy(col("p_partkey"))
       .limit(300)
   }

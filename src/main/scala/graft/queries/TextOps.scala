@@ -292,12 +292,19 @@ object TextOps {
       .select(
         col("doc_id"),
         size(col("t")).as("n_tok"),
-        round(col("top1") / size(col("t")).cast("double"), 4).as("top1_frac"),
+        // all three fractions are round-half-up(10⁴·k/n) computed in
+        // EXACT integer arithmetic — floor((2·10⁴·k + n) / (2n)) —
+        // then divided by 10⁴.0 (one IEEE op on identical integers).
+        // round(k/n, 4) on the double would sit on the §2.2 half-up
+        // boundary class for data-dependent denominators (e.g.
+        // 57/800: Spark's shortest-repr HALF_UP says .0713, DuckDB's
+        // scaled-multiply says .0712); the integer form cannot.
+        expr("((20000 * top1 + size(t)) div (2 * size(t))) / cast(10000 as double)").as("top1_frac"),
         when(col("bi_tot") > 0,
-          round((col("bi_tot") - col("bi_dis")) / col("bi_tot").cast("double"), 4))
+          expr("((20000 * (bi_tot - bi_dis) + bi_tot) div (2 * bi_tot)) / 10000.0"))
           .otherwise(0.0).as("dup_bi_frac"),
         when(col("tri_tot") > 0,
-          round((col("tri_tot") - col("tri_dis")) / col("tri_tot").cast("double"), 4))
+          expr("((20000 * (tri_tot - tri_dis) + tri_tot) div (2 * tri_tot)) / 10000.0"))
           .otherwise(0.0).as("dup_tri_frac"),
         col("max_run"),
         (col("top1") * 5 > size(col("t")) ||

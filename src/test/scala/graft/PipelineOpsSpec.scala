@@ -14,7 +14,8 @@ class PipelineOpsSpec extends SparkSpec {
     val d = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
     val naive = d
-      .withColumn("cum", sum(col("n_tok")).over(Window.orderBy(col("doc_id"))))
+      .withColumn("cum", sum(col("n_tok")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("shard", expr(s"(cum - n_tok) div ${PipelineOps.ShardBudget}"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
