@@ -112,6 +112,7 @@ object SparkEntry {
     "q_sketch_cms"         -> PipelineOps.qSketchCms _,
     "q_bucket_join"        -> Layout.qBucketJoin _,
     "q_skew_salted"        -> Aggs.qSkewSalted _,
+    "q_csv_roundtrip"      -> Layout.qCsvRoundtrip _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

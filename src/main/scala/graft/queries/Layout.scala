@@ -72,6 +72,27 @@ object Layout {
     * the declared result also proves the bucketed round-trip loses
     * nothing. Tables are keyed by scale factor; the write runs every
     * invocation — the key deliberately measures the full round-trip. */
+  /** DECLARED format-round-trip key: orders → CSV (header, explicit
+    * schema both ways) → read back → aggregate. The oracle computes
+    * the same aggregate from the original parquet, so the green row
+    * proves the CSV text round-trip is lossless for every carried
+    * type (bigint keys, double money via shortest-repr printing, DATE,
+    * strings) — the declared-path piece of the §2.4-A source/sink
+    * story that SourcesSpec covers only at unit level. Schema is
+    * EXPLICIT on read: inference would widen/narrow types per file
+    * sample and break the hash compare. */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$layoutRoot/${new java.io.File(dir).getName}/orders_csv"
+    val o = Tables.orders(spark, dir)
+    o.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(o.schema).option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("s"),
+        min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Canonical fixture paths whose bucketed tables this JVM already
     * wrote. Bucketing's whole premise is write-once/join-forever: the
     * first invocation pays the layout write, later invocations (e.g.

@@ -347,6 +347,14 @@ object OracleSqlLlm {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY purchase_id, click_id LIMIT 300""".stripMargin,
 
+    // the CSV write→read round-trip must equal the same aggregate over
+    // the original parquet — text serialization is lossless
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS s,
+        |       min(o_orderdate) AS d0, max(o_orderdate) AS d1
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the bucketed write→co-located merge-join round-trip must equal
     // the same join aggregate over the raw parquet tables
     "q_bucket_join" ->
