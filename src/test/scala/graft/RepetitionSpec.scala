@@ -42,6 +42,20 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getAs[Boolean]("repetitive")) // 3*5 > 5
   }
 
+  test("exact-integer ratio rounding == BigDecimal HALF_UP of the rational, exhaustively near boundaries") {
+    // the frac columns compute round-half-up(10⁴·k/n) as
+    // floor((2·10⁴·k + n)/(2n)) — prove that integer form equals the
+    // definitional BigDecimal division for every k ≤ n over a dense
+    // sweep including all boundary-prone denominators (n=800 family)
+    for (n <- (1 to 128) ++ Seq(200, 300, 500, 777, 800, 801, 1000, 9999); k <- 0 to math.min(n, 512)) {
+      val intForm = (20000L * k + n) / (2L * n)
+      val bdForm = new java.math.BigDecimal(k)
+        .divide(new java.math.BigDecimal(n), 4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+      assert(intForm === bdForm, s"k=$k n=$n")
+    }
+  }
+
   test("sub-n-gram docs are guarded: no spurious grams, fractions are 0") {
     val m = signalsOf((4L, "one"), (5L, "one two"))
     val one = m(4L)
