@@ -113,6 +113,8 @@ object SparkEntry {
     "q_bucket_join"        -> Layout.qBucketJoin _,
     "q_skew_salted"        -> Aggs.qSkewSalted _,
     "q_csv_roundtrip"      -> Layout.qCsvRoundtrip _,
+    "q_sample_temperature" -> TextOps.qSampleTemperature _,
+    "q_json_roundtrip"     -> Layout.qJsonRoundtrip _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,

@@ -196,6 +196,26 @@ object GraftOps {
       .drop("__bucket", "__cnt")
   }
 
+  /** Temperature-based (τ = 0.5) multi-source mixing: keep rows with
+    * probability ∝ √cnt_s / cnt_s so head strata are damped without
+    * flattening the mix, targeting ~`k` rows total allocated ∝ √cnt.
+    * Weights are integer isqrt(cnt) and the keep rule
+    * `bucket·W·cnt < k·w·10⁴` is exact integer arithmetic — no
+    * floating-point boundary to diverge on. */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                        k: Int): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__w", expr("cast(sqrt(__cnt) as bigint)"))
+    val totalW = counts.agg(sum(col("__w")).as("__tw"))
+    df.withColumn("__bucket",
+        expr(s"cast(conv(substring(md5($keyCol),1,4),16,10) as int) % 10000"))
+      .join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(totalW))
+      .filter(col("__bucket") * col("__tw") * col("__cnt") <
+        lit(k.toLong) * col("__w") * lit(10000L))
+      .drop("__bucket", "__cnt", "__w", "__tw")
+  }
+
   /** PII scrub of a text column: digit masking, identifier extraction,
     * and a stable irreversible md5 surrogate (pseudonymization). */
   def piiScrub(df: DataFrame, textCol: String): DataFrame =

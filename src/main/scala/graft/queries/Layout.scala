@@ -93,6 +93,30 @@ object Layout {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DECLARED format-round-trip key, JSON flavor: events (ns-timestamp
+    * table via graft.Tables, nested-ish props string, doubles) → JSON
+    * lines → read back under the explicit schema → aggregate. Same
+    * contract as [[qCsvRoundtrip]]: the oracle aggregates the original
+    * parquet, so green = lossless text round-trip. Timestamps are
+    * written as ISO-8601 micros and parsed back under the explicit
+    * TimestampType field — the schema keeps inference from guessing
+    * strings. */
+  def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$layoutRoot/${new java.io.File(dir).getName}/events_json"
+    val e = Tables.events(spark, dir)
+    // Spark's DEFAULT JSON timestampFormat carries milliseconds only —
+    // the explicit micro format on both sides keeps the round-trip
+    // lossless (this is exactly what this key exists to catch)
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    e.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    spark.read.schema(e.schema).option("timestampFormat", fmt).json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sv"),
+        min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .orderBy(col("event_type"))
+  }
+
   /** Canonical fixture paths whose bucketed tables this JVM already
     * wrote. Bucketing's whole premise is write-once/join-forever: the
     * first invocation pays the layout write, later invocations (e.g.

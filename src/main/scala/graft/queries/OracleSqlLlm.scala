@@ -134,6 +134,21 @@ object OracleSqlLlm {
         |FROM cand JOIN sketch USING (d, b)
         |GROUP BY token, exact_n ORDER BY exact_n DESC, token""".stripMargin,
 
+    // τ=0.5 temperature mixing: integer isqrt weights keep the rule
+    // bucket·W·cnt < K·w·10⁴ exact — no doubles near the boundary
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt,
+        |             CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |           FROM documents GROUP BY lang),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM c),
+        |k AS (SELECT d.lang, cnt, w, tw,
+        |        CAST(concat('0x', substring(md5(text),1,4)) AS BIGINT) % 10000 AS bucket
+        |      FROM documents d JOIN c USING (lang) CROSS JOIN tw)
+        |SELECT lang, CAST(max(cnt) AS BIGINT) AS n_total,
+        |  CAST(max(w) AS BIGINT) AS weight,
+        |  CAST(sum(CASE WHEN bucket * tw * cnt < 100 * w * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     // same exact-integer keep rule (bucket·cnt < 20·10⁴) as the engine
     "q_sample_stratified" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -354,6 +369,14 @@ object OracleSqlLlm {
         |       round(sum(o_totalprice), 2) AS s,
         |       min(o_orderdate) AS d0, max(o_orderdate) AS d1
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the JSON write→read round-trip must equal the same aggregate
+    // over the original parquet (ns ts → µs truncation on both sides)
+    "q_json_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sv,
+        |       min(ts) AS t0, max(ts) AS t1
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the bucketed write→co-located merge-join round-trip must equal
     // the same join aggregate over the raw parquet tables

@@ -201,6 +201,41 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-based multi-source mixing (τ = 0.5): downsample each
+    * language stratum with probability ∝ √cnt_s / cnt_s — the
+    * exponent-smoothed rebalancing a multilingual training pipeline
+    * uses so head languages stop dominating without flattening the
+    * mix entirely (smaller strata keep a larger share than
+    * proportional, smaller than uniform). K = 100 target docs total,
+    * allocated ∝ √cnt_s.
+    *
+    * Cross-engine exactness: the naive form computes pow/normalized
+    * rates in floating point, where a 1-ulp libm difference at the
+    * keep threshold flips rows between engines. Here the weights are
+    * integer isqrt(cnt) (floor of the correctly-rounded IEEE sqrt —
+    * exact for counts ≪ 2⁵²), W = Σ weights is an integer, and the
+    * keep rule `bucket · W · cnt_s < K · w_s · 10⁴` is an exact
+    * integer comparison — zero doubles anywhere near a decision
+    * boundary. Same two-pass broadcast shape as q_sample_stratified:
+    * one tiny count aggregate, one stateless corpus pass. */
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr("cast(sqrt(cnt) as bigint)"))
+    val totalW = counts.agg(sum(col("w")).as("tw"))
+    val keep = col("bucket") * col("tw") * col("cnt") < lit(100L) * col("w") * lit(10000L)
+    d.select(col("lang"),
+        expr("cast(conv(substring(md5(text),1,4),16,10) as int) % 10000").as("bucket"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(totalW))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("cnt")).as("n_total"),
+        max(col("w")).as("weight"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Benchmark decontamination: corpus docs sharing an n-gram with
     * the benchmark set (docs 0–4 as the stand-in) and how many
     * distinct n-grams they share — the overlap report a training
