@@ -130,7 +130,16 @@ object SparkEntry {
     "q_agg_udaf_wavg"      -> VectorOps.qAggUdafWavg _,
     "q_topk_custom"        -> VectorOps.qTopkCustom _,
     "q_emb_centroid"       -> VectorOps.qEmbCentroid _,
-    "q_knn_ivf"            -> VectorOps.qKnnIvf _
+    "q_knn_ivf"            -> VectorOps.qKnnIvf _,
+    // round-6 warehouse/curation ops
+    "q_dq_audit"           -> WarehouseOps.qDqAudit _,
+    "q_scd2"               -> WarehouseOps.qScd2 _,
+    "q_dpp_join"           -> WarehouseOps.qDppJoin _,
+    "q_interval_overlap"   -> WarehouseOps.qIntervalOverlap _,
+    "q_zorder_layout"      -> WarehouseOps.qZorderLayout _,
+    "q_emb_quantize"       -> VectorOps.qEmbQuantize _,
+    "q_text_zipf"          -> TextOps.qTextZipf _,
+    "q_orc_roundtrip"      -> Layout.qOrcRoundtrip _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

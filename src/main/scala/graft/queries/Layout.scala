@@ -117,6 +117,29 @@ object Layout {
       .orderBy(col("event_type"))
   }
 
+  /** DECLARED format-round-trip key, ORC flavor: the lineitem slice →
+    * ORC (Spark's second columnar container: same nested encoding
+    * family as parquet but ZLIB-striped) → read back → aggregate.
+    * Same contract as [[qCsvRoundtrip]]: the oracle aggregates the
+    * original parquet, so green = the ORC round-trip preserves bigint
+    * keys, double money, timestamps and strings exactly. ORC carries
+    * its own schema, so no explicit read schema is needed — which is
+    * itself part of what the key verifies (self-describing round-trip,
+    * unlike the text formats). */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$layoutRoot/${new java.io.File(dir).getName}/lineitem_orc"
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 30000)
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("q"),
+        round(sum(col("l_extendedprice")), 2).as("s"),
+        min(col("l_shipdate")).as("d0"), max(col("l_shipdate")).as("d1"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Canonical fixture paths whose bucketed tables this JVM already
     * wrote. Bucketing's whole premise is write-once/join-forever: the
     * first invocation pays the layout write, later invocations (e.g.

@@ -1,0 +1,149 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the round-6 warehouse/curation keys
+  * (WarehouseOps + the round-6 additions to Layout/TextOps/VectorOps).
+  * Same dialect seams as OracleSql (SURVEY.md §2.2): integer division
+  * is `div`↔`//`, BIGINT casts where DuckDB widens to HUGEINT,
+  * ⌊x+0.5⌋ instead of round() wherever a half-up boundary could be
+  * data-dependent.
+  */
+object OracleSqlWh {
+
+  val all: Map[String, String] = Map(
+
+    "q_dq_audit" ->
+      """SELECT check_name, violations, violations = 0 AS passed FROM (
+        |  SELECT 'lineitem_complete_qty' AS check_name,
+        |         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_range_discount',
+        |         CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_set_returnflag',
+        |         CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_complete_date',
+        |         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_unique_key',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |) t ORDER BY check_name""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev_status
+        |  FROM orders
+        |), v AS (
+        |  SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS version
+        |  FROM ch WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        |)
+        |SELECT o_custkey, status, valid_from, valid_to, version,
+        |       valid_to IS NULL AS is_current
+        |FROM v WHERE o_custkey < 300 ORDER BY o_custkey, version""".stripMargin,
+
+    "q_dpp_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
+        |FROM orders WHERE month(o_orderdate) IN (4,5,6)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH spans AS (
+        |  SELECT n.n_name, o.o_orderkey, o.o_orderdate AS t0,
+        |         o.o_orderdate + INTERVAL 30 DAY AS t1
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |), points AS (
+        |  SELECT n_name, t0 AS t, 1 AS delta, o_orderkey FROM spans
+        |  UNION ALL
+        |  SELECT n_name, t1 AS t, -1 AS delta, o_orderkey FROM spans
+        |), sweep AS (
+        |  SELECT n_name, delta,
+        |         sum(delta) OVER (PARTITION BY n_name
+        |           ORDER BY t, delta, o_orderkey) AS open_now
+        |  FROM points
+        |)
+        |SELECT n_name, CAST(max(open_now) AS BIGINT) AS peak_concurrent,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+        |FROM sweep GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT CAST(o_custkey % 256 AS BIGINT) AS xb,
+        |         CAST(date_diff('day', DATE '1995-01-01',
+        |                        CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+        |  FROM orders
+        |), z AS (
+        |  SELECT xb, yb,
+        |         ( ((xb & 1) << 0) + ((yb & 1) << 1)
+        |         + ((xb & 2) << 1) + ((yb & 2) << 2)
+        |         + ((xb & 4) << 2) + ((yb & 4) << 3)
+        |         + ((xb & 8) << 3) + ((yb & 8) << 4)
+        |         + ((xb & 16) << 4) + ((yb & 16) << 5)
+        |         + ((xb & 32) << 5) + ((yb & 32) << 6)
+        |         + ((xb & 64) << 6) + ((yb & 64) << 7)
+        |         + ((xb & 128) << 7) + ((yb & 128) << 8) ) AS zv
+        |  FROM b
+        |)
+        |SELECT zv // 256 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(xb) AS x_min, max(xb) AS x_max,
+        |       min(yb) AS y_min, max(yb) AS y_max
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH q AS (
+        |  SELECT label,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |           v -> CAST(least(greatest(floor(v * 127.0 + 0.5), -127.0), 127.0) AS BIGINT)) AS qc
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT label,
+        |         CAST(list_sum(qc) AS BIGINT) AS code_sum,
+        |         CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS code_energy,
+        |         list_min(qc) AS qmin, list_max(qc) AS qmax
+        |  FROM q
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(code_sum) AS BIGINT) AS code_sum,
+        |       CAST(sum(code_energy) AS BIGINT) AS code_energy,
+        |       min(qmin) AS code_min, max(qmax) AS code_max
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_text_zipf" ->
+      """WITH counts AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY term
+        |), r AS (
+        |  SELECT term, n,
+        |         row_number() OVER (ORDER BY n DESC, term) AS rnk,
+        |         max(n) OVER () AS top_n
+        |  FROM counts
+        |)
+        |SELECT rnk, term, n, (10000 * n) // top_n AS share_bp
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity),2) AS q, round(sum(l_extendedprice),2) AS s,
+        |       min(l_shipdate) AS d0, max(l_shipdate) AS d1
+        |FROM lineitem WHERE l_orderkey <= 30000
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

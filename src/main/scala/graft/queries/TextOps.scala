@@ -344,4 +344,27 @@ object TextOps {
         col("max_run"),
         (col("top1") * 5 > size(col("t")) ||
           (col("tri_tot") - col("tri_dis")) * 10 > col("tri_tot") * 3).as("repetitive"))
+
+  /** Corpus Zipf profile: global term frequencies ranked, with each
+    * term's share of the top term's count in exact basis points —
+    * (10⁴·n) div n₁, integer division, no float rounding seam. The
+    * rank/share curve is the standard corpus-health fingerprint (a
+    * natural corpus tracks n ∝ 1/rank; a scraped-boilerplate corpus
+    * goes flat). One explode + one map-side-combinable count agg; the
+    * ranking window runs over the aggregated VOCABULARY (tiny at any
+    * corpus scale), not the token stream. */
+  def qTextZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val byFreq = Window.orderBy(col("n").desc, col("term"))
+    counts
+      .withColumn("rnk", row_number().over(byFreq))
+      .withColumn("top_n", max(col("n")).over(Window.partitionBy()))
+      .filter(col("rnk") <= 50)
+      .select(col("rnk"), col("term"), col("n"),
+        expr("(10000 * n) div top_n").as("share_bp"))
+      .orderBy(col("rnk"))
+  }
 }

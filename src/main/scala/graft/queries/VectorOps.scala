@@ -201,6 +201,34 @@ object VectorOps {
       .limit(100)
   }
 
+  /** Int8 symmetric embedding quantization audit — the compression
+    * step every 100 TB vector store applies before indexing (4× over
+    * float32). code = clamp(⌊v·127 + 0.5⌋, ±127); the ⌊x+0.5⌋ spelling
+    * (not round()) sidesteps engines' half-up-vs-banker seams: floor
+    * of the SAME IEEE double is bit-deterministic everywhere. All
+    * outputs are exact integers — per label the vector count, summed
+    * code mass, summed squared-code "energy" (‖q‖² ≈ 127² for the
+    * L2-normalized fixture), and global code extrema — computed by
+    * per-row array folds (zero shuffle) + one 10-group aggregate. */
+  def qEmbQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val codes = expr(
+      """transform(embedding,
+        |  v -> least(greatest(floor(cast(v as double) * 127.0d + 0.5d), -127L), 127L))
+        |""".stripMargin)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), codes.as("q"))
+      .select(col("label"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("code_sum"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").as("code_energy"),
+        expr("array_min(q)").as("qmin"), expr("array_max(q)").as("qmax"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("code_sum")).as("code_sum"),
+        sum(col("code_energy")).as("code_energy"),
+        min(col("qmin")).as("code_min"), max(col("qmax")).as("code_max"))
+      .orderBy(col("label"))
+  }
+
   /** Typed-Aggregator UDAF: weighted average price by quantity per
     * returnflag; oracle is the algebraic sum(v*w)/sum(w). */
   def qAggUdafWavg(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-grade pipeline operators (round 6): declarative
+  * data-quality auditing, slowly-changing-dimension building, dynamic
+  * partition pruning, sweep-line interval analytics, and Z-order
+  * clustering. Each is a standard large-scale-warehouse technique
+  * re-expressed Spark-first and DuckDB-oracle-verified.
+  */
+object WarehouseOps {
+
+  /** Deequ-style declarative data-quality audit: one row per check
+    * with its violation count and pass flag.
+    *
+    * Checks: column completeness (NULL count), value-range containment,
+    * domain/set membership, key uniqueness, and referential integrity
+    * (FK orphans). The three lineitem column checks share ONE
+    * map-side-combinable aggregation pass (conditional sums), orders'
+    * two checks share another; only the FK check needs a join — a
+    * left-anti whose build side at 100 TB is the orders key column
+    * only (pruned scan), shuffled on the join key like any big-big
+    * join. Every metric is an exact BIGINT — no float seams. */
+  def qDqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+
+    val liChecks = l.agg(
+      cnt(col("l_quantity").isNull).as("lineitem_complete_qty"),
+      cnt(!col("l_discount").between(0.0, 0.10)).as("lineitem_range_discount"),
+      cnt(!col("l_returnflag").isin("A", "N", "R")).as("lineitem_set_returnflag"))
+    val oChecks = o.agg(
+      cnt(col("o_orderdate").isNull).as("orders_complete_date"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_unique_key"))
+    val orphans = l.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_fk_orders"))
+
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+      df.selectExpr(s"stack(${cols.length}, $stackArgs) AS (check_name, violations)")
+    }
+    unpivot(liChecks).union(unpivot(oChecks)).union(unpivot(orphans))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  /** Slowly-changing-dimension type-2 build: compress each customer's
+    * order history into validity intervals of `o_orderstatus`, keeping
+    * one row per status CHANGE with `[valid_from, valid_to)` bounds, a
+    * version number, and an is_current flag.
+    *
+    * Pure window algebra — change detection via `lag`, interval close
+    * via `lead` — so the whole build is ONE shuffle on the dimension
+    * key and scales to any history length: each customer's rows meet
+    * in one sorted partition-local pass, which is exactly how a 100 TB
+    * CDC-to-SCD2 compaction runs (no self-join, no collect). Ordering
+    * ties are broken by o_orderkey so the version chain is total. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(spark, dir)
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byTime))
+      .filter(col("prev_status").isNull ||
+        col("prev_status") =!= col("o_orderstatus"))
+    val byFrom = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(byFrom).as("valid_to"),
+        row_number().over(byFrom).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .filter(col("o_custkey") < 300)
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** Dynamic partition pruning: a month-partitioned copy of orders
+    * joined to a tiny quarter dimension (read from parquet, so the
+    * dim filter is NOT compile-time foldable) on the partition column.
+    * Catalyst broadcasts the filtered dim and injects a runtime
+    * `dynamicpruning` subquery into the fact scan, so only the 3
+    * matching month directories are read — the mechanism that makes
+    * dim-filtered fact scans at 100 TB read 1/Nth of the table
+    * (PlanSpec asserts the pruning subquery on this exact plan). The
+    * partitioned copy + dim are rewritten per invocation: the key
+    * deliberately measures the full layout round-trip. */
+  def qDppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val factDir = s"${Layout.layoutRoot}/$sf/orders_dpp"
+    val dimDir = s"${Layout.layoutRoot}/$sf/month_dim"
+    Tables.orders(spark, dir)
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_month").parquet(factDir)
+    spark.range(1, 13)
+      .select(col("id").cast("int").as("m_month"),
+        (((col("id") - 1) / 3) + 1).cast("int").as("m_quarter"))
+      .write.mode("overwrite").parquet(dimDir)
+    dppRead(spark, factDir, dimDir)
+  }
+
+  /** Join side alone (reused by PlanSpec's dynamicpruning assertion). */
+  private[graft] def dppRead(spark: SparkSession, factDir: String, dimDir: String): DataFrame = {
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("m_quarter") === 2)
+    fact.join(dim, fact("o_month") === dim("m_month"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Sweep-line interval analytics: treating each order as an open
+    * interval `[o_orderdate, o_orderdate + 30 days)`, compute per
+    * nation the peak number of concurrently open orders.
+    *
+    * The classic +1/−1 event sweep: explode each interval into a
+    * start(+1) and end(−1) point, sort, running-sum. Partitioned by
+    * nation the sweep is embarrassingly parallel (one sorted window
+    * per nation — at 100 TB you'd sub-partition by coarse time range
+    * and stitch boundary offsets exactly like GraftOps.prefixSum).
+    * Ends sort BEFORE starts at the same instant (delta ascending), so
+    * the intervals are genuinely half-open; o_orderkey completes the
+    * total order, making the running sum — and its max — fully
+    * deterministic. */
+  def qIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val spans = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"), col("o_orderdate").as("t0"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t1"))
+    val points = spans.select(col("n_name"), col("t0").as("t"),
+        lit(1).as("delta"), col("o_orderkey"))
+      .union(spans.select(col("n_name"), col("t1").as("t"),
+        lit(-1).as("delta"), col("o_orderkey")))
+    val sweep = Window.partitionBy(col("n_name"))
+      .orderBy(col("t"), col("delta"), col("o_orderkey"))
+    points
+      .withColumn("open_now", sum(col("delta")).over(sweep))
+      .groupBy(col("n_name"))
+      .agg(max(col("open_now")).cast("long").as("peak_concurrent"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Z-order (Morton) clustering audit: interleave the low 8 bits of
+    * two independent dimensions — customer bucket and day-number —
+    * into a 16-bit Z value, group into 256 Z-buckets, and report each
+    * bucket's row count and per-dimension bounding box.
+    *
+    * Z-ordering is THE multi-dimension data-layout lever at 100 TB:
+    * sorting the fact table by z puts rows close in BOTH dimensions
+    * into the same files, so min/max file statistics prune scans for
+    * predicates on either dimension (the bounding boxes this query
+    * reports are exactly those file-skipping stats). The interleave is
+    * pure integer bit algebra — built by an 8-step fold, zero shuffle
+    * before the final 256-group aggregate, exact in both engines. */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey") % 256
+    val y = datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) % 256
+    val z = (0 until 8).foldLeft(lit(0L).cast("long")) { (acc, i) =>
+      acc +
+        shiftleft(col("xb").bitwiseAND(1L << i), i) +
+        shiftleft(col("yb").bitwiseAND(1L << i), i + 1)
+    }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), x.cast("long").as("xb"), y.cast("long").as("yb"))
+      .withColumn("z", z)
+      .withColumn("zbucket", expr("z div 256"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+        min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+      .orderBy(col("zbucket"))
+  }
+}

@@ -79,6 +79,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"counts join must broadcast:\n$p")
   }
 
+  test("q_dpp_join injects a runtime partition-pruning subquery into the fact scan") {
+    val df = queries.WarehouseOps.qDppJoin(spark, sf)
+    val p = planOf(df)
+    // dynamic partition pruning: the month-partitioned fact scan's
+    // PartitionFilters must carry a dynamicpruningexpression fed by
+    // the broadcast quarter dim — the 1/Nth-scan lever at 100 TB
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan lost its DPP subquery:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_interval_overlap sweep is partitioned by nation — no global single-partition window") {
+    val p = planOf(queries.WarehouseOps.qIntervalOverlap(spark, sf))
+    assert(p.contains("windowspecdefinition(n_name"),
+      s"sweep window must partition by nation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("filter + projection reach the scan for events (ns-timestamp path)") {
     val df = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
