@@ -74,11 +74,16 @@ object DedupOps {
       ))).as("s"))
     val hs = shingles.select(col("doc_id"), expr(hx("s")).as("h"))
     val P = 2147483647L
+    // localCheckpoint: the signature table is 4 longs/doc (tiny at any
+    // corpus scale) but its subtree — shingle explode + md5 + min-agg
+    // over the whole corpus — feeds BOTH sides of BOTH band joins and
+    // both cap guards; without it Spark recomputes the corpus pass 6×.
     val mh = hs.groupBy(col("doc_id")).agg(
       min((col("h") * 1 + 7)  % P).as("mh1"),
       min((col("h") * 3 + 11) % P).as("mh2"),
       min((col("h") * 5 + 13) % P).as("mh3"),
       min((col("h") * 7 + 17) % P).as("mh4"))
+      .localCheckpoint(true)
 
     // The over-cap key set is bounded small by construction (≤ N/cap
     // keys can exceed the cap), so the guard is a broadcast anti-join

@@ -40,12 +40,20 @@ object Relational {
     * shuffles on orderkey at scale. Top-k compiles to
     * TakeOrderedAndProject — no global sort materialization. */
   def qJoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    // dims-first: BUILDING customers (1/5 of the table, key column
+    // only) broadcast into the date-filtered orders, so lineitem — the
+    // 100 TB side — meets an already-pruned orders stream. The
+    // shuffle_hash hint keeps Spark's static estimator from instead
+    // broadcasting a fact-table hash relation built on the driver
+    // (same hazard as qJoinRegional, where the shape is documented).
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
     val l = Tables.lineitem(spark, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
@@ -53,22 +61,39 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: 6-way join incl. the compound supplier key.
-    * region/nation are O(10) rows at ANY scale factor → explicit
-    * broadcast; fact-side joins shuffle on their keys and AQE handles
-    * skew. */
+  /** TPC-H Q5 shape: 6-way join incl. the compound supplier key,
+    * ordered MOST-selective-dim-first — the join order that survives a
+    * 100× scale-up. region('ASIA')⋈nation is O(10) rows at any SF →
+    * broadcast into customer, pruning it 5× BEFORE any fact shuffle;
+    * orders then joins the pruned customers (AQE sees the small
+    * runtime size and broadcasts), so lineitem — the 100 TB side —
+    * meets an orders stream already cut to 1/5 and only the compound
+    * supplier probe remains (supplier key columns only → broadcast).
+    * The naive l⋈o-first order shuffles the full fact tables and
+    * filters LAST. The l⋈oAsia join carries an explicit shuffle_hash
+    * hint on the pruned-orders build side: Spark's STATIC size
+    * estimate otherwise judges the 4-column lineitem scan
+    * broadcastable and builds a fact-table hash relation on the
+    * driver — the one single-threaded step in an otherwise parallel
+    * plan, and a driver-OOM at any real scale. Shuffle-hash on the
+    * orderkey is the shape that holds at 100 TB (hash, not SMJ: the
+    * probe side streams unsorted). */
   def qJoinRegional(spark: SparkSession, dir: String): DataFrame = {
-    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
-    val n = broadcast(Tables.nation(spark, dir))
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(n, col("c_nationkey") === col("n_nationkey"))
-      .join(r, col("n_regionkey") === col("r_regionkey"))
-      .join(s, col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("n_nationkey"))
+    val asia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cAsia = Tables.customer(spark, dir)
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+    val oAsia = Tables.orders(spark, dir)
+      .join(cAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .join(oAsia.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s),
+        col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))

@@ -90,7 +90,11 @@ object VectorOps {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
+    // localCheckpoint: the (vec_id, band-key) table is 21 ints/vector,
+    // but producing it evaluates 126 hyperplane dot products per
+    // vector — both sides of the self-join would recompute that pass
     val keyed = e.select(col("vec_id"), explode(expr(EmbLsh.sparkKeysExpr)).as("k"))
+      .localCheckpoint(true)
     val cand = keyed.select(col("vec_id").as("vec_a"), col("k"))
       .join(keyed.select(col("vec_id").as("vec_b"), col("k")), "k")
       .filter(col("vec_a") < col("vec_b"))

@@ -195,7 +195,11 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = withShufflePartitions(spark, 4) {
+    // 2 partitions, not 4: a stream-stream join materializes FOUR
+    // state stores per partition per side, and this bounded replay is
+    // one micro-batch — store commit latency, not parallelism, is the
+    // bottleneck (7.4→2.3 s going 32→4 in r5; 2 shaves the rest)
+    val q = withShufflePartitions(spark, 2) {
       clickToPurchase(
           src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "purchase"))
