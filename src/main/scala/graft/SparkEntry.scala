@@ -139,7 +139,9 @@ object SparkEntry {
     "q_zorder_layout"      -> WarehouseOps.qZorderLayout _,
     "q_emb_quantize"       -> VectorOps.qEmbQuantize _,
     "q_text_zipf"          -> TextOps.qTextZipf _,
-    "q_orc_roundtrip"      -> Layout.qOrcRoundtrip _
+    "q_orc_roundtrip"      -> Layout.qOrcRoundtrip _,
+    "q_stream_sliding"     -> StreamOps.qStreamSliding _,
+    "q_stream_dedup"       -> StreamOps.qStreamDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -138,6 +138,20 @@ object OracleSqlWh {
         |SELECT rnk, term, n, (10000 * n) // top_n AS share_bp
         |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
 
+    // real streaming executions (AvailableNow bounded replay): final
+    // sink tables equal their batch twins, so the oracles are the
+    // batch SQL forms
+    "q_stream_sliding" ->
+      """SELECT ws, event_type, count(*) AS n, round(sum(value),2) AS sv FROM (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000 - u) * 900000000) AS ws,
+        |         event_type, value
+        |  FROM events, unnest([0,1,2,3]) AS t(u))
+        |GROUP BY ws, event_type ORDER BY ws, event_type LIMIT 300""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type LIMIT 500""".stripMargin,
+
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity),2) AS q, round(sum(l_extendedprice),2) AS s,

@@ -134,6 +134,73 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Streaming file source over the fixture's events parquet with the
+    * explicit schema every streaming source needs; under nanosAsLong
+    * the ts column arrives as raw nanos (long) and is truncated to µs
+    * exactly as graft.Tables does for batch reads. */
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession, sfDir: String) = {
+    import org.apache.spark.sql.types._
+    graft.Tables.configure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** DECLARED streaming key (t2-verified): the SLIDING window
+    * aggregation (1 h window, 15 min slide — each event lands in 4
+    * overlapping windows) as a real Structured Streaming query,
+    * COMPLETE-mode memory sink, Trigger.AvailableNow. Same
+    * batch-equivalence argument as [[qStreamTumbling]]; the oracle is
+    * the same SQL as q_events_sliding (the explicit 4-shift union). */
+  def qStreamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = s"graft_stream_sliding_${runSeq.incrementAndGet()}"
+    val q = withShufflePartitions(spark, 4) {
+      eventsStream(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+      .orderBy(col("ws"), col("event_type"))
+      .limit(300)
+  }
+
+  /** DECLARED streaming key (t2-verified): STATEFUL streaming dedup —
+    * `dropDuplicates` on the (user_id, event_type) key columns keeps
+    * one state-store entry per key and emits each key once, in APPEND
+    * mode. Only the KEY COLUMNS are selected before the dedup, so the
+    * emitted row set is exactly the distinct key set — deterministic
+    * regardless of which physical duplicate wins the state race — and
+    * the oracle is a plain SELECT DISTINCT. (The watermarked variant,
+    * dropDuplicatesWithinWatermark, is unit-tested in StreamingSpec;
+    * state there is evictable, which a bounded replay can't show.) */
+  def qStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+    val q = withShufflePartitions(spark, 4) {
+      eventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+      .orderBy(col("user_id"), col("event_type"))
+      .limit(500)
+  }
+
   /** DECLARED streaming key (t2-verified): the tumbling aggregation
     * executed as a real Structured Streaming query — file source over
     * the events parquet, Trigger.AvailableNow, COMPLETE-mode memory
