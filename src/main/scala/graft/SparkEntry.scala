@@ -141,7 +141,9 @@ object SparkEntry {
     "q_text_zipf"          -> TextOps.qTextZipf _,
     "q_orc_roundtrip"      -> Layout.qOrcRoundtrip _,
     "q_stream_sliding"     -> StreamOps.qStreamSliding _,
-    "q_stream_dedup"       -> StreamOps.qStreamDedup _
+    "q_stream_dedup"       -> StreamOps.qStreamDedup _,
+    "q_window_distinct"    -> Windows.qWindowDistinct _,
+    "q_agg_histogram"      -> Aggs.qAggHistogram _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

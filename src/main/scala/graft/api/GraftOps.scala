@@ -331,4 +331,56 @@ object GraftOps {
                    orderCol: String, desc: Boolean, k: Int): DataFrame =
     graft.plans.TopKPerGroup(df, groupCols,
       Seq(graft.plans.TopKPerGroup.Ord(orderCol, desc)), k)
+
+  /** Slowly-changing-dimension type-2 compaction of a change stream:
+    * one row per CHANGE of `attrCol` per `keyCol`, with half-open
+    * validity bounds `[valid_from, valid_to)`, a 1-based version
+    * number, and an is_current flag. Ordering within a key is
+    * (tsCol, tieCol) — total, so the version chain is deterministic.
+    * One shuffle on the dimension key; history length per key is
+    * processed in a single sorted partition-local pass (the 100 TB
+    * CDC-compaction shape — no self-join). */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(attrCol), 1).over(byTime))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .select(col(keyCol), col(attrCol).as("status"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(byTime).as("valid_to"),
+        row_number().over(byTime).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Sweep-line peak concurrency of half-open intervals
+    * `[startCol, endCol)` per `groupCol`: explode to +1/−1 points,
+    * running-sum per group (ends sort before starts at the same
+    * instant, so touching intervals do not overlap), max per group.
+    * `idCol` totalizes the order for determinism. One shuffle; the
+    * sweep is parallel across groups. */
+  def intervalPeaks(df: DataFrame, groupCol: String, startCol: String,
+                    endCol: String, idCol: String): DataFrame = {
+    val pts = df.select(col(groupCol), col(startCol).as("__t"),
+        lit(1).as("__d"), col(idCol))
+      .union(df.select(col(groupCol), col(endCol).as("__t"),
+        lit(-1).as("__d"), col(idCol)))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__t"), col("__d"), col(idCol))
+    pts.withColumn("__open", sum(col("__d")).over(sweep))
+      .groupBy(col(groupCol))
+      .agg(max(col("__open")).cast("long").as("peak_concurrent"),
+        sum(when(col("__d") === 1, 1L).otherwise(0L)).as("n_intervals"))
+  }
+
+  /** 16-bit Morton (Z-order) key from the low 8 bits of two integer
+    * dimension columns — the multi-dimensional clustering sort key
+    * (sort by it before writing and min/max file stats prune scans on
+    * EITHER dimension). Pure integer bit algebra, codegen-friendly. */
+  def zorderKey(xCol: String, yCol: String): Column =
+    (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(col(xCol).bitwiseAND(1L << i), i) +
+        shiftleft(col(yCol).bitwiseAND(1L << i), i + 1)
+    }
 }

@@ -167,4 +167,19 @@ object Aggs {
       .agg(round(sum(col("ps")), 2).as("q"), sum(col("pn")).as("n"),
         round(min(col("pmin")), 2).as("min_price"), round(max(col("pmax")), 2).as("max_price"))
       .orderBy(col("l_returnflag"))
+
+  /** Fixed-width value histogram of order totals (25k-wide buckets):
+    * the distribution profile every warehouse exposes. The bucket id
+    * is `floor(v / 25000)` — one IEEE divide + floor on identical
+    * doubles, bit-deterministic in both engines (no width_bucket /
+    * data-dependent bounds). One map-side-combinable pass; bucket
+    * count is value-range/width regardless of row count. */
+  def qAggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 25000.0).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
 }

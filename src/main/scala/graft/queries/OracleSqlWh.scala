@@ -152,6 +152,20 @@ object OracleSqlWh {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type LIMIT 500""".stripMargin,
 
+    "q_window_distinct" ->
+      """SELECT user_id, event_id,
+        |       CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS types_seen
+        |FROM events WHERE user_id < 30
+        |ORDER BY user_id, event_id LIMIT 400""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(o_totalprice),2) AS lo, round(max(o_totalprice),2) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity),2) AS q, round(sum(l_extendedprice),2) AS s,

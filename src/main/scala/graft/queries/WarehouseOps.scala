@@ -60,25 +60,11 @@ object WarehouseOps {
     * in one sorted partition-local pass, which is exactly how a 100 TB
     * CDC-to-SCD2 compaction runs (no self-join, no collect). Ordering
     * ties are broken by o_orderkey so the version chain is total. */
-  def qScd2(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byTime = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val changes = Tables.orders(spark, dir)
-      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byTime))
-      .filter(col("prev_status").isNull ||
-        col("prev_status") =!= col("o_orderstatus"))
-    val byFrom = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    changes
-      .select(col("o_custkey"), col("o_orderstatus").as("status"),
-        col("o_orderdate").as("valid_from"),
-        lead(col("o_orderdate"), 1).over(byFrom).as("valid_to"),
-        row_number().over(byFrom).as("version"))
-      .withColumn("is_current", col("valid_to").isNull)
+  def qScd2(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.scd2(Tables.orders(spark, dir),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
       .filter(col("o_custkey") < 300)
       .orderBy(col("o_custkey"), col("version"))
-  }
 
   /** Dynamic partition pruning: a month-partitioned copy of orders
     * joined to a tiny quarter dimension (read from parquet, so the
@@ -128,7 +114,6 @@ object WarehouseOps {
     * total order, making the running sum — and its max — fully
     * deterministic. */
   def qIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
@@ -136,17 +121,9 @@ object WarehouseOps {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(col("n_name"), col("o_orderkey"), col("o_orderdate").as("t0"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t1"))
-    val points = spans.select(col("n_name"), col("t0").as("t"),
-        lit(1).as("delta"), col("o_orderkey"))
-      .union(spans.select(col("n_name"), col("t1").as("t"),
-        lit(-1).as("delta"), col("o_orderkey")))
-    val sweep = Window.partitionBy(col("n_name"))
-      .orderBy(col("t"), col("delta"), col("o_orderkey"))
-    points
-      .withColumn("open_now", sum(col("delta")).over(sweep))
-      .groupBy(col("n_name"))
-      .agg(max(col("open_now")).cast("long").as("peak_concurrent"),
-        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_orders"))
+    graft.api.GraftOps.intervalPeaks(spans, "n_name", "t0", "t1", "o_orderkey")
+      .select(col("n_name"), col("peak_concurrent"),
+        col("n_intervals").as("n_orders"))
       .orderBy(col("n_name"))
   }
 
@@ -165,14 +142,9 @@ object WarehouseOps {
   def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val x = col("o_custkey") % 256
     val y = datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) % 256
-    val z = (0 until 8).foldLeft(lit(0L).cast("long")) { (acc, i) =>
-      acc +
-        shiftleft(col("xb").bitwiseAND(1L << i), i) +
-        shiftleft(col("yb").bitwiseAND(1L << i), i + 1)
-    }
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), x.cast("long").as("xb"), y.cast("long").as("yb"))
-      .withColumn("z", z)
+      .withColumn("z", graft.api.GraftOps.zorderKey("xb", "yb"))
       .withColumn("zbucket", expr("z div 256"))
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n"),

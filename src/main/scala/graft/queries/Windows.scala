@@ -97,6 +97,25 @@ object Windows {
       .limit(200)
   }
 
+  /** Distinct count over a window — the aggregate Spark's
+    * COUNT(DISTINCT) cannot express OVER a frame; the idiom is
+    * `size(collect_set(...))` with an explicit ROWS frame. The frame
+    * order (ts, event_id) is total, so both engines see identical row
+    * prefixes and the distinct count is order-insensitive from there —
+    * DuckDB runs a native count(DISTINCT) OVER the same frame.
+    * Scale: per-user frames evaluate in one sorted partition-local
+    * pass; the set state is bounded by the 5-value type domain. */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") < 30)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("user_id"), col("event_id"),
+        size(collect_set(col("event_type")).over(w)).as("types_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(400)
+  }
+
   /** lag/lead: seconds since previous and until next event per user. */
   def qWindowLagLead(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -130,4 +130,42 @@ class GraftOpsSpec extends SparkSpec {
     val declared = queries.PipelineOps.qPackShards(spark, sf)
     assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
   }
+
+  test("scd2 on a hand-built change stream compacts to the expected versions") {
+    import spark.implicits._
+    // key 1: A,A,B,A → 3 versions; key 2: C → 1 version
+    val changes = Seq(
+      (1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (1L, "B", 30L, 102L),
+      (1L, "A", 40L, 103L), (2L, "C", 15L, 104L)
+    ).toDF("k", "attr", "ts", "id")
+    val got = GraftOps.scd2(changes, "k", "attr", "ts", "id")
+      .select($"k", $"status", $"valid_from", $"valid_to", $"version", $"is_current")
+      .orderBy($"k", $"version").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 10L, Some(30L), 1, false),
+      (1L, "B", 30L, Some(40L), 2, false),
+      (1L, "A", 40L, None, 3, true),
+      (2L, "C", 15L, None, 1, true)))
+  }
+
+  test("intervalPeaks matches the declared overlap key and zorderKey the declared layout") {
+    val o = Tables.orders(spark, sf)
+    val spans = o.join(broadcast(Tables.customer(spark, sf)),
+        o("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"), col("o_orderdate").as("t0"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t1"))
+    val api = GraftOps.intervalPeaks(spans, "n_name", "t0", "t1", "o_orderkey")
+      .select(col("n_name"), col("peak_concurrent"), col("n_intervals").as("n_orders"))
+    val declared = queries.WarehouseOps.qIntervalOverlap(spark, sf)
+    assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
+    // zorderKey: x=5 sets z bits 0 and 4 (2i), y=3 sets z bits 1 and 3
+    // (2i+1) → 0b11011 = 27
+    import spark.implicits._
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(GraftOps.zorderKey("x", "y").as("z")).head.getLong(0)
+    assert(z == 27L, s"expected 0b11011, got ${z.toBinaryString}")
+  }
 }
