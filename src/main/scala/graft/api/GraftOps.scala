@@ -145,32 +145,47 @@ object GraftOps {
     // projection over the in-memory checkpoint each round
     val base = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .localCheckpoint(true)
+    // size the loop's shuffles to the MEASURED edge count (the
+    // checkpoint already materialized it, so count() is a scan of
+    // in-memory blocks): every round shuffles the label frame, and a
+    // session-wide partition count tuned for fact tables turns each
+    // tiny round into fixed scheduler overhead × partitions. ~50k
+    // edges/partition; a 100 TB edge list gets its full parallelism
+    // back automatically.
+    val spark = edges.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    val loopParts = math.max(4L, math.min(prevParts.toLong,
+      base.count() / 50000L + 1L)).toString
     val e = base.unionAll(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
     // Init already folds in one propagation round: every node starts at
     // min(id, min(direct neighbors)) — for the clique-shaped components
     // near-dup clustering produces, that IS the fixpoint and the loop
     // only runs the confirming round. Costs the same single shuffle a
     // plain distinct() init would.
-    var comp = e.groupBy(col("__src").as("id"))
-      .agg(min(col("__dst")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("component"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val cand = e.join(comp, col("__src") === col("id"))
-        .groupBy(col("__dst")).agg(min(col("component")).as("__cand"))
-      // carry the per-row changed flag inside the checkpointed frame:
-      // the convergence check is then a scan of in-memory blocks, not
-      // another join of two checkpoints
-      val next = comp.join(cand, col("id") === col("__dst"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__cand"), col("component"))).as("component"),
-          (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
+    spark.conf.set(confKey, loopParts)
+    try {
+      var comp = e.groupBy(col("__src").as("id"))
+        .agg(min(col("__dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("component"))
         .localCheckpoint(true)
-      changed = next.filter(col("__changed")).count()
-      comp = next.select(col("id"), col("component"))
-    }
-    comp
+      var changed = 1L
+      while (changed > 0) {
+        val cand = e.join(comp, col("__src") === col("id"))
+          .groupBy(col("__dst")).agg(min(col("component")).as("__cand"))
+        // carry the per-row changed flag inside the checkpointed frame:
+        // the convergence check is then a scan of in-memory blocks, not
+        // another join of two checkpoints
+        val next = comp.join(cand, col("id") === col("__dst"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("__cand"), col("component"))).as("component"),
+            (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
+          .localCheckpoint(true)
+        changed = next.filter(col("__changed")).count()
+        comp = next.select(col("id"), col("component"))
+      }
+      comp
+    } finally spark.conf.set(confKey, prevParts)
   }
 
   /** Gopher-style repetition signals (top-token mass, duplicate

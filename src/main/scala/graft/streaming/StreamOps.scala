@@ -262,10 +262,11 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    // 2 partitions, not 4: a stream-stream join materializes FOUR
-    // state stores per partition per side, and this bounded replay is
-    // one micro-batch — store commit latency, not parallelism, is the
-    // bottleneck (7.4→2.3 s going 32→4 in r5; 2 shaves the rest)
+    // 2 partitions: a stream-stream join materializes FOUR state
+    // stores per partition per side, and store commit latency
+    // dominates this one-micro-batch bounded replay (7.4→2.3 s going
+    // 32→4 in r5; measured r6: 2 ≈ 4 at ~2.2 s, 1 is WORSE at 2.7 s —
+    // the remaining cost is query lifecycle, not store count)
     val q = withShufflePartitions(spark, 2) {
       clickToPurchase(
           src.filter(col("event_type") === "click"),
