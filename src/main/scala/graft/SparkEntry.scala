@@ -143,7 +143,9 @@ object SparkEntry {
     "q_stream_sliding"     -> StreamOps.qStreamSliding _,
     "q_stream_dedup"       -> StreamOps.qStreamDedup _,
     "q_window_distinct"    -> Windows.qWindowDistinct _,
-    "q_agg_histogram"      -> Aggs.qAggHistogram _
+    "q_agg_histogram"      -> Aggs.qAggHistogram _,
+    "q_quantile_hist"      -> WarehouseOps.qQuantileHist _,
+    "q_graph_triangles"    -> WarehouseOps.qGraphTriangles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -398,4 +398,32 @@ object GraftOps {
         shiftleft(col(xCol).bitwiseAND(1L << i), i) +
         shiftleft(col(yCol).bitwiseAND(1L << i), i + 1)
     }
+
+  /** Triangle count of an undirected graph given as canonical edges
+    * (`aCol < bCol`, deduplicated): join each wedge a→b→c (a<b<c by
+    * edge canonicalization) against the closing edge a→c. Two equi
+    * joins — O(Σ wedge) work, never all pairs; at production scale the
+    * standard degree-ordering refinement bounds wedge fan-out by
+    * orienting edges low-degree→high-degree, which the canonical-id
+    * ordering approximates here. Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles) — wedges via
+    * Σ d·(d−1)/2, all exact integers (clustering coefficient =
+    * 3·triangles/wedges is left to the caller: it divides). */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .localCheckpoint(true) // consumed 3× by the triangle join + degrees
+    val tri = e.select(col("__a").as("x"), col("__b").as("y"))
+      .join(e.select(col("__a").as("y"), col("__b").as("z")), "y")
+      .join(e.select(col("__a").as("x"), col("__b").as("z")), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("__a").as("v")).unionAll(e.select(col("__b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // integer sums THEN halve (div): summing per-row d·(d−1)/2 doubles
+    // would be order-dependent float addition; the integer sum is exact
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    stats.crossJoin(tri)
+  }
 }

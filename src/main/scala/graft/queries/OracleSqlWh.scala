@@ -166,6 +166,40 @@ object OracleSqlWh {
         |       round(min(o_totalprice),2) AS lo, round(max(o_totalprice),2) AS hi
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_quantile_hist" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY bucket
+        |), c AS (
+        |  SELECT bucket, n,
+        |         CAST(sum(n) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+        |SELECT p, (total * p + 99) // 100 AS target_rank, bucket,
+        |       round(bucket * 25000.0, 2) AS lo,
+        |       round((bucket + 1) * 25000.0, 2) AS hi
+        |FROM c, t, (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p) ps
+        |WHERE cum >= (total * p + 99) // 100
+        |  AND cum - n < (total * p + 99) // 100
+        |ORDER BY p""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH d AS (SELECT doc_id, lower(substring(text,1,60)) AS k FROM documents),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS dd FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t GROUP BY v
+        |)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT sum(dd) FROM deg) // 2 AS BIGINT) AS n_edges,
+        |       CAST((SELECT sum(dd * (dd - 1)) FROM deg) // 2 AS BIGINT) AS n_wedges,
+        |       (SELECT CAST(count(*) AS BIGINT)
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity),2) AS q, round(sum(l_extendedprice),2) AS s,

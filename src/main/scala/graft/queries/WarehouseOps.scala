@@ -127,6 +127,55 @@ object WarehouseOps {
       .orderBy(col("n_name"))
   }
 
+  /** Mergeable-sketch approximate quantiles: p50/p90/p99 of order
+    * totals estimated from the fixed-width histogram (25k buckets) —
+    * the answer is the bucket containing the target rank, located by
+    * a cumulative sum over the ~20-row AGGREGATED histogram (the
+    * window never touches the fact table). This is the deterministic
+    * cousin of t-digest/GK sketches: one map-side-combinable pass,
+    * counters merge by +, answer within one bucket width — and unlike
+    * those sketches it is bit-reproducible, hence oracle-verifiable.
+    * target = ceil(N·p/100) in exact integer arithmetic. */
+  def qQuantileHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 25000.0).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("n"))
+      .crossJoin(broadcast(h.agg(sum(col("n")).as("total"))))
+    val ps = spark.range(1).selectExpr("explode(array(50L, 90L, 99L)) AS p")
+    cum.join(broadcast(ps),
+        col("cum") >= expr("(total * p + 99) div 100") &&
+        col("prev") < expr("(total * p + 99) div 100"))
+      .select(col("p"), expr("(total * p + 99) div 100").as("target_rank"),
+        col("bucket"),
+        round(col("bucket") * 25000.0, 2).as("lo"),
+        round((col("bucket") + 1) * 25000.0, 2).as("hi"))
+      .orderBy(col("p"))
+  }
+
+  /** Graph analytics over the near-duplicate candidate graph (docs
+    * sharing a 60-char lowercase prefix, canonical a<b edges): node /
+    * edge / wedge / triangle counts via [[graft.api.GraftOps
+    * .triangleStats]] — two equi joins close wedges into triangles,
+    * never an all-pairs product; counts are exact integers. Triangle
+    * density is the standard connectivity fingerprint of a dedup
+    * graph (near-cliques ⇒ transitive duplicate groups, the
+    * justification for cluster-reps in q_dedup_clusters). */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), lower(substring(col("text"), 1, 60)).as("k"))
+    val edges = d.select(col("doc_id").as("a"), col("k"))
+      .join(d.select(col("doc_id").as("b"), col("k")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.api.GraftOps.triangleStats(edges, "a", "b")
+  }
+
   /** Z-order (Morton) clustering audit: interleave the low 8 bits of
     * two independent dimensions — customer bucket and day-number —
     * into a 16-bit Z value, group into 256 Z-buckets, and report each

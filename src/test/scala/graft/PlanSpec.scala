@@ -25,6 +25,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("seed star joins never broadcast the lineitem fact side (r6 hazard pin)") {
+    // Spark's STATIC size estimate judged the narrow 4-column lineitem
+    // scan broadcastable and built the fact hash relation on the
+    // driver; the shuffle_hash hint on the pruned-orders side pins the
+    // scale-safe shape — assert it survives refactors
+    Seq(
+      "q_join_regional" -> queries.Relational.qJoinRegional(spark, sf),
+      "q_join_topk"     -> queries.Relational.qJoinTopk(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = planOf(df)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name lost the shuffle_hash fact join:\n$p")
+    }
+  }
+
   test("q_join_smj honors the merge hint (big-big shape)") {
     val p = planOf(queries.Joins.qJoinSmj(spark, sf))
     assert(p.contains("SortMergeJoin"), p)

@@ -99,6 +99,31 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("triangleStats counts a hand-built graph exactly") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 12 wedges) + pendant edge 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = api.GraftOps.triangleStats(edges, "a", "b").head
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 7L)
+    // degrees 3,3,3,4,1 → 3+3+3+6+0 = 15 wedges
+    assert(r.getAs[Long]("n_wedges") == 15L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+  }
+
+  test("q_quantile_hist brackets the exact percentile within one bucket") {
+    val rows = queries.WarehouseOps.qQuantileHist(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("p")).toSeq == Seq(50L, 90L, 99L))
+    val exact = Tables.orders(spark, sf)
+      .selectExpr("percentile(o_totalprice, array(0.5, 0.9, 0.99)) AS p")
+      .head.getSeq[Double](0)
+    rows.zip(exact).foreach { case (r, x) =>
+      assert(r.getAs[Double]("lo") <= x && x <= r.getAs[Double]("hi"),
+        s"p${r.getAs[Long]("p")}: exact $x outside [${r.getAs[Double]("lo")}, ${r.getAs[Double]("hi")}]")
+    }
+  }
+
   test("q_text_zipf: rank 1 holds 10000 bp and shares never increase with rank") {
     val rows = queries.TextOps.qTextZipf(spark, sf).collect()
     assert(rows.head.getAs[Int]("rnk") == 1)
