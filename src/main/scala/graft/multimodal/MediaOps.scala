@@ -123,4 +123,30 @@ object MediaOps {
     * column must be pruned at the scan (asserted in spec). */
   def metaOnly(spark: SparkSession, mediaParquet: String): DataFrame =
     spark.read.parquet(mediaParquet).select(col("media_id"), col("kind"))
+
+  /** DECLARED binary-payload key (the oracle-verifiable slice of the
+    * multimodal story): documents' text encoded to an opaque binary
+    * payload column, then per source the payload count, total byte
+    * size, DISTINCT-content count (exact content-hash dedup over
+    * binary — the media-file dedup primitive), and the minimum
+    * content hash as a stable fingerprint. Proves binary columns flow
+    * scan → project → aggregate with byte-exact semantics: Spark
+    * md5/base64 run over the payload BYTES and DuckDB's VARCHAR md5
+    * hashes the same UTF-8 bytes, so the hashes — and therefore the
+    * dedup counts — must agree bit-for-bit. Payloads never shuffle:
+    * the agg ships 32-char hashes, not bytes (the SCALE.md rule for
+    * 100 TB media tables). */
+  def qBinaryPayload(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("source"), length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_hash"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        countDistinct(col("content_hash")).as("n_distinct"),
+        min(col("content_hash")).as("min_hash"))
+      .orderBy(col("source"))
+  }
 }

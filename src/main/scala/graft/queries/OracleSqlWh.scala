@@ -200,6 +200,13 @@ object OracleSqlWh {
         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
+    "q_binary_payload" ->
+      """SELECT source, count(*) AS n_payloads,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |       min(md5(text)) AS min_hash
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity),2) AS q, round(sum(l_extendedprice),2) AS s,

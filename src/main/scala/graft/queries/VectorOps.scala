@@ -213,7 +213,14 @@ object VectorOps {
     * outputs are exact integers — per label the vector count, summed
     * code mass, summed squared-code "energy" (‖q‖² ≈ 127² for the
     * L2-normalized fixture), and global code extrema — computed by
-    * per-row array folds (zero shuffle) + one 10-group aggregate. */
+    * per-row array folds (zero shuffle) + one 10-group aggregate.
+    *
+    * Null-element rule (same class as catalyst/EmbLshKeys, ADVICE r4):
+    * a NULL vector element would make Spark's `aggregate` fold return
+    * NULL while DuckDB's `list_sum` SKIPS nulls — a cross-engine
+    * divergence. The fixture embeddings are verified null-free
+    * (FIXTURES.md); a production caller must impute or drop null
+    * elements before quantizing. */
   def qEmbQuantize(spark: SparkSession, dir: String): DataFrame = {
     val codes = expr(
       """transform(embedding,
