@@ -54,4 +54,12 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every fixture table as a temp view (suffixed names are
+    * avoided — views are session-scoped, so per-sf callers re-register)
+    * making the whole engine reachable through `spark.sql(...)` — the
+    * second front door next to the DataFrame API. The events ns-fix
+    * rides along because the view wraps the SAME loader DataFrame. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -200,6 +200,20 @@ object OracleSqlWh {
         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
+    "q_sql_interface" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey, o.o_orderpriority,
+        |         sum(o.o_totalprice) AS pri_rev, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey, o.o_orderpriority
+        |  HAVING count(*) > 10
+        |)
+        |SELECT nt.n_name, r.o_orderpriority, round(r.pri_rev, 2) AS rev, r.n,
+        |       CAST(rank() OVER (PARTITION BY nt.n_name
+        |                         ORDER BY round(r.pri_rev, 2) DESC) AS INTEGER) AS rk
+        |FROM rev r JOIN nation nt ON nt.n_nationkey = r.c_nationkey
+        |ORDER BY nt.n_name, rk, o_orderpriority""".stripMargin,
+
     "q_binary_payload" ->
       """SELECT source, count(*) AS n_payloads,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -127,6 +127,30 @@ object WarehouseOps {
       .orderBy(col("n_name"))
   }
 
+  /** The `spark.sql(...)` front door: the engine's tables registered
+    * as temp views and a multi-feature ANSI query (CTE + join +
+    * conditional agg + HAVING + window) executed as SQL TEXT —
+    * proving a user can drive this engine with plain SQL, not just
+    * the DataFrame API. Catalyst compiles both doors to the same
+    * plans, so every scale property (pushdown, partial aggs,
+    * broadcast) carries over verbatim. */
+  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT c.c_nationkey, o.o_orderpriority,
+        |         sum(o.o_totalprice) AS pri_rev, count(*) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey, o.o_orderpriority
+        |  HAVING count(*) > 10
+        |)
+        |SELECT n.n_name, r.o_orderpriority, round(r.pri_rev, 2) AS rev, r.n,
+        |       rank() OVER (PARTITION BY n.n_name
+        |                    ORDER BY round(r.pri_rev, 2) DESC) AS rk
+        |FROM rev r JOIN nation n ON n.n_nationkey = r.c_nationkey
+        |ORDER BY n.n_name, rk, o_orderpriority""".stripMargin)
+  }
+
   /** Mergeable-sketch approximate quantiles: p50/p90/p99 of order
     * totals estimated from the fixed-width histogram (25k buckets) —
     * the answer is the bucket containing the target rank, located by
