@@ -200,6 +200,32 @@ object OracleSqlWh {
         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
+    "q_knn_rerank" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |           v -> least(greatest(floor(v * 127.0 + 0.5), -127.0), 127.0)) AS qc
+        |  FROM embeddings
+        |), coarse AS (
+        |  SELECT p.vec_id, c.vec_id AS neighbor,
+        |         CAST(list_dot_product(p.qc, c.qc) AS BIGINT) AS dot_q,
+        |         round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM q p JOIN q c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10
+        |), sl AS (
+        |  SELECT vec_id, neighbor, dot_q, cos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dot_q DESC, neighbor) AS crk
+        |  FROM coarse
+        |)
+        |SELECT vec_id, neighbor, dot_q, cos FROM (
+        |  SELECT vec_id, neighbor, dot_q, cos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY cos DESC, neighbor) AS rk
+        |  FROM sl WHERE crk <= 20) t
+        |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
+
     "q_sql_interface" ->
       """WITH rev AS (
         |  SELECT c.c_nationkey, o.o_orderpriority,

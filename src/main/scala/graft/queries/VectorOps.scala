@@ -240,6 +240,47 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Two-stage quantized ANN: coarse scan over INT8 codes shortlists
+    * 20 candidates per probe (integer dot products — 4× less memory
+    * bandwidth, the resource that bounds a 100 TB vector scan), then
+    * an exact float32 re-rank of the shortlist picks top-3. This is
+    * the production retrieval architecture (quantized first pass +
+    * exact re-rank); the brute-force q_cosine_* keys are its recall
+    * baseline, and here recall is exact by construction whenever the
+    * true top-3 survive the 20-deep shortlist (AnnRecallSpec-adjacent
+    * property: int8 preserves order to ~1/127 resolution).
+    * Determinism: stage-1 scores are exact BIGINTs (int8 products
+    * ≤ 127²·64 sum exactly in doubles too, so DuckDB's
+    * list_dot_product over the cast codes matches bit-for-bit);
+    * shortlist and final ties break on neighbor id. */
+  def qKnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val codes = expr(
+      """transform(embedding,
+        |  v -> least(greatest(floor(cast(v as double) * 127.0d + 0.5d), -127L), 127L))
+        |""".stripMargin)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.select(col("vec_id"), col("embedding"), codes.as("qc"))
+      .localCheckpoint(true) // quantize once; probed and scanned sides share it
+    val probes = q.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as(P), col("qc").as("qp"))
+    val corpus = q.select(col("vec_id").as("neighbor"), col("embedding").as(T), col("qc").as("qt"))
+    val coarse = probes.crossJoin(corpus)
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"), col(P), col(T),
+        expr("aggregate(zip_with(qp, qt, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot_q"))
+    val wCoarse = Window.partitionBy(col("vec_id")).orderBy(col("dot_q").desc, col("neighbor"))
+    val shortlist = coarse.withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= 20)
+    val wExact = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    shortlist
+      .select(col("vec_id"), col("neighbor"), col("dot_q"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+      .withColumn("rk", row_number().over(wExact)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("neighbor"), col("dot_q"), col("cos"))
+      .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+  }
+
   /** Typed-Aggregator UDAF: weighted average price by quantity per
     * returnflag; oracle is the algebraic sum(v*w)/sum(w). */
   def qAggUdafWavg(spark: SparkSession, dir: String): DataFrame = {

