@@ -123,10 +123,13 @@ object StreamOps {
     * stream-stream join keeps FOUR per partition), and the store
     * lifecycle — open, checkpoint, commit, close — dominates a bounded
     * single-batch replay: at 32 partitions q_stream_join spent ~6 s in
-    * store management for a 2k×2k join. The partition count is fixed
-    * at query start, so the scope only needs to cover `start()`. At
-    * production scale the right value is sized to state volume (state
-    * partitions ≫ cores), not to this bounded-replay optimum. */
+    * store management for a 2k×2k join. The scope must cover the WHOLE
+    * replay (start → awaitTermination): the first micro-batch plans
+    * asynchronously after `start()` returns, so restoring the conf
+    * early races the state-store layout — observed as a bimodal
+    * 2.2 s / 7.2 s stream-join bench before the callers were widened.
+    * At production scale the right value is sized to state volume
+    * (state partitions ≫ cores), not to this bounded-replay optimum. */
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -159,7 +162,8 @@ object StreamOps {
     * the same SQL as q_events_sliding (the explicit 4-shift union). */
   def qStreamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = s"graft_stream_sliding_${runSeq.incrementAndGet()}"
-    val q = withShufflePartitions(spark, 4) {
+    withShufflePartitions(spark, 4) {
+      val q =
       eventsStream(spark, sfDir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
@@ -168,8 +172,12 @@ object StreamOps {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      // await INSIDE the conf scope: the first micro-batch plans
+      // asynchronously after start(), so restoring the partition
+      // count early races the state-store layout (seen as a
+      // bimodal 2.2 s / 7.2 s stream-join bench)
+      try q.awaitTermination() finally q.stop()
     }
-    try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .orderBy(col("ws"), col("event_type"))
       .limit(300)
@@ -186,7 +194,8 @@ object StreamOps {
     * state there is evictable, which a bounded replay can't show.) */
   def qStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
-    val q = withShufflePartitions(spark, 4) {
+    withShufflePartitions(spark, 4) {
+      val q =
       eventsStream(spark, sfDir)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
@@ -194,8 +203,12 @@ object StreamOps {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      // await INSIDE the conf scope: the first micro-batch plans
+      // asynchronously after start(), so restoring the partition
+      // count early races the state-store layout (seen as a
+      // bimodal 2.2 s / 7.2 s stream-join bench)
+      try q.awaitTermination() finally q.stop()
     }
-    try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .orderBy(col("user_id"), col("event_type"))
       .limit(500)
@@ -225,7 +238,8 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = withShufflePartitions(spark, 4) {
+    withShufflePartitions(spark, 4) {
+      val q =
       src
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
@@ -234,8 +248,12 @@ object StreamOps {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      // await INSIDE the conf scope: the first micro-batch plans
+      // asynchronously after start(), so restoring the partition
+      // count early races the state-store layout (seen as a
+      // bimodal 2.2 s / 7.2 s stream-join bench)
+      try q.awaitTermination() finally q.stop()
     }
-    try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .orderBy(col("h"), col("event_type"))
       .limit(200)
@@ -267,7 +285,8 @@ object StreamOps {
     // dominates this one-micro-batch bounded replay (7.4→2.3 s going
     // 32→4 in r5; measured r6: 2 ≈ 4 at ~2.2 s, 1 is WORSE at 2.7 s —
     // the remaining cost is query lifecycle, not store count)
-    val q = withShufflePartitions(spark, 2) {
+    withShufflePartitions(spark, 2) {
+      val q =
       clickToPurchase(
           src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "purchase"))
@@ -275,8 +294,12 @@ object StreamOps {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      // await INSIDE the conf scope: the first micro-batch plans
+      // asynchronously after start(), so restoring the partition
+      // count early races the state-store layout (seen as a
+      // bimodal 2.2 s / 7.2 s stream-join bench)
+      try q.awaitTermination() finally q.stop()
     }
-    try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .orderBy(col("purchase_id"), col("click_id"))
       .limit(300)
@@ -307,14 +330,19 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
-    val q = withShufflePartitions(spark, 4) {
+    withShufflePartitions(spark, 4) {
+      val q =
       sessionizeStateful(src)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      // await INSIDE the conf scope: the first micro-batch plans
+      // asynchronously after start(), so restoring the partition
+      // count early races the state-store layout (seen as a
+      // bimodal 2.2 s / 7.2 s stream-join bench)
+      try q.awaitTermination() finally q.stop()
     }
-    try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
       .groupBy(col("user_id"))
       .agg(max(col("sessions")).as("sessions"))
