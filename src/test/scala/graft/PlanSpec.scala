@@ -112,6 +112,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no declared key plans an accidental cartesian product (global audit)") {
+    // eager keys (streaming runs, layout writes) are skipped: building
+    // their DataFrame executes side effects; their plans are audited
+    // by their dedicated tests above / in BucketingSpec
+    val eager = Set("q_stream_", "q_part_pruned", "q_bucket_join",
+      "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_dpp_join")
+    // brute-force vector keys deliberately cross join a broadcast
+    // probe side (the verification baselines — see VectorOps scaladoc)
+    val intentionalCross = Set("q_cosine_topk", "q_cosine_expr",
+      "q_cosine_udf", "q_knn_ivf", "q_knn_rerank", "q_join_range_band")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!eager.exists(name.startsWith) && !intentionalCross(name)) {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n${p.take(3000)}")
+      }
+    }
+  }
+
   test("filter + projection reach the scan for events (ns-timestamp path)") {
     val df = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
