@@ -148,7 +148,8 @@ object SparkEntry {
     "q_graph_triangles"    -> WarehouseOps.qGraphTriangles _,
     "q_binary_payload"     -> graft.multimodal.MediaOps.qBinaryPayload _,
     "q_sql_interface"      -> WarehouseOps.qSqlInterface _,
-    "q_knn_rerank"         -> VectorOps.qKnnRerank _
+    "q_knn_rerank"         -> VectorOps.qKnnRerank _,
+    "q_fn_bitwise"         -> Functions.qFnBitwise _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

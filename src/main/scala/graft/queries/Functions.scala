@@ -203,4 +203,22 @@ object Functions {
       .orderBy(col("user_id"))
       .limit(200)
   }
+
+  /** Bitwise family: AND / OR / XOR / shifts / popcount / NOT — pure
+    * integer algebra, bit-identical in any engine (the primitives
+    * under the Z-order and salting keys, declared here as a scalar
+    * family row of their own). */
+  def qFnBitwise(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("b_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+        shiftleft(col("l_linenumber"), 3).as("b_shl"),
+        shiftright(col("l_orderkey"), 2).as("b_shr"),
+        bit_count(col("l_orderkey")).as("b_cnt"),
+        expr("~l_orderkey").as("b_not"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 }

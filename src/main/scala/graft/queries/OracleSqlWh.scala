@@ -200,6 +200,18 @@ object OracleSqlWh {
         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_orderkey & l_partkey AS b_and,
+        |       l_orderkey | l_partkey AS b_or,
+        |       xor(l_orderkey, l_partkey) AS b_xor,
+        |       l_linenumber << 3 AS b_shl,
+        |       l_orderkey >> 2 AS b_shr,
+        |       CAST(bit_count(l_orderkey) AS INTEGER) AS b_cnt,
+        |       ~l_orderkey AS b_not
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_knn_rerank" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
