@@ -159,13 +159,43 @@ object DedupOps {
       .limit(100)
   }
 
+  /** Default prefix-block cap for the verify joins
+    * ([[qDedupLevenshtein]], [[qDedupNgramJaccard]]): far above any
+    * fixture block (max observed 4 docs per 60-char prefix across
+    * sf0.001/0.01/0.1) but a hard bound on the n²/2 pair fan-out of a
+    * boilerplate mega-block at corpus scale — Levenshtein is O(len²)
+    * PER PAIR, so an uncapped block is quadratic cost squared. Blocks
+    * over the cap are exact-duplicate territory (a shared 60-char
+    * prefix across hundreds of docs is boilerplate), handled by the
+    * hash-agg q_dedup_exact pass, not pairwise verification. Same
+    * rationale and guard shape as [[MaxBandBucket]]. */
+  val MaxBlockBucket = 500
+
+  /** Drops prefix blocks larger than `cap` before pair generation.
+    * The over-cap key set is bounded small by construction (≤ N/cap
+    * keys can exceed the cap), so the guard is a broadcast anti-join
+    * on the block key — identical to the MinHash band guard above.
+    * BlockCapSpec proves capped ≡ uncapped on the fixtures and that a
+    * cap of 1 eliminates every pair (the guard is live code). */
+  private def cappedBlocks(d: DataFrame, cap: Int): DataFrame = {
+    val big = d.groupBy(col("k")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("k").as("big_k"))
+    d.join(broadcast(big), col("k") === col("big_k"), "left_anti")
+  }
+
   /** Edit-distance verification over prefix-blocked candidate pairs:
     * classic Levenshtein (identical DP definition in both engines).
     * Quadratic per pair — only ever run on blocked candidates, never
-    * all pairs (SCALE.md). */
-  def qDedupLevenshtein(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
-      col("doc_id"), col("text"), lower(substring(col("text"), 1, 60)).as("k"))
+    * all pairs, and blocks are capped at [[MaxBlockBucket]]
+    * (SCALE.md). */
+  def qDedupLevenshtein(spark: SparkSession, dir: String): DataFrame =
+    qDedupLevenshteinCapped(spark, dir, MaxBlockBucket)
+
+  private[graft] def qDedupLevenshteinCapped(
+      spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    val d = cappedBlocks(Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"), lower(substring(col("text"), 1, 60)).as("k")), cap)
     val a = d.select(col("doc_id").as("doc_a"), col("k"), col("text").as("t_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("k"), col("text").as("t_b"))
     a.join(b, "k")
@@ -179,12 +209,17 @@ object DedupOps {
 
   /** n-gram (token-set) Jaccard similarity over candidate pairs
     * blocked by shared 60-char prefix — the verify stage that follows
-    * any LSH/blocking candidate generator. */
-  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
+    * any LSH/blocking candidate generator. Blocks capped at
+    * [[MaxBlockBucket]]. */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    qDedupNgramJaccardCapped(spark, dir, MaxBlockBucket)
+
+  private[graft] def qDedupNgramJaccardCapped(
+      spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    val d = cappedBlocks(Tables.documents(spark, dir).select(
       col("doc_id"),
       lower(substring(col("text"), 1, 60)).as("k"),
-      array_distinct(split(col("text"), " ")).as("ts"))
+      array_distinct(split(col("text"), " ")).as("ts")), cap)
     val a = d.select(col("doc_id").as("doc_a"), col("k"), col("ts").as("ts_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("k"), col("ts").as("ts_b"))
     a.join(b, "k")
