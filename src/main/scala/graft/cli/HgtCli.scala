@@ -61,9 +61,22 @@ object HgtGet {
 
   def main(args: Array[String]): Unit = {
     val Array(manifest, workDir) = args
-    // manifest: newline-separated local zip paths (network is env-gated)
-    val zips = Files.readAllLines(Paths.get(manifest)).toArray.map(_.toString).filter(_.nonEmpty)
-    val got = extract(zips.toSeq, workDir)
+    // manifest: one entry per line — http(s) URLs are downloaded into
+    // workDir through the worker-pool Fetch stage (network env-gated,
+    // see Fetch.urlFetcher), local zip paths are extracted directly.
+    val lines = Files.readAllLines(Paths.get(manifest))
+      .toArray.map(_.toString).filter(_.nonEmpty)
+    val (urls, locals) = lines.toSeq.partition(
+      l => l.startsWith("http://") || l.startsWith("https://"))
+    val fetched = if (urls.isEmpty) Seq.empty[String] else {
+      Files.createDirectories(Paths.get(workDir))
+      val tasks = graft.hgt.Fetch.plan(urls, workDir)
+      val log = graft.hgt.Fetch.run(tasks, graft.hgt.Fetch.urlFetcher())
+      log.foreach(println)
+      // failed downloads are reported, not extracted
+      tasks.zip(log).collect { case (t, o) if !o.startsWith("FAIL") => t.target }
+    }
+    val got = extract(locals ++ fetched, workDir)
     println(s"extracted ${got.size} tiles: ${got.mkString(", ")}")
   }
 }

@@ -188,4 +188,55 @@ class HgtCliSpec extends SparkSpec {
     assert(sqls.size === 4) // 3x3 grid, stride 2 → 2x2 windows
     assert(sqls.forall(_.startsWith("INSERT INTO rast (rast) VALUES ('01")))
   }
+
+  test("hgtget fetch: manifest → plan with existence-derived skip state (R3+R8)") {
+    import graft.hgt.Fetch
+    val work = java.nio.file.Files.createTempDirectory("clifetch").toFile
+    // pre-existing target → planned as skip
+    java.nio.file.Files.write(new java.io.File(work, "N47E006.zip").toPath, Array[Byte](1))
+    val manifest = Seq(
+      "# srtm3 manifest excerpt",
+      "",
+      "https://example.invalid/srtm3/N47E006.zip",
+      "https://example.invalid/srtm3/N47E007.zip",
+      "https://example.invalid/srtm3/N48E006.zip")
+    val tasks = Fetch.plan(manifest, work.getAbsolutePath)
+    assert(tasks.map(t => new java.io.File(t.target).getName) ===
+      Seq("N47E006.zip", "N47E007.zip", "N48E006.zip"))
+    assert(tasks.map(_.skip) === Seq(true, false, false))
+  }
+
+  test("hgtget fetch: worker-pool run emits plan-order golden bookkeeping; FAIL is isolated") {
+    import graft.hgt.Fetch
+    val work = java.nio.file.Files.createTempDirectory("clifetch2").toFile
+    java.nio.file.Files.write(new java.io.File(work, "a.zip").toPath, Array[Byte](1))
+    val tasks = Fetch.plan(Seq(
+      "https://example.invalid/d/a.zip",
+      "https://example.invalid/d/b.zip",
+      "https://example.invalid/d/broken.zip",
+      "https://example.invalid/d/c.zip"), work.getAbsolutePath)
+    val touched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fake: Fetch.Fetcher = (url, target) => {
+      touched.add(url)
+      if (url.contains("broken")) sys.error("boom")
+      java.nio.file.Files.write(target, url.getBytes)
+    }
+    val log = Fetch.run(tasks, fake, parallelism = 3)
+    val w = work.getAbsolutePath
+    assert(log === Seq(
+      s"SKIP $w/a.zip",
+      s"OK https://example.invalid/d/b.zip -> $w/b.zip",
+      "FAIL https://example.invalid/d/broken.zip: boom",
+      s"OK https://example.invalid/d/c.zip -> $w/c.zip"))
+    assert(!touched.contains("https://example.invalid/d/a.zip"),
+      "skipped task must never reach the fetcher")
+    // idempotent re-plan: succeeded targets now skip, the failure retries
+    val replan = Fetch.plan(tasks.map(_.url), w)
+    assert(replan.map(_.skip) === Seq(true, true, false, true))
+  }
+
+  test("hgtget fetch: the real network fetcher is env-gated") {
+    assume(!sys.env.get("SPARK_GRAFT_ALLOW_NETWORK").contains("1"))
+    intercept[IllegalArgumentException](graft.hgt.Fetch.urlFetcher())
+  }
 }
