@@ -161,8 +161,15 @@ object VectorOps {
     * in the top cell and need fewer probes for the same recall.
     * Centroids are the ROUNDED per-dim means, so both engines compute
     * dot products from bit-identical inputs. Each target lives in
-    * exactly one cell, so multi-probe joins stay duplicate-free. */
-  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    * exactly one cell, so multi-probe joins stay duplicate-free.
+    * AnnRecallSpec measures the whole nprobe curve (1/2/4) and asserts
+    * recall is monotone in nprobe — the knob buys recall linearly in
+    * scan fraction, never loses it. */
+  def qKnnIvf(spark: SparkSession, dir: String): DataFrame =
+    qKnnIvfProbed(spark, dir, 2)
+
+  private[graft] def qKnnIvfProbed(
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val cent = qEmbCentroid(spark, dir)
@@ -176,7 +183,7 @@ object VectorOps {
         col("c_label"))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_label"))
     val probeCell = assigned.withColumn("rk", row_number().over(wA))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id"), col(P), col("c_label").as("cell"))
     val targets = e.select(col("vec_id").as("neighbor"), col("label").as("cell"), col("embedding").as(T))
     val pairs = probeCell.join(targets, "cell")

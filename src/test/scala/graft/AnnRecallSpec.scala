@@ -106,6 +106,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.25, f"recall $recall%.3f below 0.25 floor (measured 0.30)")
   }
 
+  test("q_knn_ivf nprobe curve (1/2/4): recall is monotone in scan fraction") {
+    // nprobe is THE IVF recall/cost knob: each probe cell adds 1/10 of
+    // the corpus to the scan. The curve must never bend down — more
+    // cells can only add candidates, and top-3 selection over a
+    // superset can only improve against ground truth.
+    val recalls = Seq(1, 2, 4).map { np =>
+      val found = pairsOf(VectorOps.qKnnIvfProbed(spark, sf, np), "vec_id", "neighbor")
+      np -> (found & gtTop3).size.toDouble / gtTop3.size
+    }
+    info(recalls.map { case (np, r) => f"nprobe=$np: $r%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$np1) to $r2%.3f (nprobe=$np2)")
+    }
+    // pins the measured curve shape: 4 cells must beat the declared 2
+    val byNp = recalls.toMap
+    assert(byNp(4) > byNp(2), "nprobe=4 should strictly improve over nprobe=2 on this fixture")
+  }
+
   test("q_knn_rerank (int8 coarse → exact re-rank): top-3 recall ≥ 0.9") {
     // unlike the LSH/IVF keys this is NOT a pruning trade-off: the
     // coarse pass scans everything at 1/127 resolution, so the only
