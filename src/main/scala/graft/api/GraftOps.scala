@@ -138,7 +138,16 @@ object GraftOps {
     * (the standard Pregel driver pattern — no row data ever reaches
     * the driver). `localCheckpoint` cuts lineage per round so the plan
     * stays constant-size; a cluster deployment would use reliable
-    * checkpointing instead. Returns (id, component). */
+    * checkpointing instead. Returns (id, component).
+    *
+    * Concurrency note (ADVICE r6): the loop sizes its per-round
+    * shuffles by setting the SESSION-scoped shuffle-partition conf for
+    * its duration (restored in finally). Queries planned concurrently
+    * on the same SparkSession mid-loop would inherit the loop's
+    * partition count — call this one-query-at-a-time per session, or
+    * from a dedicated `spark.newSession()`. (Per-frame `repartition`
+    * can't replace the conf here: it sizes its own exchange, not the
+    * groupBy/join exchanges Catalyst inserts downstream.) */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // checkpoint BEFORE doubling so the (possibly expensive) edge
     // subtree materializes once; the direction-flip union is a cheap
@@ -155,7 +164,10 @@ object GraftOps {
     val spark = edges.sparkSession
     val confKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(confKey)
-    val loopParts = math.max(4L, math.min(prevParts.toLong,
+    // prevParts can legally be non-numeric (e.g. "auto" on forks that
+    // accept it) — treat unparseable as "no ceiling", don't throw
+    val prevCeiling = scala.util.Try(prevParts.toLong).getOrElse(Long.MaxValue)
+    val loopParts = math.max(4L, math.min(prevCeiling,
       base.count() / 50000L + 1L)).toString
     val e = base.unionAll(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
     // Init already folds in one propagation round: every node starts at
@@ -352,16 +364,20 @@ object GraftOps {
     * validity bounds `[valid_from, valid_to)`, a 1-based version
     * number, and an is_current flag. Ordering within a key is
     * (tsCol, tieCol) — total, so the version chain is deterministic.
-    * One shuffle on the dimension key; history length per key is
-    * processed in a single sorted partition-local pass (the 100 TB
-    * CDC-compaction shape — no self-join). */
+    * Output keeps `keyCol` and `attrCol` under their own names
+    * (ADVICE r6: a caller compacting a price column should not get a
+    * column named "status"); the generated columns are `valid_from`,
+    * `valid_to`, `version`, `is_current`. One shuffle on the dimension
+    * key; history length per key is processed in a single sorted
+    * partition-local pass (the 100 TB CDC-compaction shape — no
+    * self-join). */
   def scd2(df: DataFrame, keyCol: String, attrCol: String,
            tsCol: String, tieCol: String): DataFrame = {
     val byTime = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     df.withColumn("__prev", lag(col(attrCol), 1).over(byTime))
       .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
-      .select(col(keyCol), col(attrCol).as("status"),
+      .select(col(keyCol), col(attrCol),
         col(tsCol).as("valid_from"),
         lead(col(tsCol), 1).over(byTime).as("valid_to"),
         row_number().over(byTime).as("version"))
@@ -391,7 +407,12 @@ object GraftOps {
   /** 16-bit Morton (Z-order) key from the low 8 bits of two integer
     * dimension columns — the multi-dimensional clustering sort key
     * (sort by it before writing and min/max file stats prune scans on
-    * EITHER dimension). Pure integer bit algebra, codegen-friendly. */
+    * EITHER dimension). Pure integer bit algebra, codegen-friendly.
+    *
+    * PRECONDITION: both inputs must be non-negative (callers bucket
+    * with `pmod`, not `%` — ADVICE r6). A negative input's
+    * two's-complement bits would interleave into a key with no
+    * locality relation to the dimension value. */
   def zorderKey(xCol: String, yCol: String): Column =
     (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
       acc +

@@ -85,8 +85,9 @@ object OracleSqlWh {
     "q_zorder_layout" ->
       """WITH b AS (
         |  SELECT CAST(o_custkey % 256 AS BIGINT) AS xb,
-        |         CAST(date_diff('day', DATE '1995-01-01',
-        |                        CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+        |         CAST(((date_diff('day', DATE '1995-01-01',
+        |                          CAST(o_orderdate AS DATE)) % 256) + 256) % 256
+        |              AS BIGINT) AS yb
         |  FROM orders
         |), z AS (
         |  SELECT xb, yb,

@@ -63,6 +63,9 @@ object WarehouseOps {
   def qScd2(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.scd2(Tables.orders(spark, dir),
         "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      // the declared key's published schema: the tracked attribute is
+      // presented as "status" (scd2 itself keeps attrCol's own name)
+      .withColumnRenamed("o_orderstatus", "status")
       .filter(col("o_custkey") < 300)
       .orderBy(col("o_custkey"), col("version"))
 
@@ -217,7 +220,11 @@ object WarehouseOps {
     * before the final 256-group aggregate, exact in both engines. */
   def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val x = col("o_custkey") % 256
-    val y = datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) % 256
+    // pmod, not %: datediff is negative for any date before the anchor,
+    // and %'s truncate-toward-zero sign would feed two's-complement
+    // bits into the interleave, destroying the locality the layout
+    // exists for (ADVICE r6 — zorderKey requires non-negative inputs)
+    val y = pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")), lit(256))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), x.cast("long").as("xb"), y.cast("long").as("yb"))
       .withColumn("z", graft.api.GraftOps.zorderKey("xb", "yb"))

@@ -127,14 +127,33 @@ object StreamOps {
     * replay (start → awaitTermination): the first micro-batch plans
     * asynchronously after `start()` returns, so restoring the conf
     * early races the state-store layout — observed as a bimodal
-    * 2.2 s / 7.2 s stream-join bench before the callers were widened.
-    * At production scale the right value is sized to state volume
-    * (state partitions ≫ cores), not to this bounded-replay optimum. */
+    * 2.2 s / 7.2 s stream-join bench before the callers were widened
+    * ([[runToMemorySink]] keeps every caller inside the scope by
+    * construction). At production scale the right value is sized to
+    * state volume (state partitions ≫ cores), not to this
+    * bounded-replay optimum. */
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** Execute a bounded replay of `stream` into a memory sink and
+    * return the sink table: Trigger.AvailableNow, awaitTermination
+    * held INSIDE the shuffle-partition scope (the conf-race rationale
+    * lives once, on [[withShufflePartitions]] — ADVICE r6 deduped the
+    * five inline copies of it). */
+  private def runToMemorySink(spark: SparkSession, stream: Dataset[_],
+      sinkName: String, mode: String, partitions: Int): DataFrame = {
+    withShufflePartitions(spark, partitions) {
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.table(sinkName)
   }
 
   /** Streaming file source over the fixture's events parquet with the
@@ -162,23 +181,12 @@ object StreamOps {
     * the same SQL as q_events_sliding (the explicit 4-shift union). */
   def qStreamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = s"graft_stream_sliding_${runSeq.incrementAndGet()}"
-    withShufflePartitions(spark, 4) {
-      val q =
+    runToMemorySink(spark,
       eventsStream(spark, sfDir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
-        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // await INSIDE the conf scope: the first micro-batch plans
-      // asynchronously after start(), so restoring the partition
-      // count early races the state-store layout (seen as a
-      // bimodal 2.2 s / 7.2 s stream-join bench)
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.table(sinkName)
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv")),
+      sinkName, "complete", partitions = 4)
       .orderBy(col("ws"), col("event_type"))
       .limit(300)
   }
@@ -194,22 +202,11 @@ object StreamOps {
     * state there is evictable, which a bounded replay can't show.) */
   def qStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
-    withShufflePartitions(spark, 4) {
-      val q =
+    runToMemorySink(spark,
       eventsStream(spark, sfDir)
         .select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // await INSIDE the conf scope: the first micro-batch plans
-      // asynchronously after start(), so restoring the partition
-      // count early races the state-store layout (seen as a
-      // bimodal 2.2 s / 7.2 s stream-join bench)
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.table(sinkName)
+        .dropDuplicates("user_id", "event_type"),
+      sinkName, "append", partitions = 4)
       .orderBy(col("user_id"), col("event_type"))
       .limit(500)
   }
@@ -223,38 +220,13 @@ object StreamOps {
     * replay). Returns the sink table ordered like the batch twin; the
     * oracle is the same SQL as q_events_tumbling. */
   def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    graft.Tables.configure(spark)
     val sinkName = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
-    // streaming file source needs an explicit schema; under
-    // nanosAsLong the ts column arrives as raw nanos (long)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the streaming file source wants a directory; select just the
-    // events file out of the fixture dir by name
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    withShufflePartitions(spark, 4) {
-      val q =
-      src
+    runToMemorySink(spark,
+      eventsStream(spark, sfDir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
-        .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // await INSIDE the conf scope: the first micro-batch plans
-      // asynchronously after start(), so restoring the partition
-      // count early races the state-store layout (seen as a
-      // bimodal 2.2 s / 7.2 s stream-join bench)
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.table(sinkName)
+        .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv")),
+      sinkName, "complete", partitions = 4)
       .orderBy(col("h"), col("event_type"))
       .limit(200)
   }
@@ -269,38 +241,18 @@ object StreamOps {
     * bounded single-file replay yields exactly the batch join — the
     * oracle is the equivalent epoch-µs interval self-join. */
   def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    graft.Tables.configure(spark)
     val sinkName = s"graft_stream_join_${runSeq.incrementAndGet()}"
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, sfDir)
     // 2 partitions: a stream-stream join materializes FOUR state
     // stores per partition per side, and store commit latency
     // dominates this one-micro-batch bounded replay (7.4→2.3 s going
     // 32→4 in r5; measured r6: 2 ≈ 4 at ~2.2 s, 1 is WORSE at 2.7 s —
     // the remaining cost is query lifecycle, not store count)
-    withShufflePartitions(spark, 2) {
-      val q =
+    runToMemorySink(spark,
       clickToPurchase(
-          src.filter(col("event_type") === "click"),
-          src.filter(col("event_type") === "purchase"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // await INSIDE the conf scope: the first micro-batch plans
-      // asynchronously after start(), so restoring the partition
-      // count early races the state-store layout (seen as a
-      // bimodal 2.2 s / 7.2 s stream-join bench)
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.table(sinkName)
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase")),
+      sinkName, "append", partitions = 2)
       .orderBy(col("purchase_id"), col("click_id"))
       .limit(300)
   }
@@ -316,34 +268,13 @@ object StreamOps {
     * the bounded replay one micro-batch, so the in-batch sort inside
     * the state function sees each user's full history in order. */
   def qStreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import spark.implicits._
-    graft.Tables.configure(spark)
     val sinkName = s"graft_stream_sessionize_${runSeq.incrementAndGet()}"
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
-    withShufflePartitions(spark, 4) {
-      val q =
-      sessionizeStateful(src)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // await INSIDE the conf scope: the first micro-batch plans
-      // asynchronously after start(), so restoring the partition
-      // count early races the state-store layout (seen as a
-      // bimodal 2.2 s / 7.2 s stream-join bench)
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.table(sinkName)
+    runToMemorySink(spark, sessionizeStateful(src),
+      sinkName, "update", partitions = 4)
       .groupBy(col("user_id"))
       .agg(max(col("sessions")).as("sessions"))
       .orderBy(col("sessions").desc, col("user_id"))

@@ -138,8 +138,9 @@ class GraftOpsSpec extends SparkSpec {
       (1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (1L, "B", 30L, 102L),
       (1L, "A", 40L, 103L), (2L, "C", 15L, 104L)
     ).toDF("k", "attr", "ts", "id")
+    // the compacted attribute keeps its own name (ADVICE r6)
     val got = GraftOps.scd2(changes, "k", "attr", "ts", "id")
-      .select($"k", $"status", $"valid_from", $"valid_to", $"version", $"is_current")
+      .select($"k", $"attr", $"valid_from", $"valid_to", $"version", $"is_current")
       .orderBy($"k", $"version").collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2),
           Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4), r.getBoolean(5)))
