@@ -1,0 +1,115 @@
+package graft
+
+import graft.hgt.HgtCodec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DSv2 `hgt` source (SURVEY.md §2.1 R1 upgrade path, §7.4): proves
+  * (a) the source decodes identically to the binaryFile+flatMap path,
+  * (b) lat/lng filters prune whole tiles at PLANNING time,
+  * (c) sub-tile windowing + void pushdown never change results
+  *     (generous boundaries; Spark re-applies all filters), and
+  * (d) column pruning reaches the reader.
+  *
+  * Fixture: a 2×2-degree neighborhood of four 3×3 tiles with distinct
+  * value ranges per tile, plus one void sample.
+  */
+class HgtDsv2Spec extends SparkSpec {
+
+  private def tileBytes(base: Short): Array[Byte] = {
+    val vals: Array[Short] =
+      Array(base, (base + 1).toShort, (base + 2).toShort,
+        (base + 3).toShort, if (base == 100) HgtCodec.Void else (base + 4).toShort,
+        (base + 5).toShort, (base + 6).toShort, (base + 7).toShort, (base + 8).toShort)
+    val out = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      out(2 * i) = ((v >> 8) & 0xff).toByte
+      out(2 * i + 1) = (v & 0xff).toByte
+    }
+    out
+  }
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("hgt-dsv2").toFile
+    val tiles = Seq(("N40E010.hgt", 100), ("N40E011.hgt", 200),
+      ("N41E010.hgt", 300), ("N41E011.hgt", 400))
+    tiles.foreach { case (name, base) =>
+      java.nio.file.Files.write(new java.io.File(d, name).toPath, tileBytes(base.toShort))
+    }
+    // a non-tile file the source must ignore
+    java.nio.file.Files.write(new java.io.File(d, "README.txt").toPath, "x".getBytes)
+    d.getAbsolutePath
+  }
+
+  private def hgt: DataFrame = spark.read.format("hgt").load(dir)
+
+  private def scannedTiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions
+    }.sum
+
+  test("full read equals the binaryFile+flatMap decoder") {
+    val viaDsv2 = hgt.filter(col("alt") =!= HgtCodec.Void)
+      .orderBy("lat", "lng", "alt").collect().toSeq
+    val viaFlatMap = HgtCodec.points(spark, dir).toDF()
+      .orderBy("lat", "lng", "alt").collect().toSeq
+    assert(viaDsv2.nonEmpty && viaDsv2 === viaFlatMap)
+    // 4 tiles → 4 partitions, no pruning without filters
+    assert(scannedTiles(hgt) === 4)
+  }
+
+  test("lat/lng range filters prune tiles at planning time") {
+    // lat in (41.2, 41.8): only the two swLat=41 tiles intersect
+    val north = hgt.filter(col("lat") > 41.2 && col("lat") < 41.8)
+    assert(scannedTiles(north) === 2)
+    // + lng <= 10.4: single tile
+    val one = north.filter(col("lng") <= 10.4)
+    assert(scannedTiles(one) === 1)
+    // results still exactly the unpruned-path answer
+    val expected = HgtCodec.points(spark, dir).toDF()
+      .filter(col("lat") > 41.2 && col("lat") < 41.8 && col("lng") <= 10.4)
+      .orderBy("lat", "lng").collect().toSeq
+    assert(one.filter(col("alt") =!= HgtCodec.Void)
+      .orderBy("lat", "lng").collect().toSeq === expected)
+    // disjoint box → zero partitions, zero rows, no error
+    val none = hgt.filter(col("lat") > 80.0)
+    assert(scannedTiles(none) === 0 && none.count() === 0)
+  }
+
+  test("sub-tile window + void pushdown preserve exact results") {
+    // a 0.4°×0.4° box inside tile N40E010 (3×3 grid, step 0.5) — only
+    // the center/corner samples in range; void filter pushed to decode
+    val boxed = hgt.filter(
+      col("lat") >= 40.4 && col("lat") <= 40.6 &&
+        col("lng") >= 10.4 && col("lng") <= 10.6 &&
+        col("alt") =!= HgtCodec.Void)
+    assert(scannedTiles(boxed) === 1)
+    // N40E010's center sample IS the void → box keeps nothing
+    assert(boxed.count() === 0)
+    // same box one tile east keeps exactly the center sample 204
+    val east = hgt.filter(
+      col("lat") >= 40.4 && col("lat") <= 40.6 &&
+        col("lng") >= 11.4 && col("lng") <= 11.6 &&
+        col("alt") =!= HgtCodec.Void)
+    val rows = east.collect()
+    assert(rows.length === 1 && rows.head.getShort(2) === 204)
+  }
+
+  test("column pruning reaches the reader; aggregates work") {
+    val agg = hgt.filter(col("alt") =!= HgtCodec.Void)
+      .agg(sum(col("alt").cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect().head
+    // 4 tiles × 9 samples − 1 void; sum over bases 100/200/300/400
+    assert(agg.getLong(1) === 35)
+    val expectedSum = Seq(100, 200, 300, 400).flatMap { b =>
+      (0 to 8).map(b + _)
+    }.filterNot(v => v == 104).map(_.toLong).sum
+    assert(agg.getLong(0) === expectedSum)
+    // the scan's readSchema shrank to alt only
+    val schemaStr = agg.toString // force execution above; now inspect plan
+    val pruned = hgt.select(col("alt")).queryExecution.executedPlan
+      .collectLeaves().collect { case b: BatchScanExec => b.schema.fieldNames.toSeq }
+    assert(pruned === Seq(Seq("alt")))
+  }
+}
