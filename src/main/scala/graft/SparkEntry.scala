@@ -149,7 +149,11 @@ object SparkEntry {
     "q_binary_payload"     -> graft.multimodal.MediaOps.qBinaryPayload _,
     "q_sql_interface"      -> WarehouseOps.qSqlInterface _,
     "q_knn_rerank"         -> VectorOps.qKnnRerank _,
-    "q_fn_bitwise"         -> Functions.qFnBitwise _
+    "q_fn_bitwise"         -> Functions.qFnBitwise _,
+    // round-7 pipeline keys
+    "q_fn_url"             -> Functions.qFnUrl _,
+    "q_decontam_bloom"     -> TextOps.qDecontamBloom _,
+    "q_text_perplexity"    -> TextOps.qTextPerplexity _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -221,4 +221,30 @@ object Functions {
         expr("~l_orderkey").as("b_not"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
+
+  /** URL family: parse_url component extraction (PROTOCOL / HOST /
+    * PATH / QUERY / REF / keyed QUERY) — the web-corpus field a
+    * training pipeline partitions and filters on (domain dedup,
+    * per-site sampling caps). The fixture has no URL column, so the
+    * key synthesizes a deterministic URL per document from its own
+    * fields first; the oracle rebuilds the same string and extracts
+    * the components with anchored regexes (DuckDB has no parse_url).
+    * Pure per-row projection — no shuffle before the presentation
+    * sort, codegen end to end. */
+  def qFnUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.org/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"),
+        lit("&ref=graft#s"), pmod(col("doc_id"), lit(7))))
+      .select(
+        col("doc_id"), col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'REF')").as("anchor"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+      .orderBy(col("doc_id"))
+      .limit(300)
 }

@@ -106,5 +106,6 @@ object OracleSql {
         |WHERE rk <= 5 ORDER BY vec_id, cos DESC, neighbor""".stripMargin
   )
 
-  def all: Map[String, String] = seed ++ OracleSqlExt.all ++ OracleSqlLlm.all ++ OracleSqlWh.all
+  def all: Map[String, String] =
+    seed ++ OracleSqlExt.all ++ OracleSqlLlm.all ++ OracleSqlWh.all ++ OracleSqlPipe.all
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the round-7 pipeline keys (URL parsing,
+  * bloom decontamination, unigram-LM scoring). Same dialect-seam
+  * rules as OracleSql (§2.2).
+  */
+object OracleSqlPipe {
+
+  val all: Map[String, String] = Map(
+    // DuckDB has no parse_url — the oracle rebuilds the synthesized
+    // URL and extracts each component with an anchored regex. The
+    // components are exact because the URL grammar here is fixed.
+    "q_fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         concat('https://', source, '.example.org/docs/', doc_id,
+        |                '?lang=', lang, '&ref=graft#s', doc_id % 7) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |       regexp_extract(url, '://([^/]+)/', 1) AS host,
+        |       regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+        |       regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |       regexp_extract(url, '#(.*)$', 1) AS anchor,
+        |       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang
+        |FROM u ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    // The bloom prefilter is engine-internal and one-sided (no false
+    // negatives; FPs are killed by the exact confirm join), so the
+    // oracle is the plain exact semi-join the key's answer equals.
+    "q_decontam_bloom" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |bench AS (SELECT DISTINCT gram FROM e WHERE doc_id < 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
+        |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |              FROM documents),
+        |counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS tot FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       round(-avg(ln(c / CAST(tot AS DOUBLE))), 4) AS xent
+        |FROM toks JOIN counts USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
+  )
+}

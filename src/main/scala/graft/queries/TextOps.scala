@@ -246,17 +246,7 @@ object TextOps {
     * broadcasts; the corpus explodes to (doc, gram) once and hash-
     * joins — no shuffle of the corpus beyond the final count agg. */
   def qTextContamination(spark: SparkSession, dir: String): DataFrame = {
-    // size(t) >= 3 guard: for a sub-trigram doc, sequence(0, size(t)-3)
-    // would count DOWN (e.g. [0,-1]) and concat_ws would silently skip
-    // the out-of-range null lookups, emitting spurious partial grams —
-    // the DuckDB oracle's range(1, len(t)-1) emits none. The filter
-    // makes both engines contribute zero grams for short docs.
-    val g = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-      ))).as("gram"))
+    val g = trigrams(docs(spark, dir))
     val bench = g.filter(col("doc_id") < 5)
       .select(col("gram"), col("doc_id").as("bench_doc")).distinct()
     g.filter(col("doc_id") >= 5)
@@ -264,6 +254,101 @@ object TextOps {
       .groupBy(col("doc_id"), col("bench_doc"))
       .agg(countDistinct(col("gram")).as("shared"))
       .orderBy(col("shared").desc, col("doc_id"), col("bench_doc"))
+  }
+
+  /** Distinct word-trigrams per document — shared by the
+    * contamination and bloom-decontamination keys.
+    *
+    * size(t) >= 3 guard: for a sub-trigram doc, sequence(0, size(t)-3)
+    * would count DOWN (e.g. [0,-1]) and concat_ws would silently skip
+    * the out-of-range null lookups, emitting spurious partial grams —
+    * the DuckDB oracle's range(1, len(t)-1) emits none. The filter
+    * makes both engines contribute zero grams for short docs. */
+  private def trigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+      ))).as("gram"))
+
+  /** Bloom-filter decontamination — the 100 TB shape of
+    * [[qTextContamination]]: the benchmark set's distinct grams are
+    * folded into a 65536-bit Bloom filter (k=2, xxhash64-derived
+    * probes) represented as a sparse word→bits MAP in ONE ROW, which
+    * broadcasts to the corpus scan; every corpus gram probes the map
+    * with two codegen'd lookups and only the surviving sliver reaches
+    * the exact confirm join that removes false positives. The final
+    * answer is therefore EXACT (bloom errors are one-sided: no false
+    * negatives), which is what lets a plain SQL semi-join oracle
+    * verify it. At real scale the bloom is O(benchmark grams) bits
+    * regardless of corpus size and the corpus token stream is
+    * filtered map-side before its only shuffle; DecontamBloomSpec
+    * proves candidate-superset + FP-kill on an adversarial fixture. */
+  def qDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (bench, candidates) = bloomStages(docs(spark, dir))
+    candidates
+      .join(broadcast(bench), "gram") // exact confirm: FPs die here
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // per-doc grams pre-distinct'd
+      .orderBy(col("n_shared").desc, col("doc_id"))
+  }
+
+  /** The two internal stages of [[qDecontamBloom]], exposed for
+    * DecontamBloomSpec: (benchmark distinct grams, bloom-passing
+    * corpus (doc_id, gram) candidates). */
+  private[graft] def bloomStages(d: DataFrame): (DataFrame, DataFrame) = {
+    val g = trigrams(d)
+    val bench = g.filter(col("doc_id") < 5).select(col("gram")).distinct()
+    val corpus = g.filter(col("doc_id") >= 5)
+    val bloom = bench
+      .select(explode(array(probeBits.map(expr): _*)).as("bit"))
+      .select(expr("cast(bit div 64 as int)").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("wbits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("wbits")))).as("bloom"))
+    val candidates = corpus
+      .crossJoin(broadcast(bloom))
+      .filter(probeBits.map(mightContain).reduce(_ && _))
+      .select(col("doc_id"), col("gram"))
+    (bench, candidates)
+  }
+
+  /** The k=2 bloom probe bit positions of column `gram` (SQL text so
+    * both the build and probe sides are literally the same code). */
+  private val probeBits: Seq[String] =
+    (0 until 2).map(i => s"pmod(xxhash64(concat(gram, '#$i')), 65536)")
+
+  /** True iff the probe bit is set in the broadcast bloom map;
+    * absent words count as 0 (sparse map). */
+  private def mightContain(bitSql: String) = expr(
+    s"""(shiftright(coalesce(element_at(bloom, cast(($bitSql) div 64 as int)),
+       |                     cast(0 as bigint)),
+       |            cast(($bitSql) % 64 as int)) & 1) = 1""".stripMargin)
+
+  /** Unigram language-model scoring: per-document cross-entropy
+    * −avg(ln p(w)) under the corpus's own unigram distribution — the
+    * cheap "perplexity-ish" quality signal a pipeline computes before
+    * it can afford a neural scorer (high xent = surprising/garbled
+    * text, low = boilerplate). Two passes over the token stream: one
+    * partial-agg shuffle for the count table, then a shuffle join of
+    * tokens↔counts on the word key (both sides hash-partition on w;
+    * the count table is vocabulary-sized, not corpus-sized) and a
+    * per-doc aggregation. Scored on ln directly — no pow() — and
+    * rounded at 4dp for cross-engine stability (§2.2). */
+  def qTextPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(-avg(log(col("c").cast("double") / col("tot").cast("double"))), 4)
+          .as("xent"))
+      .orderBy(col("doc_id"))
+      .limit(300)
   }
 
   /** Content fingerprinting: md5, sha-256 prefix, and an order-
