@@ -153,7 +153,9 @@ object SparkEntry {
     // round-7 pipeline keys
     "q_fn_url"             -> Functions.qFnUrl _,
     "q_decontam_bloom"     -> TextOps.qDecontamBloom _,
-    "q_text_perplexity"    -> TextOps.qTextPerplexity _
+    "q_text_perplexity"    -> TextOps.qTextPerplexity _,
+    "q_stream_enrich"      -> StreamOps.qStreamEnrich _,
+    "q_graph_pagerank"     -> WarehouseOps.qGraphPagerank _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -447,4 +447,47 @@ object GraftOps {
       expr("sum(d * (d - 1)) div 2").as("n_wedges"))
     stats.crossJoin(tri)
   }
+
+  /** Fixed-iteration PageRank over an UNDIRECTED edge list — the
+    * graph-centrality companion to [[connectedComponents]], same
+    * execution shape: O(iters) shuffle rounds, each one equi-join of
+    * the edge list with the rank frame plus a partial-aggregated sum
+    * per destination; no graph state ever reaches the driver, so the
+    * plan is the one you'd run on a 100 TB edge list (iters is a
+    * small constant; shuffles are sized by AQE to the edge count).
+    *
+    * Determinism (§2.2): ranks are ROUNDED to 6 dp after EVERY
+    * iteration, in this engine and in the unrolled SQL oracle alike —
+    * the per-node inflow is a float sum over in-neighbors whose
+    * partition order differs between engines, and re-rounding each
+    * round stops last-ulp drift from compounding across iterations.
+    *
+    * Returns (node, deg, pr) with pr at 6 dp; callers present at
+    * whatever precision they need. Undirected means no dangling
+    * nodes (every node has out-degree ≥ 1), but absent inflow still
+    * coalesces to 0 so directed callers degrade safely. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val base = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(true)
+    val e = base.unionAll(
+        base.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .localCheckpoint(true) // consumed once per iteration
+    var state = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("pr", lit(1.0))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(state, col("__src") === col("node"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("pr") / col("deg").cast("double")).as("__inflow"))
+      state = state.select(col("node"), col("deg"))
+        .join(contrib, col("node") === col("__dst"), "left")
+        .select(col("node"), col("deg"),
+          round(lit(1 - damping) +
+            lit(damping) * coalesce(col("__inflow"), lit(0.0)), 6).as("pr"))
+        .localCheckpoint(true)
+    }
+    state
+  }
 }

@@ -39,6 +39,43 @@ object OracleSqlPipe {
         |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
         |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
 
+    // stream-static enrichment replayed bounded must equal the batch
+    // join+agg (stateless join: no watermark/eviction to reason about)
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |       round(CAST(sum(value) AS DOUBLE), 2) AS sv
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the engine's O(iters) PageRank rounds, unrolled: each pN CTE is
+    // one iteration with the same 6 dp re-rounding the engine applies
+    "q_graph_pagerank" ->
+      """WITH d AS (SELECT doc_id, lower(substring(text,1,60)) AS k FROM documents),
+        |pairs AS (SELECT a.doc_id AS s, b.doc_id AS t
+        |          FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id),
+        |e AS (SELECT s AS src, t AS dst FROM pairs
+        |      UNION ALL SELECT t, s FROM pairs),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY 1),
+        |p0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+        |p1 AS (SELECT d.node, d.deg,
+        |              round(0.15 + 0.85 * coalesce(c.inflow, 0), 6) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
+        |         FROM e JOIN p0 p ON e.src = p.node GROUP BY 1) c USING (node)),
+        |p2 AS (SELECT d.node, d.deg,
+        |              round(0.15 + 0.85 * coalesce(c.inflow, 0), 6) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
+        |         FROM e JOIN p1 p ON e.src = p.node GROUP BY 1) c USING (node)),
+        |p3 AS (SELECT d.node, d.deg,
+        |              round(0.15 + 0.85 * coalesce(c.inflow, 0), 6) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
+        |         FROM e JOIN p2 p ON e.src = p.node GROUP BY 1) c USING (node))
+        |SELECT node, deg, round(pr, 4) AS pr FROM p3
+        |ORDER BY pr DESC, node LIMIT 100""".stripMargin,
+
     "q_text_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |              FROM documents),

@@ -206,6 +206,25 @@ object WarehouseOps {
     graft.api.GraftOps.triangleStats(edges, "a", "b")
   }
 
+  /** PageRank (3 iterations, damping 0.85) over the same prefix-block
+    * document graph as [[qGraphTriangles]] — the centrality signal a
+    * curation pipeline uses to weight boilerplate clusters. The API
+    * ([[graft.api.GraftOps.pageRank]]) runs O(iters) join+agg rounds
+    * with per-iteration 6 dp rounding so the unrolled SQL oracle
+    * agrees; presentation rounds to 4 dp. */
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), lower(substring(col("text"), 1, 60)).as("k"))
+    val edges = d.select(col("doc_id").as("a"), col("k"))
+      .join(d.select(col("doc_id").as("b"), col("k")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.api.GraftOps.pageRank(edges, "a", "b")
+      .select(col("node"), col("deg"), round(col("pr"), 4).as("pr"))
+      .orderBy(col("pr").desc, col("node"))
+      .limit(100)
+  }
+
   /** Z-order (Morton) clustering audit: interleave the low 8 bits of
     * two independent dimensions — customer bucket and day-number —
     * into a 16-bit Z value, group into 256 Z-buckets, and report each

@@ -257,6 +257,27 @@ object StreamOps {
       .limit(300)
   }
 
+  /** DECLARED streaming key (t2-verified): stream-STATIC enrichment —
+    * the events stream joined to the static customer dimension and
+    * aggregated per (market segment, event type) in COMPLETE mode.
+    * This is the standard streaming-enrichment shape at scale: the
+    * stream-static join is STATELESS (no watermark, no state store —
+    * each micro-batch joins against the dimension snapshot), the
+    * dimension side broadcasts, and the stream never shuffles before
+    * the aggregation. The oracle is the equivalent batch join+agg. */
+  def qStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runToMemorySink(spark,
+      eventsStream(spark, sfDir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv")),
+      sinkName, "complete", partitions = 4)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** DECLARED streaming key (t2-verified): per-user session counts via
     * [[sessionizeStateful]] (flatMapGroupsWithState) executed as a real
     * Structured Streaming query — file source over the events parquet,

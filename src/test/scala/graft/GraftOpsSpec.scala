@@ -169,4 +169,22 @@ class GraftOpsSpec extends SparkSpec {
       .select(GraftOps.zorderKey("x", "y").as("z")).head.getLong(0)
     assert(z == 27L, s"expected 0b11011, got ${z.toBinaryString}")
   }
+
+  test("pageRank matches the hand-unrolled iterations on a path graph") {
+    // undirected path 1–2–3: deg = (1, 2, 1); three damping-0.85
+    // rounds with 6 dp re-rounding give (by hand):
+    //   iter1: (0.575, 1.85, 0.575)
+    //   iter2: (0.93625, 1.1275, 0.93625)
+    //   iter3: (0.629188, 1.741625, 0.629188)
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val pr = GraftOps.pageRank(edges, "s", "t", iters = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pr === Seq((1L, 1L, 0.629188), (2L, 2L, 1.741625), (3L, 1L, 0.629188)))
+    // endpoints are symmetric and the center dominates at every depth
+    val pr1 = GraftOps.pageRank(edges, "s", "t", iters = 1)
+      .orderBy("node").collect().map(_.getDouble(2)).toSeq
+    assert(pr1 === Seq(0.575, 1.85, 0.575))
+  }
 }
