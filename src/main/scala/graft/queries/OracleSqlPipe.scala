@@ -76,6 +76,18 @@ object OracleSqlPipe {
         |SELECT node, deg, round(pr, 4) AS pr FROM p3
         |ORDER BY pr DESC, node LIMIT 100""".stripMargin,
 
+    // the Spark side builds a PNG header per doc and parses it back
+    // with binary expressions; the oracle recomputes the fields from
+    // the same doc_id arithmetic — any build/parse byte slip mismatches
+    "q_media_meta" ->
+      """SELECT doc_id, TRUE AS is_png,
+        |       CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 768 AS BIGINT) AS height,
+        |       CAST(8 AS INTEGER) AS bit_depth,
+        |       CAST(6 AS INTEGER) AS color_type,
+        |       CAST(29 AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+
     "q_text_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |              FROM documents),

@@ -55,6 +55,28 @@ class MediaHllSpec extends SparkSpec {
     assert(scanSchema.contains("ReadSchema: struct<media_id:bigint,kind:string>"), scanSchema)
   }
 
+  test("PNG probe parses a REAL ImageIO-written PNG — JVM codec and SQL expressions agree") {
+    // a genuine PNG, not the synthetic header: 23×17 RGBA written by
+    // the JDK's own encoder
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    (0 until 17).foreach(y => (0 until 23).foreach(x => img.setRGB(x, y, x * 31 + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    // JVM-side codec
+    val (w, h, depth, colorType) = MediaOps.PngCodec.probe(bytes)
+    assert((w, h, depth) === ((23, 17, 8)))
+    assert(colorType === 6 || colorType === 2, s"RGBA/RGB expected, got $colorType")
+    intercept[IllegalArgumentException](MediaOps.PngCodec.probe("GRFT0000".getBytes))
+    // the SAME Catalyst expressions the declared key uses
+    import spark.implicits._
+    val row = MediaOps.pngMeta(Seq(Tuple1(bytes)).toDF("payload"), "payload")
+      .select("is_png", "width", "height", "bit_depth", "color_type").collect().head
+    assert(row.getBoolean(0) && row.getLong(1) === 23L && row.getLong(2) === 17L)
+    assert(row.getInt(3) === depth && row.getInt(4) === colorType)
+  }
+
   test("HLL sketch distinct within 5% of exact on fixture keys") {
     import spark.implicits._
     val hll = udaf(new graft.agg.HllDistinct())
