@@ -448,6 +448,68 @@ object GraftOps {
     stats.crossJoin(tri)
   }
 
+  /** The k=2 bloom probe bit positions of `keyCol` (SQL text so the
+    * build and probe sides are literally the same expressions). */
+  private def bloomProbeBits(keyCol: String, bits: Int): Seq[String] =
+    (0 until 2).map(i => s"pmod(xxhash64(concat($keyCol, '#$i')), $bits)")
+
+  /** Rows of `left` that PASS the bloom prefilter built from `right`'s
+    * distinct keys — a SUPERSET of the true matches (bloom error is
+    * one-sided: no false negatives, ~0.02% false positives at the
+    * default sizing). Exposed for [[bloomSemiJoin]] and its spec. */
+  private[graft] def bloomCandidates(left: DataFrame, right: DataFrame,
+                                     keyCol: String, bits: Int): DataFrame = {
+    val probes = bloomProbeBits(keyCol, bits)
+    val bloom = right.select(col(keyCol)).distinct()
+      .select(explode(array(probes.map(expr): _*)).as("__bit"))
+      .select(expr("cast(__bit div 64 as int)").as("__word"),
+        expr("shiftleft(cast(1 as bigint), cast(__bit % 64 as int))").as("__mask"))
+      .groupBy(col("__word")).agg(expr("bit_or(__mask)").as("__wbits"))
+      .agg(map_from_entries(collect_list(struct(col("__word"), col("__wbits"))))
+        .as("__bloom"))
+    val hit = probes.map { bitSql =>
+      expr(
+        s"""(shiftright(coalesce(element_at(__bloom, cast(($bitSql) div 64 as int)),
+           |                     cast(0 as bigint)),
+           |            cast(($bitSql) % 64 as int)) & 1) = 1""".stripMargin)
+    }.reduce(_ && _)
+    left.crossJoin(broadcast(bloom)).filter(hit).drop("__bloom")
+  }
+
+  /** Bloom-accelerated semi-join: rows of `left` whose `keyCol` value
+    * occurs in `right` — EXACT results (the bloom prefilter's false
+    * positives die in a confirm join against the broadcast right
+    * side), at a fraction of the join traffic: non-matching left rows
+    * are killed MAP-SIDE by two codegen'd bit probes against a
+    * broadcast `bits`-bit filter, so only the surviving sliver
+    * shuffles. The right side must be the semantically small side
+    * (eval sets, blocklists, id sets) — its distinct keys bound both
+    * the bloom's fill and the confirm join's broadcast. This is the
+    * engine's decontamination primitive (q_decontam_bloom) in
+    * reusable form. */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                    bits: Int = 65536): DataFrame =
+    bloomCandidates(left, right, keyCol, bits)
+      .join(broadcast(right.select(col(keyCol)).distinct()), keyCol)
+
+  /** Per-id cross-entropy −avg(ln p(token)) under the corpus's own
+    * unigram distribution (the q_text_perplexity shape over any
+    * (id, text) frame): the count table is vocabulary-sized, the
+    * token stream joins it hash-partitioned on the word key, and the
+    * result is rounded at 4 dp (§2.2 float-sum stability). */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+    val counts = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__tot"))
+    toks.join(counts, "__w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(-avg(log(col("__c").cast("double") / col("__tot").cast("double"))), 4)
+          .as("xent"))
+  }
+
   /** Fixed-iteration PageRank over an UNDIRECTED edge list — the
     * graph-centrality companion to [[connectedComponents]], same
     * execution shape: O(iters) shuffle rounds, each one equi-join of

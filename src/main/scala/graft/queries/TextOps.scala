@@ -285,45 +285,20 @@ object TextOps {
     * filtered map-side before its only shuffle; DecontamBloomSpec
     * proves candidate-superset + FP-kill on an adversarial fixture. */
   def qDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
-    val (bench, candidates) = bloomStages(docs(spark, dir))
-    candidates
-      .join(broadcast(bench), "gram") // exact confirm: FPs die here
+    // no checkpoint, deliberately (measured r7): the corpus side flows
+    // LINEARLY scan → shingle → prefilter → confirm (one pass), and
+    // only the small bench side is consumed twice (bloom build +
+    // confirm broadcast) — unlike the minhash self-joins there is no
+    // corpus recompute to cut, and eager materialization only added
+    // ~0.1 s at sf0.1
+    val g = trigrams(docs(spark, dir))
+    val bench = g.filter(col("doc_id") < 5).select(col("gram")).distinct()
+    val corpus = g.filter(col("doc_id") >= 5)
+    graft.api.GraftOps.bloomSemiJoin(corpus, bench, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // per-doc grams pre-distinct'd
       .orderBy(col("n_shared").desc, col("doc_id"))
   }
-
-  /** The two internal stages of [[qDecontamBloom]], exposed for
-    * DecontamBloomSpec: (benchmark distinct grams, bloom-passing
-    * corpus (doc_id, gram) candidates). */
-  private[graft] def bloomStages(d: DataFrame): (DataFrame, DataFrame) = {
-    val g = trigrams(d)
-    val bench = g.filter(col("doc_id") < 5).select(col("gram")).distinct()
-    val corpus = g.filter(col("doc_id") >= 5)
-    val bloom = bench
-      .select(explode(array(probeBits.map(expr): _*)).as("bit"))
-      .select(expr("cast(bit div 64 as int)").as("word"),
-        expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").as("mask"))
-      .groupBy(col("word")).agg(expr("bit_or(mask)").as("wbits"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("wbits")))).as("bloom"))
-    val candidates = corpus
-      .crossJoin(broadcast(bloom))
-      .filter(probeBits.map(mightContain).reduce(_ && _))
-      .select(col("doc_id"), col("gram"))
-    (bench, candidates)
-  }
-
-  /** The k=2 bloom probe bit positions of column `gram` (SQL text so
-    * both the build and probe sides are literally the same code). */
-  private val probeBits: Seq[String] =
-    (0 until 2).map(i => s"pmod(xxhash64(concat(gram, '#$i')), 65536)")
-
-  /** True iff the probe bit is set in the broadcast bloom map;
-    * absent words count as 0 (sparse map). */
-  private def mightContain(bitSql: String) = expr(
-    s"""(shiftright(coalesce(element_at(bloom, cast(($bitSql) div 64 as int)),
-       |                     cast(0 as bigint)),
-       |            cast(($bitSql) % 64 as int)) & 1) = 1""".stripMargin)
 
   /** Unigram language-model scoring: per-document cross-entropy
     * −avg(ln p(w)) under the corpus's own unigram distribution — the
@@ -335,21 +310,10 @@ object TextOps {
     * the count table is vocabulary-sized, not corpus-sized) and a
     * per-doc aggregation. Scored on ln directly — no pow() — and
     * rounded at 4dp for cross-engine stability (§2.2). */
-  def qTextPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("tot"))
-    toks.join(counts, "w")
-      .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tok"),
-        round(-avg(log(col("c").cast("double") / col("tot").cast("double"))), 4)
-          .as("xent"))
+  def qTextPerplexity(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.unigramCrossEntropy(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
       .limit(300)
-  }
 
   /** Content fingerprinting: md5, sha-256 prefix, and an order-
     * sensitive polynomial rolling hash over tokens (mod 2^31−1) whose

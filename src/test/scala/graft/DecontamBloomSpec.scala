@@ -1,12 +1,12 @@
 package graft
 
-import graft.queries.TextOps
+import graft.api.GraftOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Bloom decontamination (TextOps.qDecontamBloom): proves the two
-  * properties the 100 TB design rests on, on a fixture built so they
-  * are non-trivial —
+/** Bloom-accelerated semi-join (GraftOps.bloomSemiJoin — the engine of
+  * q_decontam_bloom): proves the two properties the 100 TB design
+  * rests on, on a fixture built so they are non-trivial —
   *  1. NO FALSE NEGATIVES: every exactly-shared (doc, gram) pair
   *     survives the bloom prefilter (one-sided error), so the final
   *     confirm-join answer equals a direct exact join.
@@ -32,22 +32,25 @@ class DecontamBloomSpec extends SparkSpec {
     (bench ++ contaminated ++ clean).toDF("doc_id", "text")
   }
 
-  test("no false negatives: bloom candidates ⊇ exact shared pairs; final answer exact") {
-    val (bench, candidates) = TextOps.bloomStages(fixture)
-    // direct exact computation, no bloom anywhere
-    val grams = fixture
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-      ))).as("gram"))
-    val exactShared = grams.filter(col("doc_id") >= 5)
-      .join(grams.filter(col("doc_id") < 5).select("gram").distinct(), "gram")
-      .select("doc_id", "gram")
-    val missed = exactShared.except(candidates)
+  /** distinct word-trigrams per doc, no bloom anywhere */
+  private lazy val grams: DataFrame = fixture
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .filter(size(col("t")) >= 3)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    ))).as("gram"))
+
+  private lazy val bench: DataFrame =
+    grams.filter(col("doc_id") < 5).select("gram").distinct()
+  private lazy val corpus: DataFrame = grams.filter(col("doc_id") >= 5)
+
+  test("no false negatives: bloom candidates ⊇ exact shared pairs; semi-join exact") {
+    val candidates = GraftOps.bloomCandidates(corpus, bench, "gram", 65536)
+    val exactShared = corpus.join(bench, "gram").select("doc_id", "gram")
+    val missed = exactShared.except(candidates.select("doc_id", "gram"))
     assert(missed.count() === 0, "bloom dropped a truly-shared gram (false negative)")
-    // final key output equals the exact per-doc count
-    val viaBloom = candidates.join(bench, "gram")
+    // the full bloomSemiJoin equals the direct exact join per doc
+    val viaBloom = GraftOps.bloomSemiJoin(corpus, bench, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     val exact = exactShared.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     assert(viaBloom.orderBy("doc_id").collect().toSeq ===
@@ -59,12 +62,21 @@ class DecontamBloomSpec extends SparkSpec {
   }
 
   test("the prefilter filters: clean-vocabulary grams die before the join") {
-    val (_, candidates) = TextOps.bloomStages(fixture)
+    val candidates = GraftOps.bloomCandidates(corpus, bench, "gram", 65536)
     // clean docs (13+) contribute ~32×7 distinct grams; with a 65536-bit
     // k=2 bloom holding ~40 benchmark grams the expected FP count is
     // ≪ 1 — allow a couple, but the mass must be gone
     val cleanSurvivors = candidates.filter(col("doc_id") >= 13).count()
     assert(cleanSurvivors <= 2,
       s"bloom passed $cleanSurvivors clean grams — prefilter is not filtering")
+  }
+
+  test("declared key still reports via the API path") {
+    import spark.implicits._
+    val viaKey = GraftOps.bloomSemiJoin(corpus, bench, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(viaKey.nonEmpty && viaKey.forall { case (id, n) => id >= 5 && n > 0 })
   }
 }
