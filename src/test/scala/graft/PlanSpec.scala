@@ -105,6 +105,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("runtime bloom filter injects on a selective dim⋈fact join (row-level DPP sibling)") {
+    // DPP prunes whole PARTITIONS; Spark's InjectRuntimeFilter prunes
+    // ROWS: a bloom built from the filtered dim side is pushed into
+    // the fact scan. The application-side threshold defaults to 10 GB
+    // (fixture scans never qualify), so the thresholds are lowered
+    // HERE ONLY to prove the engine's join shapes are injection-
+    // eligible — at real scale the defaults fire on their own.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // injection targets SHUFFLE joins (for a broadcast join the hash
+      // table already prunes; nothing to save) — force the shape both
+      // sides have at 100 TB, where neither fits a broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf).select("l_partkey", "l_extendedprice")
+      val dim = Tables.part(spark, sf)
+        .filter(col("p_brand") === "Brand#11").select("p_partkey")
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_extendedprice")).as("s"))
+      val opt = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(opt.contains("might_contain"),
+        s"no bloom runtime filter injected:\n$opt")
+      // and the filtered result is still exactly the unfiltered join's
+      val plain = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_extendedprice")).as("s"))
+      assert(joined.collect().toSeq === plain.collect().toSeq)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_interval_overlap sweep is partitioned by nation — no global single-partition window") {
     val p = planOf(queries.WarehouseOps.qIntervalOverlap(spark, sf))
     assert(p.contains("windowspecdefinition(n_name"),
