@@ -96,6 +96,41 @@ class HgtDsv2Spec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getShort(2) === 204)
   }
 
+  test("sub-tile windowing SKIPS rows, not just filters them (scan metric)") {
+    // a 101×101 tile (20 402 bytes): without windowing the scan emits
+    // 10 201 rows; a 0.1°×0.1° box must emit only the ~11×11 index
+    // window (plus generous boundary rows), i.e. orders of magnitude
+    // fewer rows LEAVING THE SCAN — proven via the scan's own
+    // numOutputRows metric, not the post-filter count
+    val d = java.nio.file.Files.createTempDirectory("hgt-big").toFile
+    val n = 101
+    val big = new Array[Byte](n * n * 2)
+    (0 until n * n).foreach { i =>
+      val v = (i % 1000).toShort
+      big(2 * i) = ((v >> 8) & 0xff).toByte; big(2 * i + 1) = (v & 0xff).toByte
+    }
+    java.nio.file.Files.write(new java.io.File(d, "N10E020.hgt").toPath, big)
+    val df = spark.read.format("hgt").load(d.getAbsolutePath)
+      .filter(col("lat") >= 10.4 && col("lat") <= 10.5 &&
+        col("lng") >= 20.4 && col("lng") <= 20.5)
+    // collect() through df's OWN queryExecution so the scan metric
+    // below reads the executed plan (count() would build a new one)
+    val rows = df.collect().length.toLong
+    // ~11×11 index window (float rounding may shave a boundary line);
+    // exact row set must equal the unpruned decoder under the same
+    // predicate regardless
+    assert(rows >= 100 && rows <= 121, s"~11×11 index window expected, got $rows")
+    val expected = HgtCodec.points(spark, d.getAbsolutePath).toDF()
+      .filter(col("lat") >= 10.4 && col("lat") <= 10.5 &&
+        col("lng") >= 20.4 && col("lng") <= 20.5).count()
+    assert(rows === expected)
+    val scanRows = df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: BatchScanExec => b.metrics("numOutputRows").value
+    }.sum
+    assert(scanRows <= 200, s"scan emitted $scanRows rows — sub-tile window not applied")
+    assert(scanRows >= rows, "scan must emit at least the surviving rows")
+  }
+
   test("column pruning reaches the reader; aggregates work") {
     val agg = hgt.filter(col("alt") =!= HgtCodec.Void)
       .agg(sum(col("alt").cast("long")).as("s"), count(lit(1)).as("n"))

@@ -94,4 +94,27 @@ class PropertySpec extends SparkSpec {
       if (ws != ws.reverse) assert(poly(ws.reverse) != fp)
     }
   }
+
+  test("bloomSemiJoin ≡ exact semi-join on random key sets (20 draws, incl. tiny filters)") {
+    import spark.implicits._
+    val keyGen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 60)
+      ks <- Gen.listOfN(n, Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty))
+    } yield ks
+    val pairGen: Gen[(List[String], List[String])] = for {
+      left <- keyGen; right <- keyGen
+      // force some true overlap sometimes so the property isn't
+      // vacuously about disjoint sets
+      shared <- Gen.someOf(left)
+    } yield (left, (right ++ shared).distinct)
+    forAll(pairGen, n = 20) { case (l, r) =>
+      val left = l.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+      val right = r.toDF("k")
+      val viaBloom = graft.api.GraftOps.bloomSemiJoin(left, right, "k", bits = 4096)
+        .select("id", "k").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+      val exact = left.join(right.distinct(), Seq("k"), "left_semi")
+        .select("id", "k").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+      assert(viaBloom === exact, s"left=$l right=$r")
+    }
+  }
 }
