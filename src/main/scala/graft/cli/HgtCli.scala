@@ -91,6 +91,23 @@ object HgtLoad {
     spark.read.parquet(outDir).count()
   }
 
+  /** Windowed value-mode load through the DSv2 `hgt` source: tiles
+    * outside the box are pruned at PLANNING time (never opened) and
+    * surviving tiles decode only the box's index window — the load
+    * path for "give me this region of the planet set". Void samples
+    * are dropped during decode (pushed `alt != -32768`). */
+  def loadParquetWindow(spark: SparkSession, inDir: String, outDir: String,
+                        latMin: Double, latMax: Double,
+                        lngMin: Double, lngMax: Double): Long = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("hgt").load(inDir)
+      .filter(col("lat") >= latMin && col("lat") <= latMax &&
+        col("lng") >= lngMin && col("lng") <= lngMax &&
+        col("alt") =!= HgtCodec.Void)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Raster-mode load: sample windows of sampleDeg and emit PostGIS
     * raster INSERT statements (golden-testable; a JDBC executor would
     * consume the same strings). */
@@ -113,12 +130,20 @@ object HgtLoad {
     }
   }
 
+  /** `HgtLoad IN OUT` → full load; `HgtLoad IN OUT latMin latMax
+    * lngMin lngMax` → windowed load via the pruning DSv2 source. */
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir) = args
     val spark = SparkSession.builder().master(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.ui.enabled", "false").getOrCreate()
-    try println(s"loaded ${loadParquet(spark, inDir, outDir)} points -> $outDir")
-    finally spark.stop()
+    try {
+      val n = args match {
+        case Array(inDir, outDir) => loadParquet(spark, inDir, outDir)
+        case Array(inDir, outDir, a, b, c, d) =>
+          loadParquetWindow(spark, inDir, outDir, a.toDouble, b.toDouble, c.toDouble, d.toDouble)
+        case _ => sys.error("usage: HgtLoad IN OUT [latMin latMax lngMin lngMax]")
+      }
+      println(s"loaded $n points -> ${args(1)}")
+    } finally spark.stop()
   }
 }

@@ -65,6 +65,19 @@ class HgtSpec extends SparkSpec {
     assert(windows.map(_.getLong(2)).sum === 8)
   }
 
+  test("windowed CLI load routes through the pruning DSv2 source") {
+    val dir = java.nio.file.Files.createTempDirectory("hgt-win").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "N47E006.hgt").toPath, tileBytes)
+    val out = java.nio.file.Files.createTempDirectory("hgt-win-out").toFile.getAbsolutePath
+    // the tile's south edge row: lat 47.0, all three columns, no void
+    val n = graft.cli.HgtLoad.loadParquetWindow(spark, dir.getAbsolutePath, out,
+      latMin = 46.9, latMax = 47.1, lngMin = 5.0, lngMax = 8.0)
+    assert(n === 3)
+    val vals = spark.read.parquet(out).orderBy("lng")
+      .collect().map(_.getShort(2)).toSeq
+    assert(vals === Seq(70, 80, 90))
+  }
+
   test("hgt_points Generator UDTF explodes a tile inside SQL") {
     import spark.implicits._
     graft.hgt.HgtPoints.register(spark)
