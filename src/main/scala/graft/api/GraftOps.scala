@@ -449,9 +449,10 @@ object GraftOps {
   }
 
   /** The k=2 bloom probe bit positions of `keyCol` (SQL text so the
-    * build and probe sides are literally the same expressions). */
+    * build and probe sides are literally the same expressions;
+    * backtick-quoted so any legal column name works). */
   private def bloomProbeBits(keyCol: String, bits: Int): Seq[String] =
-    (0 until 2).map(i => s"pmod(xxhash64(concat($keyCol, '#$i')), $bits)")
+    (0 until 2).map(i => s"pmod(xxhash64(concat(`$keyCol`, '#$i')), $bits)")
 
   /** Rows of `left` that PASS the bloom prefilter built from `right`'s
     * distinct keys — a SUPERSET of the true matches (bloom error is
@@ -466,14 +467,14 @@ object GraftOps {
         expr("shiftleft(cast(1 as bigint), cast(__bit % 64 as int))").as("__mask"))
       .groupBy(col("__word")).agg(expr("bit_or(__mask)").as("__wbits"))
       .agg(map_from_entries(collect_list(struct(col("__word"), col("__wbits"))))
-        .as("__bloom"))
+        .as("__graft_bloom")) // name no sane left frame carries
     val hit = probes.map { bitSql =>
       expr(
-        s"""(shiftright(coalesce(element_at(__bloom, cast(($bitSql) div 64 as int)),
+        s"""(shiftright(coalesce(element_at(__graft_bloom, cast(($bitSql) div 64 as int)),
            |                     cast(0 as bigint)),
            |            cast(($bitSql) % 64 as int)) & 1) = 1""".stripMargin)
     }.reduce(_ && _)
-    left.crossJoin(broadcast(bloom)).filter(hit).drop("__bloom")
+    left.crossJoin(broadcast(bloom)).filter(hit).drop("__graft_bloom")
   }
 
   /** Bloom-accelerated semi-join: rows of `left` whose `keyCol` value

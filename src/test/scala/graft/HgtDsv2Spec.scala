@@ -142,7 +142,6 @@ class HgtDsv2Spec extends SparkSpec {
     }.filterNot(v => v == 104).map(_.toLong).sum
     assert(agg.getLong(0) === expectedSum)
     // the scan's readSchema shrank to alt only
-    val schemaStr = agg.toString // force execution above; now inspect plan
     val pruned = hgt.select(col("alt")).queryExecution.executedPlan
       .collectLeaves().collect { case b: BatchScanExec => b.schema.fieldNames.toSeq }
     assert(pruned === Seq(Seq("alt")))
