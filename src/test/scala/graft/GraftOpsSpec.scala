@@ -187,4 +187,18 @@ class GraftOpsSpec extends SparkSpec {
       .orderBy("node").collect().map(_.getDouble(2)).toSeq
     assert(pr1 === Seq(0.575, 1.85, 0.575))
   }
+
+  test("pageRank fixpoint on regular graphs; disconnected components never interact") {
+    // two disjoint triangles: every node has degree 2, so inflow is
+    // always 2·(pr/2) = pr and the uniform rank 1.0 is an EXACT
+    // fixpoint — any cross-component leakage or degree slip would
+    // perturb it
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("s", "t")
+    val pr = GraftOps.pageRank(edges, "s", "t", iters = 4).collect()
+    assert(pr.length === 6)
+    assert(pr.forall(_.getLong(1) == 2L), "all degrees must be 2")
+    assert(pr.forall(_.getDouble(2) == 1.0), s"uniform fixpoint expected: ${pr.mkString(",")}")
+  }
 }
