@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the engine's operators
+  * composed the way a real pipeline runs them, over ANY
+  * (id, text, stratum) frame:
+  *
+  *   1. quality gate    — drop repetitive docs (Gopher signals)
+  *   2. exact dedup     — one representative per normalized text
+  *   3. near-dup dedup  — MinHash/LSH candidates ≥ `minJaccard`,
+  *                        connected components, keep each cluster's
+  *                        min-id representative
+  *   4. decontamination — drop docs sharing an n-gram shingle with
+  *                        the benchmark set (bloom prefilter + exact
+  *                        confirm; answer exact)
+  *   5. stratum cap     — balanced per-stratum sampling to `target`
+  *
+  * Every stage is the same declarative shape as its oracle-verified
+  * declared key (SCALE.md rows apply unchanged); the composition adds
+  * no new shuffle beyond the stages' own. `curate` returns the kept
+  * frame plus a funnel audit (one row per stage, rows in/out).
+  *
+  * The funnel counts are ACTIONS — five counts over progressively
+  * smaller frames, the standard curation-report cost. Callers who
+  * want one lazy plan use [[curateLazy]] and count nothing.
+  */
+object CurationPipeline {
+
+  /** Stage-by-stage lazy plans: (name, frame-after-stage), in order.
+    * Nothing executes until the caller acts. */
+  def curateLazy(docs: DataFrame, bench: DataFrame,
+                 idCol: String, textCol: String, stratumCol: String,
+                 target: Int, minJaccard: Double = 0.5): Seq[(String, DataFrame)] = {
+    // 1. quality gate: keep docs the repetition signals pass
+    val ok = GraftOps.repetitionSignals(docs, idCol, textCol)
+      .filter(!col("repetitive")).select(col(idCol))
+    val q = docs.join(ok, Seq(idCol), "left_semi")
+
+    // 2. exact dedup on normalized text: min id per content group
+    val reps = GraftOps.normalizeText(q, textCol, "__norm")
+      .groupBy(col("__norm")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exact = q.join(reps, Seq(idCol), "left_semi")
+
+    // 3. near-dup clustering: non-representative cluster members out
+    val sigs = GraftOps.minhashSignatures(exact, idCol, textCol)
+    val cand = GraftOps.lshCandidates(sigs, idCol)
+      .filter(col("jacc_est") >= minJaccard)
+    val losers = GraftOps.connectedComponents(cand, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    val near = exact.join(losers, Seq(idCol), "left_anti")
+
+    // 4. decontamination: any shared shingle with the benchmark → out
+    val corpusGrams = GraftOps.wordShingles(near, idCol, textCol)
+    val benchGrams = GraftOps.wordShingles(bench, idCol, textCol)
+      .select(col("gram"))
+    val dirty = GraftOps.bloomSemiJoin(corpusGrams, benchGrams, "gram")
+      .select(col(idCol)).distinct()
+    val clean = near.join(dirty, Seq(idCol), "left_anti")
+
+    // 5. balanced per-stratum cap (content-hash keyed → reproducible)
+    val capped = GraftOps.stratifiedSample(clean, stratumCol, textCol, target)
+
+    Seq("quality_gate" -> q, "exact_dedup" -> exact, "near_dedup" -> near,
+      "decontaminate" -> clean, "stratum_cap" -> capped)
+  }
+
+  /** Run the pipeline and report: (kept frame, funnel audit with one
+    * (stage, rows_in, rows_out) row per stage). */
+  def curate(docs: DataFrame, bench: DataFrame,
+             idCol: String, textCol: String, stratumCol: String,
+             target: Int, minJaccard: Double = 0.5): (DataFrame, DataFrame) = {
+    val stages = curateLazy(docs, bench, idCol, textCol, stratumCol, target, minJaccard)
+    val counts = docs.count() +: stages.map(_._2.count())
+    val funnel = stages.map(_._1).zip(counts.zip(counts.tail))
+      .map { case (name, (in, out)) => (name, in, out) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    (stages.last._2, funnel.toDF("stage", "rows_in", "rows_out"))
+  }
+}

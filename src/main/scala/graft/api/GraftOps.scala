@@ -454,6 +454,19 @@ object GraftOps {
   private def bloomProbeBits(keyCol: String, bits: Int): Seq[String] =
     (0 until 2).map(i => s"pmod(xxhash64(concat(`$keyCol`, '#$i')), $bits)")
 
+  /** Distinct n-token word shingles per id — the blocking unit of the
+    * contamination/decontamination keys. Sub-shingle docs contribute
+    * NO grams (a negative `sequence` span would silently emit partial
+    * grams that a 1-indexed SQL oracle never produces — §2.2). */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, out: String = "gram"): DataFrame = {
+    val parts = (0 until n).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(idCol), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(0, size(t)-$n), i -> $parts)"))).as(out))
+  }
+
   /** Rows of `left` that PASS the bloom prefilter built from `right`'s
     * distinct keys — a SUPERSET of the true matches (bloom error is
     * one-sided: no false negatives, ~0.02% false positives at the

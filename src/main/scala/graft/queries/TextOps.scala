@@ -257,19 +257,11 @@ object TextOps {
   }
 
   /** Distinct word-trigrams per document — shared by the
-    * contamination and bloom-decontamination keys.
-    *
-    * size(t) >= 3 guard: for a sub-trigram doc, sequence(0, size(t)-3)
-    * would count DOWN (e.g. [0,-1]) and concat_ws would silently skip
-    * the out-of-range null lookups, emitting spurious partial grams —
-    * the DuckDB oracle's range(1, len(t)-1) emits none. The filter
-    * makes both engines contribute zero grams for short docs. */
+    * contamination and bloom-decontamination keys (the generic form,
+    * incl. the short-doc guard rationale, lives on
+    * [[graft.api.GraftOps.wordShingles]]). */
   private def trigrams(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-      ))).as("gram"))
+    graft.api.GraftOps.wordShingles(d, "doc_id", "text", n = 3)
 
   /** Bloom-filter decontamination — the 100 TB shape of
     * [[qTextContamination]]: the benchmark set's distinct grams are
