@@ -156,7 +156,8 @@ object SparkEntry {
     "q_text_perplexity"    -> TextOps.qTextPerplexity _,
     "q_stream_enrich"      -> StreamOps.qStreamEnrich _,
     "q_graph_pagerank"     -> WarehouseOps.qGraphPagerank _,
-    "q_media_meta"         -> graft.multimodal.MediaOps.qMediaMeta _
+    "q_media_meta"         -> graft.multimodal.MediaOps.qMediaMeta _,
+    "q_stream_decontam"    -> StreamOps.qStreamDecontam _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -88,6 +88,18 @@ object OracleSqlPipe {
         |       CAST(29 AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
 
+    // the streaming replay must equal the batch bloom decontamination
+    "q_stream_decontam" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |bench AS (SELECT DISTINCT gram FROM e WHERE doc_id < 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
+        |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
+
     "q_text_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |              FROM documents),

@@ -173,6 +173,41 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** DECLARED streaming key (t2-verified): streaming benchmark
+    * DECONTAMINATION — the bloom-accelerated exact semi-join
+    * (GraftOps.bloomSemiJoin) applied to a documents STREAM against
+    * the static benchmark gram set. Composition of the two scale
+    * primitives: the bloom map rides the broadcast into every
+    * micro-batch (stream-static, stateless at the join), non-matching
+    * stream grams die map-side, the exact confirm join keeps the
+    * answer exact, and only the per-doc counts hold state
+    * (complete-mode agg). This is how online ingestion keeps eval
+    * data out of a training corpus; the oracle is the batch
+    * decontamination SQL. */
+  def qStreamDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sinkName = s"graft_stream_decontam_${runSeq.incrementAndGet()}"
+    val docsBatch = graft.Tables.documents(spark, sfDir)
+    val bench = graft.api.GraftOps
+      .wordShingles(docsBatch.filter(col("doc_id") < 5), "doc_id", "text")
+      .select(col("gram")).distinct()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") >= 5)
+    val grams = graft.api.GraftOps.wordShingles(stream, "doc_id", "text")
+    runToMemorySink(spark,
+      graft.api.GraftOps.bloomSemiJoin(grams, bench, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared")),
+      sinkName, "complete", partitions = 4)
+      .orderBy(col("n_shared").desc, col("doc_id"))
+  }
+
   /** DECLARED streaming key (t2-verified): the SLIDING window
     * aggregation (1 h window, 15 min slide — each event lands in 4
     * overlapping windows) as a real Structured Streaming query,
