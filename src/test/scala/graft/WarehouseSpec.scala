@@ -87,6 +87,50 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("z-sorted files skip I/O for BOTH dimensions; a 1-D sort only helps its own") {
+    // the measured version of the z-order claim: write orders 8-ways
+    // range-partitioned by z vs by xb alone, then read back with a
+    // yb-range predicate and compare the rows the parquet scans
+    // actually EMIT (row-group min/max skipping, numOutputRows metric)
+    import graft.api.GraftOps
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = Tables.orders(spark, sf).select(
+      (col("o_custkey") % 256).cast("long").as("xb"),
+      pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")), lit(256))
+        .cast("long").as("yb"),
+      col("o_orderkey"))
+      .withColumn("z", GraftOps.zorderKey("xb", "yb"))
+    val dirZ = java.nio.file.Files.createTempDirectory("zlay").toString
+    val dirX = java.nio.file.Files.createTempDirectory("xlay").toString
+    // 16 files ≈ one 64×64 z-tile each — the unit the min/max stats
+    // confine; fewer files would mix tiles and blunt the skip
+    base.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dirZ)
+    base.repartitionByRange(16, col("xb")).sortWithinPartitions("xb")
+      .write.mode("overwrite").parquet(dirX)
+    def scanned(dir: String, pred: Column): Long = {
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect() // execute THIS plan so its scan metric is populated
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    }
+    val total = base.count()
+    // xb predicate: both layouts confine xb per file → both skip
+    // (xb<32 ⊂ the xb∈[0,64) tile band = ~4 of 16 z files; quantile
+    // smear at file edges keeps this approximate)
+    assert(scanned(dirZ, col("xb") < 32) < total * 6 / 10)
+    assert(scanned(dirX, col("xb") < 32) < total / 2)
+    // yb predicate: THE z claim — the z layout still skips (each z
+    // file sits inside one 64×64 tile, so its yb min/max is a narrow
+    // band); the xb-sorted layout has every yb in every file and must
+    // emit ~everything
+    val zy = scanned(dirZ, col("yb") < 32)
+    val xy = scanned(dirX, col("yb") < 32)
+    assert(zy * 2 < xy, s"z layout emitted $zy vs 1-D layout $xy — no 2-D skipping")
+  }
+
   test("q_emb_quantize: codes bounded by ±127 and energy tracks 127² for unit vectors") {
     val rows = queries.VectorOps.qEmbQuantize(spark, sf).collect()
     assert(rows.nonEmpty)
