@@ -157,7 +157,8 @@ object SparkEntry {
     "q_stream_enrich"      -> StreamOps.qStreamEnrich _,
     "q_graph_pagerank"     -> WarehouseOps.qGraphPagerank _,
     "q_media_meta"         -> graft.multimodal.MediaOps.qMediaMeta _,
-    "q_stream_decontam"    -> StreamOps.qStreamDecontam _
+    "q_stream_decontam"    -> StreamOps.qStreamDecontam _,
+    "q_dedup_containment"  -> DedupOps.qDedupContainment _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

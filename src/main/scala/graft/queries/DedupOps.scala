@@ -229,4 +229,48 @@ object DedupOps {
               size(array_union(col("ts_a"), col("ts_b"))).cast("double"), 4).as("jac"))
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
   }
+
+  /** Blocking grams must be this rare (document frequency) to
+    * generate candidate pairs — boilerplate shingles that appear
+    * everywhere are by definition not rare, so rare-gram blocking is
+    * INHERENTLY skew-capped (≤ df²/2 pairs per gram) where prefix
+    * blocks need the explicit [[MaxBlockBucket]] guard. */
+  val RareGramDf = 5
+
+  /** Asymmetric shingle CONTAINMENT |A∩B| / min(|A|, |B|) ≥ 0.8 —
+    * the embedded-duplicate detector: a short doc pasted inside a
+    * longer one scores ~1 here while symmetric Jaccard dilutes it by
+    * the big doc's gram count, and it shares no 60-char prefix with
+    * its host, so neither existing verify key can see it. Candidates
+    * come from shared RARE shingles ([[RareGramDf]]); exact shared
+    * counts are then computed for the candidate pairs only (two
+    * equi joins against the gram table — never corpus×corpus). The
+    * keep rule is the exact integer cross-product shared·10 ≥
+    * min·8; only the reported ratio divides (one IEEE op, §2.2). */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.api.GraftOps
+      .wordShingles(Tables.documents(spark, dir), "doc_id", "text")
+      .localCheckpoint(true) // consumed by sizes, rare, blocking AND both shared-join sides
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RareGramDf).select(col("gram"))
+    val blocked = g.join(rare, "gram")
+    val cand = blocked.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(blocked.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val shared = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * 8)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared") / least(col("n_a"), col("n_b")).cast("double"), 4)
+          .as("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+  }
 }

@@ -100,6 +100,31 @@ object OracleSqlPipe {
         |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
         |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
 
+    // asymmetric containment with rare-gram blocking; keep rule is the
+    // exact integer cross-product, only the reported ratio divides
+    "q_dedup_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM g a JOIN rare r ON a.gram = r.gram
+        |                  JOIN g b ON b.gram = a.gram
+        |         WHERE a.doc_id < b.doc_id),
+        |shared AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS shared
+        |           FROM cand c JOIN g ga ON ga.doc_id = c.doc_a
+        |                       JOIN g gb ON gb.doc_id = c.doc_b
+        |                                AND gb.gram = ga.gram
+        |           GROUP BY 1, 2)
+        |SELECT s.doc_a, s.doc_b, s.shared, sa.n AS n_a, sb.n AS n_b,
+        |       round(s.shared / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+        |FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+        |              JOIN sizes sb ON sb.doc_id = s.doc_b
+        |WHERE s.shared * 10 >= least(sa.n, sb.n) * 8
+        |ORDER BY containment DESC, doc_a, doc_b""".stripMargin,
+
     "q_text_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |              FROM documents),
