@@ -247,9 +247,15 @@ object DedupOps {
     * equi joins against the gram table — never corpus×corpus). The
     * keep rule is the exact integer cross-product shared·10 ≥
     * min·8; only the reported ratio divides (one IEEE op, §2.2). */
-  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
+
+  /** The containment core over any (doc_id, text) frame —
+    * ContainmentSpec drives it with the planted embedded-duplicate
+    * geometry the fixture lacks. */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     val g = graft.api.GraftOps
-      .wordShingles(Tables.documents(spark, dir), "doc_id", "text")
+      .wordShingles(docs, "doc_id", "text")
       .localCheckpoint(true) // consumed by sizes, rare, blocking AND both shared-join sides
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
