@@ -32,17 +32,30 @@ object CurationPipeline {
     * Nothing executes until the caller acts. */
   def curateLazy(docs: DataFrame, bench: DataFrame,
                  idCol: String, textCol: String, stratumCol: String,
-                 target: Int, minJaccard: Double = 0.5): Seq[(String, DataFrame)] = {
+                 target: Int, minJaccard: Double = 0.5): Seq[(String, DataFrame)] =
+    stages(docs, bench, idCol, textCol, stratumCol, target, minJaccard,
+      materialize = false)
+
+  /** `materialize = true` cuts lineage after every stage
+    * (localCheckpoint), so [[curate]]'s five funnel counts are scans
+    * of in-memory blocks instead of re-executing the whole stage
+    * prefix per count (quadratic recompute) — the same pattern as the
+    * connected-components loop. The lazy form keeps pure plans. */
+  private def stages(docs: DataFrame, bench: DataFrame,
+                     idCol: String, textCol: String, stratumCol: String,
+                     target: Int, minJaccard: Double,
+                     materialize: Boolean): Seq[(String, DataFrame)] = {
+    def m(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // 1. quality gate: keep docs the repetition signals pass
     val ok = GraftOps.repetitionSignals(docs, idCol, textCol)
       .filter(!col("repetitive")).select(col(idCol))
-    val q = docs.join(ok, Seq(idCol), "left_semi")
+    val q = m(docs.join(ok, Seq(idCol), "left_semi"))
 
     // 2. exact dedup on normalized text: min id per content group
     val reps = GraftOps.normalizeText(q, textCol, "__norm")
       .groupBy(col("__norm")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val exact = q.join(reps, Seq(idCol), "left_semi")
+    val exact = m(q.join(reps, Seq(idCol), "left_semi"))
 
     // 3. near-dup clustering: non-representative cluster members out
     val sigs = GraftOps.minhashSignatures(exact, idCol, textCol)
@@ -51,7 +64,7 @@ object CurationPipeline {
     val losers = GraftOps.connectedComponents(cand, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    val near = exact.join(losers, Seq(idCol), "left_anti")
+    val near = m(exact.join(losers, Seq(idCol), "left_anti"))
 
     // 4. decontamination: any shared shingle with the benchmark → out
     val corpusGrams = GraftOps.wordShingles(near, idCol, textCol)
@@ -59,10 +72,10 @@ object CurationPipeline {
       .select(col("gram"))
     val dirty = GraftOps.bloomSemiJoin(corpusGrams, benchGrams, "gram")
       .select(col(idCol)).distinct()
-    val clean = near.join(dirty, Seq(idCol), "left_anti")
+    val clean = m(near.join(dirty, Seq(idCol), "left_anti"))
 
     // 5. balanced per-stratum cap (content-hash keyed → reproducible)
-    val capped = GraftOps.stratifiedSample(clean, stratumCol, textCol, target)
+    val capped = m(GraftOps.stratifiedSample(clean, stratumCol, textCol, target))
 
     Seq("quality_gate" -> q, "exact_dedup" -> exact, "near_dedup" -> near,
       "decontaminate" -> clean, "stratum_cap" -> capped)
@@ -73,12 +86,13 @@ object CurationPipeline {
   def curate(docs: DataFrame, bench: DataFrame,
              idCol: String, textCol: String, stratumCol: String,
              target: Int, minJaccard: Double = 0.5): (DataFrame, DataFrame) = {
-    val stages = curateLazy(docs, bench, idCol, textCol, stratumCol, target, minJaccard)
-    val counts = docs.count() +: stages.map(_._2.count())
-    val funnel = stages.map(_._1).zip(counts.zip(counts.tail))
+    val st = stages(docs, bench, idCol, textCol, stratumCol, target, minJaccard,
+      materialize = true)
+    val counts = docs.count() +: st.map(_._2.count())
+    val funnel = st.map(_._1).zip(counts.zip(counts.tail))
       .map { case (name, (in, out)) => (name, in, out) }
     val spark = docs.sparkSession
     import spark.implicits._
-    (stages.last._2, funnel.toDF("stage", "rows_in", "rows_out"))
+    (st.last._2, funnel.toDF("stage", "rows_in", "rows_out"))
   }
 }
