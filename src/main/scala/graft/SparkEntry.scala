@@ -158,7 +158,8 @@ object SparkEntry {
     "q_graph_pagerank"     -> WarehouseOps.qGraphPagerank _,
     "q_media_meta"         -> graft.multimodal.MediaOps.qMediaMeta _,
     "q_stream_decontam"    -> StreamOps.qStreamDecontam _,
-    "q_dedup_containment"  -> DedupOps.qDedupContainment _
+    "q_dedup_containment"  -> DedupOps.qDedupContainment _,
+    "q_dedup_url"          -> DedupOps.qDedupUrl _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

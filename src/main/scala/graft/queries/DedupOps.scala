@@ -230,6 +230,30 @@ object DedupOps {
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** URL-canonicalization dedup — the crawl-identity rule: the same
+    * page fetched under different tracking params and fragments is
+    * ONE page. The fixture has no URL column, so fetch URLs are
+    * synthesized per document (tracking `ref` param and fragment vary
+    * per doc, host/path/semantic `lang` param collide by
+    * construction); canonicalization strips the fragment and the
+    * tracking param with engine-neutral regexes (no parse_url — the
+    * oracle must run the identical rule), then dedups: fetch count
+    * and first-fetch doc per canonical URL. Per-row regex + one
+    * partial-agg shuffle on the canonical key — the URL-frontier
+    * dedup shape at any crawl scale. */
+  def qDedupUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.org/page/"),
+        pmod(col("doc_id"), lit(50)), lit("?lang="), col("lang"),
+        lit("&ref=track"), pmod(col("doc_id"), lit(7)), lit("#s"), col("doc_id")))
+      .withColumn("canonical",
+        regexp_replace(regexp_replace(col("url"), "#.*$", ""), "&ref=[^&#]*", ""))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_fetches"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("n_fetches").desc, col("canonical"))
+      .limit(300)
+
   /** Blocking grams must be this rare (document frequency) to
     * generate candidate pairs — boilerplate shingles that appear
     * everywhere are by definition not rare, so rare-gram blocking is

@@ -100,6 +100,23 @@ object OracleSqlPipe {
         |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
         |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
 
+    // identical regex canonicalization on both engines (single-match
+    // patterns, so DuckDB's replace-first == Spark's replace-all)
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         concat('https://', source, '.example.org/page/', doc_id % 50,
+        |                '?lang=', lang, '&ref=track', doc_id % 7, '#s', doc_id) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |             regexp_replace(regexp_replace(url, '#.*$', ''),
+        |                            '&ref=[^&#]*', '') AS canonical
+        |      FROM u)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_fetches,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY canonical
+        |ORDER BY n_fetches DESC, canonical LIMIT 300""".stripMargin,
+
     // asymmetric containment with rare-gram blocking; keep rule is the
     // exact integer cross-product, only the reported ratio divides
     "q_dedup_containment" ->
