@@ -131,6 +131,19 @@ class HgtDsv2Spec extends SparkSpec {
     assert(scanRows >= rows, "scan must emit at least the surviving rows")
   }
 
+  test("a corrupt (non-square) tile fails loudly, never silently mis-decodes") {
+    val d = java.nio.file.Files.createTempDirectory("hgt-bad").toFile
+    java.nio.file.Files.write(new java.io.File(d, "N10E020.hgt").toPath,
+      new Array[Byte](100)) // 50 samples — not a square grid
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("hgt").load(d.getAbsolutePath).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not a square int16 grid")),
+      s"expected the codec's shape error, got: ${messages(e)}")
+  }
+
   test("column pruning reaches the reader; aggregates work") {
     val agg = hgt.filter(col("alt") =!= HgtCodec.Void)
       .agg(sum(col("alt").cast("long")).as("s"), count(lit(1)).as("n"))
