@@ -28,8 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Stage-by-stage lazy plans: (name, frame-after-stage), in order.
-    * Nothing executes until the caller acts. */
+  /** Stage-by-stage plans: (name, frame-after-stage), in order.
+    *
+    * MOSTLY lazy, with one documented exception (ADVICE r7): stage 3
+    * calls [[GraftOps.connectedComponents]], whose convergence loop is
+    * inherently iterative — building that stage's frame runs Spark
+    * jobs for the pipeline prefix up to clustering (localCheckpoint +
+    * per-round convergence counts). Stages 1-2 and 4-5 stay pure
+    * plans. Callers needing a zero-execution dry run should stop at
+    * stage 2 or inspect `queryExecution` before forcing stage 3. */
   def curateLazy(docs: DataFrame, bench: DataFrame,
                  idCol: String, textCol: String, stratumCol: String,
                  target: Int, minJaccard: Double = 0.5): Seq[(String, DataFrame)] =

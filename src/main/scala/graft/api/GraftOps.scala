@@ -508,14 +508,41 @@ object GraftOps {
 
   /** Per-id cross-entropy −avg(ln p(token)) under the corpus's own
     * unigram distribution (the q_text_perplexity shape over any
-    * (id, text) frame): the count table is vocabulary-sized, the
-    * token stream joins it hash-partitioned on the word key, and the
-    * result is rounded at 4 dp (§2.2 float-sum stability). */
-  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (id, text) frame), rounded at 4 dp (§2.2 float-sum stability).
+    *
+    * Skew design (VERDICT r7 #4 — natural-language join keys are
+    * maximally Zipfian; "the" alone is 5-7% of English tokens, so a
+    * plain token⋈count hash join sends 5-7% of a 100 TB corpus to ONE
+    * shuffle partition): the top-`headK` words by frequency — which by
+    * Zipf's law carry the overwhelming majority of token mass — are
+    * BROADCAST and joined map-side with zero shuffle; only the long
+    * tail, whose per-key mass is bounded by the head cutoff (≤ 1/headK
+    * of total, and in practice far less), reaches the shuffled join.
+    * PerplexitySkewSpec proves a planted 20%-mass token rides the
+    * broadcast path and that split ≡ naive bit-for-bit at 4 dp.
+    *
+    * Scan economics (ADVICE r7): the count table is vocabulary-sized
+    * and localCheckpointed, so total/head derive from it without
+    * re-aggregating the corpus; the global total is sum(counts) — no
+    * separate corpus pass. The exploded token frame itself is NOT
+    * checkpointed, deliberately: at 100 TB the token stream dwarfs
+    * the corpus, so its two consumers (count build, probe side) each
+    * re-scan the narrow (id, text) projection instead of writing a
+    * corpus-sized intermediate — same trade [[bloomSemiJoin]]'s
+    * decontam path documents. */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                          headK: Int = 1024): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
     val counts = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val total = toks.agg(count(lit(1)).as("__tot"))
-    toks.join(counts, "__w")
+      .localCheckpoint(true) // vocabulary-sized; 3 consumers below
+    val total = counts.agg(sum(col("__c")).as("__tot"))
+    // deterministic head: ties broken on the word itself
+    val head = counts.orderBy(col("__c").desc, col("__w").asc).limit(headK)
+    val probed = toks.join(broadcast(head), Seq("__w"), "left")
+    val headHit = probed.filter(col("__c").isNotNull)
+    val tailHit = probed.filter(col("__c").isNull).drop("__c")
+      .join(counts, Seq("__w")) // tail keys only ever reach this shuffle
+    headHit.unionByName(tailHit)
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
@@ -524,8 +551,10 @@ object GraftOps {
           .as("xent"))
   }
 
-  /** Fixed-iteration PageRank over an UNDIRECTED edge list — the
-    * graph-centrality companion to [[connectedComponents]], same
+  /** Fixed-iteration PageRank — undirected by default (input edge
+    * list symmetrized; see Directionality below), directed on
+    * request — the graph-centrality companion to
+    * [[connectedComponents]], same
     * execution shape: O(iters) shuffle rounds, each one equi-join of
     * the edge list with the rank frame plus a partial-aggregated sum
     * per destination; no graph state ever reaches the driver, so the
@@ -539,18 +568,35 @@ object GraftOps {
     * round stops last-ulp drift from compounding across iterations.
     *
     * Returns (node, deg, pr) with pr at 6 dp; callers present at
-    * whatever precision they need. Undirected means no dangling
-    * nodes (every node has out-degree ≥ 1), but absent inflow still
-    * coalesces to 0 so directed callers degrade safely. */
+    * whatever precision they need.
+    *
+    * Directionality (ADVICE r7): by default the input edge list is
+    * SYMMETRIZED (each edge doubled with its flip) — undirected
+    * semantics, every node has out-degree ≥ 1, no dangling mass.
+    * `directed = true` skips the flip: ranks flow along edge
+    * direction only, sink nodes keep deg = 0 and still receive
+    * inflow (they appear in the node set via their in-edges), and —
+    * matching the simplified fixed-iteration formulation — mass
+    * reaching a sink is NOT redistributed, it evaporates into the
+    * (1−d) teleport term. Callers needing classic dangling-mass
+    * redistribution should add self-loops first. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               directed: Boolean = false): DataFrame = {
     val base = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .localCheckpoint(true)
-    val e = base.unionAll(
-        base.select(col("__dst").as("__src"), col("__src").as("__dst")))
+    val e = (if (directed) base
+             else base.unionAll(
+               base.select(col("__dst").as("__src"), col("__src").as("__dst"))))
       .localCheckpoint(true) // consumed once per iteration
-    var state = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // node set = src ∪ dst so directed sinks (out-degree 0) are kept;
+    // under the default symmetrization this is exactly the old
+    // groupBy(src) node set, deg coalesce never fires, results equal.
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst").as("node"))).distinct()
+    val degs = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("deg"))
+    var state = nodes.join(degs, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       .withColumn("pr", lit(1.0))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {

@@ -42,9 +42,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * One InputPartition per tile: decode stays embarrassingly parallel
   * (parallelism = surviving tiles), no shuffle, and a 1000-executor
   * cluster schedules tiles like any file-based scan. Readers re-open
-  * the file via its own FileSystem (local/HDFS URIs resolve from the
-  * default Hadoop conf; an hdfs-site deployment ships its conf via
-  * the usual cluster mechanisms).
+  * the file with the SESSION Hadoop conf captured at planning time
+  * and shipped via [[SerializableHadoopConf]], so `spark.hadoop.*`
+  * overrides (S3A credentials, alternate defaultFS) resolve the same
+  * on executors as on the driver — parity with built-in file sources.
   *
   * Registered in META-INF/services as `hgt`; equality with the
   * binaryFile+flatMap decoder and the pruning behavior are asserted
@@ -163,17 +164,39 @@ private[hgt] class HgtScan(path: String, bounds: HgtDataSource.Bounds,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    HgtReaderFactory(bounds, required.fieldNames)
+    HgtReaderFactory(bounds, required.fieldNames,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[hgt] case class HgtInputPartition(path: String, swLat: Int, swLng: Int)
   extends InputPartition
 
+/** Ships the DRIVER's Hadoop conf (including `spark.hadoop.*` session
+  * overrides — S3A credentials, alternate defaultFS) to executors.
+  * `Configuration` itself is `Writable` but not `Serializable`, so the
+  * holder round-trips it through its own Writable form (ADVICE r7:
+  * readers previously built `new Configuration()` executor-side and
+  * silently dropped session settings the planner had resolved with). */
+private[hgt] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[hgt] case class HgtReaderFactory(bounds: HgtDataSource.Bounds,
-                                         columns: Array[String])
+                                         columns: Array[String],
+                                         hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new HgtPartitionReader(partition.asInstanceOf[HgtInputPartition], bounds, columns)
+    new HgtPartitionReader(partition.asInstanceOf[HgtInputPartition], bounds, columns,
+      hconf.value)
 }
 
 /** Decodes one tile, restricted to the row/col window implied by the
@@ -181,12 +204,13 @@ private[hgt] case class HgtReaderFactory(bounds: HgtDataSource.Bounds,
   * boundary samples are never lost to float rounding. */
 private[hgt] class HgtPartitionReader(p: HgtInputPartition,
                                       bounds: HgtDataSource.Bounds,
-                                      columns: Array[String])
+                                      columns: Array[String],
+                                      conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val bytes: Array[Byte] = {
     val hp = new HPath(p.path)
-    val fs = hp.getFileSystem(new Configuration())
+    val fs = hp.getFileSystem(conf)
     val len = fs.getFileStatus(hp).getLen.toInt
     val out = new Array[Byte](len)
     val in = fs.open(hp)

@@ -54,10 +54,12 @@ class CurationPipelineSpec extends SparkSpec {
     assert(f.map(_._3).toSeq === Seq(20L, 19L, 18L, 17L, 17L))
   }
 
-  test("stratum cap engages when target is small; lazy form plans without executing") {
+  test("stratum cap engages when target is small; lazy form defers the funnel counts") {
     val stages = CurationPipeline.curateLazy(
       docs, bench, "doc_id", "text", "lang", target = 3)
-    // planning only — no job has to run to get the frames
+    // lazy form skips curate()'s five funnel counts; stage 3's
+    // clustering loop still executes during construction (documented
+    // exception — connectedComponents is iterative, ADVICE r7)
     val capped = stages.last._2
     val perStratum = capped.groupBy("lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap

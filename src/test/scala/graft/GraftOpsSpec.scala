@@ -201,4 +201,18 @@ class GraftOpsSpec extends SparkSpec {
     assert(pr.forall(_.getLong(1) == 2L), "all degrees must be 2")
     assert(pr.forall(_.getDouble(2) == 1.0), s"uniform fixpoint expected: ${pr.mkString(",")}")
   }
+
+  test("pageRank directed=true: no symmetrization, sinks kept with deg 0 (ADVICE r7)") {
+    // directed path 1→2→3. deg = (1, 1, 0) — node 3 is a sink that
+    // must still appear (it only occurs as a destination). By hand,
+    // contributions always read the PREVIOUS iteration's state:
+    //   iter1: in(1)=0, in(2)=1.0, in(3)=1.0 → pr=(0.15, 1.0, 1.0)
+    //   iter2: in(2)=0.15, in(3)=1.0        → pr=(0.15, 0.2775, 1.0)
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val pr = GraftOps.pageRank(edges, "s", "t", iters = 2, directed = true)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pr === Seq((1L, 1L, 0.15), (2L, 1L, 0.2775), (3L, 0L, 1.0)))
+  }
 }
