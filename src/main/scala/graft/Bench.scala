@@ -31,6 +31,10 @@ import org.apache.spark.sql.SparkSession
   *    reported figure is the MEDIAN and `spread` records max−min per
   *    key, so a round-over-round delta can be judged against the key's
   *    own measured jitter.
+  *  - Keys whose first-pass spread exceeds their median re-measure at
+  *    [[NoisyReps]] and are listed in `noisy_keys` (VERDICT r7 #2), so
+  *    a drowned measurement is re-run before it is reported AND marked
+  *    as contested in the output it lands in.
   *
   * A key whose execution throws is recorded in `errors` and excluded
   * from the total rather than silently contributing a near-zero time.
@@ -39,6 +43,11 @@ object Bench {
 
   /** Timed repetitions per key (median reported). */
   val Reps = 3
+
+  /** Escalated repetitions for a key whose first-pass spread exceeded
+    * its median — enough samples that one or two ambient stalls
+    * cannot drag the median (VERDICT r7 #2). */
+  val NoisyReps = 7
 
   /** The 14 validated seed queries of BASELINE.md ("Per-query warm seconds"). */
   val SeedKeys: Seq[String] = Seq(
@@ -92,15 +101,27 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val noisy = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup
-        val runs = Seq.fill(Reps) {
+        def measure(reps: Int): Seq[Double] = Seq.fill(reps) {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        timings(name) = runs(Reps / 2)
+        var runs = measure(Reps)
+        // Self-policing on noise (VERDICT r7 #2): a key whose max−min
+        // spread exceeds its own median was drowned by an ambient
+        // stall (GC, JIT, fixture cache churn) — its 3-rep median is
+        // not a number a regression claim may rest on. Re-measure at
+        // NoisyReps and flag the key in `noisy_keys` either way, so
+        // cross-round consumers see which figures were contested.
+        if (runs.last - runs.head > runs(runs.size / 2)) {
+          noisy += name
+          runs = measure(NoisyReps)
+        }
+        timings(name) = runs(runs.size / 2)
         spreads(name) = runs.last - runs.head
       } catch {
         case t: Throwable =>
@@ -117,8 +138,9 @@ object Bench {
       m.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
 
+    val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"per_query","reps":$Reps,"queries":${jmap(timings)},"spread":${jmap(spreads)},"errors":$errs}"""
+      s"""{"metric":"per_query","reps":$Reps,"noisy_reps":$NoisyReps,"noisy_keys":$noisyJson,"queries":${jmap(timings)},"spread":${jmap(spreads)},"errors":$errs}"""
     // "sf0.1" → 0.1; unknown layouts fall back to the raw dir string
     val sfJson = """sf(\d+(?:\.\d+)?)""".r.findFirstMatchIn(
       new java.io.File(sfDir).getName).map(_.group(1)).getOrElse(jstr(sfDir))
@@ -127,7 +149,7 @@ object Bench {
     // all-keys total lived in all_keys_sec; the rename (ADVICE r3) stops
     // cross-round consumers reading a metric redefinition as a speedup.
     val summary =
-      s"""{"metric":"seed_total","value":${num(seedTotal)},"unit":"sec","reps":$Reps,"queries":${jmap(seedTimings)},"sf":$sfJson,"sf_dir":${jstr(sfDir)},"seed_keys":${seedTimings.size},"all_keys":${timings.size},"all_keys_sec":${num(allTotal)},"failed":${errors.size},"udf_rewrite_fired":$udfRewriteFired,"udf_plan_equals_expr":$udfPlanEqualsExpr}"""
+      s"""{"metric":"seed_total","value":${num(seedTotal)},"unit":"sec","reps":$Reps,"queries":${jmap(seedTimings)},"sf":$sfJson,"sf_dir":${jstr(sfDir)},"seed_keys":${seedTimings.size},"all_keys":${timings.size},"all_keys_sec":${num(allTotal)},"failed":${errors.size},"noisy_keys":$noisyJson,"udf_rewrite_fired":$udfRewriteFired,"udf_plan_equals_expr":$udfPlanEqualsExpr}"""
 
     try {
       java.nio.file.Files.write(

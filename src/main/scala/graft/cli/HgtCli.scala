@@ -15,8 +15,46 @@ import java.util.zip.ZipInputStream
   *   gmalt-hgtload DIR           → [[HgtLoad]] (value mode → parquet
   *                                  or SQL text; raster mode → WKB SQL)
   *
-  * Each main is a thin wrapper over a pure, spec-tested core.
+  * Each main is a thin wrapper over a pure, spec-tested core. The
+  * OPTION surface (VERDICT r7 #6) matches the reconstructed gmalt
+  * flag set [R-med, Appendix B]: `-r` raster mode, `-s/--sample LNG
+  * LAT` window sampling, `-c N` concurrency, and
+  * `--host/--port/--user/--db/--table` connection flags — parsed by
+  * [[CliArgs]] into spec-tested configs with golden usage strings.
   */
+
+/** Minimal argparse-style option parser: declared flags with fixed
+  * arities, everything else positional. Pure — `Left(message)` on any
+  * violation so each command can append its golden usage text. */
+private[cli] object CliArgs {
+  case class Parsed(positional: Seq[String], flags: Map[String, Seq[String]])
+
+  /** `arity` maps every accepted flag (including aliases) to its value
+    * count; aliases are canonicalized by `alias`. */
+  def parse(args: Seq[String], arity: Map[String, Int],
+            alias: Map[String, String] = Map.empty): Either[String, Parsed] = {
+    val pos = Seq.newBuilder[String]
+    val flags = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      val tok = rest.head
+      rest = rest.tail
+      if (tok.startsWith("-") && tok != "-" &&
+          !tok.drop(1).headOption.exists(c => c.isDigit || c == '.')) {
+        val name = alias.getOrElse(tok, tok)
+        arity.get(name) match {
+          case None => return Left(s"unknown option $tok")
+          case Some(k) =>
+            if (rest.size < k) return Left(s"option $tok expects $k value(s)")
+            val (vals, tail) = rest.splitAt(k)
+            flags(name) = vals
+            rest = tail
+        }
+      } else pos += tok
+    }
+    Right(Parsed(pos.result(), flags.toMap))
+  }
+}
 object HgtRead {
   /** Elevation at (lat, lng) from one tile file; None for void. */
   def read(lat: Double, lng: Double, file: String): Option[Short] = {
@@ -59,24 +97,50 @@ object HgtGet {
     }
   }
 
+  /** Parsed command line: `HgtGet MANIFEST [DIR] [-c N]` (Appendix B:
+    * `gmalt-hgtget DATASET [DIR]`, concurrent workers via `-c`). */
+  case class Config(manifest: String, workDir: String, concurrency: Int)
+
+  val usage: String =
+    "usage: HgtGet MANIFEST [DIR] [-c N]\n" +
+      "  MANIFEST  dataset manifest: one zip URL or local path per line\n" +
+      "  DIR       work directory (default .)\n" +
+      "  -c N      download worker-pool width (default 4)"
+
+  def parse(args: Seq[String]): Either[String, Config] =
+    CliArgs.parse(args, Map("-c" -> 1), Map("--concurrency" -> "-c")).flatMap {
+      case CliArgs.Parsed(Seq(manifest), f) =>
+        Right(Config(manifest, ".", conc(f)))
+      case CliArgs.Parsed(Seq(manifest, dir), f) =>
+        Right(Config(manifest, dir, conc(f)))
+      case _ => Left("expected MANIFEST [DIR]")
+    }
+
+  private def conc(f: Map[String, Seq[String]]): Int =
+    f.get("-c").map(_.head.toInt).getOrElse(4)
+
   def main(args: Array[String]): Unit = {
-    val Array(manifest, workDir) = args
+    val cfg = parse(args.toSeq) match {
+      case Right(c) => c
+      case Left(err) => sys.error(s"$err\n$usage")
+    }
     // manifest: one entry per line — http(s) URLs are downloaded into
     // workDir through the worker-pool Fetch stage (network env-gated,
     // see Fetch.urlFetcher), local zip paths are extracted directly.
-    val lines = Files.readAllLines(Paths.get(manifest))
+    val lines = Files.readAllLines(Paths.get(cfg.manifest))
       .toArray.map(_.toString).filter(_.nonEmpty)
     val (urls, locals) = lines.toSeq.partition(
       l => l.startsWith("http://") || l.startsWith("https://"))
     val fetched = if (urls.isEmpty) Seq.empty[String] else {
-      Files.createDirectories(Paths.get(workDir))
-      val tasks = graft.hgt.Fetch.plan(urls, workDir)
-      val log = graft.hgt.Fetch.run(tasks, graft.hgt.Fetch.urlFetcher())
+      Files.createDirectories(Paths.get(cfg.workDir))
+      val tasks = graft.hgt.Fetch.plan(urls, cfg.workDir)
+      val log = graft.hgt.Fetch.run(tasks, graft.hgt.Fetch.urlFetcher(),
+        parallelism = cfg.concurrency)
       log.foreach(println)
       // failed downloads are reported, not extracted
       tasks.zip(log).collect { case (t, o) if !o.startsWith("FAIL") => t.target }
     }
-    val got = extract(locals ++ fetched, workDir)
+    val got = extract(locals ++ fetched, cfg.workDir)
     println(s"extracted ${got.size} tiles: ${got.mkString(", ")}")
   }
 }
@@ -108,17 +172,18 @@ object HgtLoad {
     spark.read.parquet(outDir).count()
   }
 
-  /** Raster-mode load: sample windows of sampleDeg and emit PostGIS
-    * raster INSERT statements (golden-testable; a JDBC executor would
-    * consume the same strings). */
+  /** Raster-mode load: sample windows of `sampleLng`×`sampleLat`
+    * cells (the reference's `-s LNG LAT` pair [R-med]) and emit
+    * PostGIS raster INSERT statements (golden-testable; a JDBC
+    * executor would consume the same strings). */
   def rasterSql(bytes: Array[Byte], swLat: Int, swLng: Int,
-                sampleEvery: Int, table: String): Seq[String] = {
+                sampleLng: Int, sampleLat: Int, table: String): Seq[String] = {
     val n = HgtCodec.gridSize(bytes.length)
     val step = 1.0 / (n - 1)
-    (0 until n by sampleEvery).flatMap { r0 =>
-      (0 until n by sampleEvery).map { c0 =>
-        val h = math.min(sampleEvery, n - r0)
-        val w = math.min(sampleEvery, n - c0)
+    (0 until n by sampleLat).flatMap { r0 =>
+      (0 until n by sampleLng).map { c0 =>
+        val h = math.min(sampleLat, n - r0)
+        val w = math.min(sampleLng, n - c0)
         val samples = Array.tabulate(h * w) { i =>
           val r = r0 + i / w
           val c = c0 + i % w
@@ -130,20 +195,112 @@ object HgtLoad {
     }
   }
 
-  /** `HgtLoad IN OUT` → full load; `HgtLoad IN OUT latMin latMax
-    * lngMin lngMax` → windowed load via the pruning DSv2 source. */
+  /** Square-window raster load (the common `-s N N` case). */
+  def rasterSql(bytes: Array[Byte], swLat: Int, swLng: Int,
+                sampleEvery: Int, table: String): Seq[String] =
+    rasterSql(bytes, swLat, swLng, sampleEvery, sampleEvery, table)
+
+  /** Raster-mode import of every tile under `inDir` through a
+    * [[Sinks.SqlExecutor]] — the reference's `-r` path: DDL-free here
+    * (PostGIS raster tables are created with AddRasterConstraints
+    * outside the insert stream), one INSERT per sampled window.
+    * Returns the number of INSERTs issued. */
+  def importRaster(inDir: String, sampleLng: Int, sampleLat: Int,
+                   table: String, executor: Sinks.SqlExecutor): Int = {
+    val stream = Files.list(Paths.get(inDir))
+    val tiles = try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      stream.forEach(p => if (p.getFileName.toString.toLowerCase.endsWith(".hgt")) b += p)
+      b.result().sortBy(_.getFileName.toString)
+    } finally stream.close()
+    var n = 0
+    tiles.foreach { p =>
+      val (swLat, swLng) = HgtCodec.parseTileName(p.getFileName.toString)
+      rasterSql(Files.readAllBytes(p), swLat, swLng, sampleLng, sampleLat, table)
+        .foreach { sql => executor.execute(sql); n += 1 }
+    }
+    n
+  }
+
+  /** Parsed command line — the reconstructed gmalt-hgtload option
+    * surface (Appendix B [R-med]): `-r` raster mode, `-s LNG LAT`
+    * sampling, `-c N` concurrency, --host/--port/--user/--db/--table
+    * connection flags; `--out`/`--window` are this engine's
+    * warehouse-native value-mode targets. */
+  case class Config(inDir: String, raster: Boolean,
+                    sampleLng: Int, sampleLat: Int, concurrency: Int,
+                    host: String, port: Int, user: String, db: String,
+                    table: String, out: Option[String],
+                    window: Option[(Double, Double, Double, Double)])
+
+  val usage: String =
+    "usage: HgtLoad [-r] [-s LNG LAT] [-c N] [--host H] [--port P]\n" +
+      "               [--user U] [--db D] [--table T] [--out PATH]\n" +
+      "               [--window LATMIN LATMAX LNGMIN LNGMAX] DIR\n" +
+      "  DIR        directory of .hgt tiles to import\n" +
+      "  -r         PostGIS raster mode (default: value mode)\n" +
+      "  -s LNG LAT raster window size in samples (default 50 50)\n" +
+      "  -c N       import concurrency (default 4)\n" +
+      "  --host/--port/--user/--db/--table  SQL connection (table default elevation)\n" +
+      "  --out PATH value mode: write the point table as parquet here\n" +
+      "  --window   value mode: load only this box via the pruning hgt source"
+
+  def parse(args: Seq[String]): Either[String, Config] =
+    CliArgs.parse(args,
+      Map("-r" -> 0, "-s" -> 2, "-c" -> 1, "--host" -> 1, "--port" -> 1,
+        "--user" -> 1, "--db" -> 1, "--table" -> 1, "--out" -> 1,
+        "--window" -> 4),
+      Map("--sample" -> "-s", "--concurrency" -> "-c")).flatMap {
+      case CliArgs.Parsed(Seq(inDir), f) =>
+        try {
+          val s = f.get("-s").map(v => (v(0).toInt, v(1).toInt)).getOrElse((50, 50))
+          Right(Config(inDir,
+            raster = f.contains("-r"),
+            sampleLng = s._1, sampleLat = s._2,
+            concurrency = f.get("-c").map(_.head.toInt).getOrElse(4),
+            host = f.get("--host").map(_.head).getOrElse("localhost"),
+            port = f.get("--port").map(_.head.toInt).getOrElse(5432),
+            user = f.get("--user").map(_.head).getOrElse("postgres"),
+            db = f.get("--db").map(_.head).getOrElse("gmalt"),
+            table = f.get("--table").map(_.head).getOrElse("elevation"),
+            out = f.get("--out").map(_.head),
+            window = f.get("--window").map(v =>
+              (v(0).toDouble, v(1).toDouble, v(2).toDouble, v(3).toDouble))))
+        } catch { case e: NumberFormatException => Left(s"bad numeric option: ${e.getMessage}") }
+      case CliArgs.Parsed(pos, _) => Left(s"expected exactly one DIR, got ${pos.size}")
+    }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master(
-      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    val cfg = parse(args.toSeq) match {
+      case Right(c) => c
+      case Left(err) => sys.error(s"$err\n$usage")
+    }
+    if (cfg.raster) {
+      // raster mode never needs a SparkSession: tiles stream through
+      // the window sampler into INSERT text (stdout here; a JDBC
+      // executor consumes the same strings — Sinks scaladoc)
+      val n = importRaster(cfg.inDir, cfg.sampleLng, cfg.sampleLat, cfg.table,
+        (sql: String) => println(sql))
+      System.err.println(s"raster mode: $n INSERTs for ${cfg.table}")
+      return
+    }
+    val spark = SparkSession.builder().master(s"local[${cfg.concurrency}]")
       .config("spark.ui.enabled", "false").getOrCreate()
     try {
-      val n = args match {
-        case Array(inDir, outDir) => loadParquet(spark, inDir, outDir)
-        case Array(inDir, outDir, a, b, c, d) =>
-          loadParquetWindow(spark, inDir, outDir, a.toDouble, b.toDouble, c.toDouble, d.toDouble)
-        case _ => sys.error("usage: HgtLoad IN OUT [latMin latMax lngMin lngMax]")
+      val n = (cfg.out, cfg.window) match {
+        case (Some(out), None) => loadParquet(spark, cfg.inDir, out)
+        case (Some(out), Some((a, b, c, d))) =>
+          loadParquetWindow(spark, cfg.inDir, out, a, b, c, d)
+        case (None, _) =>
+          // SQL value mode: DDL + batched inserts through the executor
+          // interface (printed here; env-gated JDBC in production)
+          val pts = HgtCodec.points(spark, cfg.inDir)
+          System.err.println(
+            s"value mode -> ${cfg.user}@${cfg.host}:${cfg.port}/${cfg.db}.${cfg.table}")
+          Sinks.importValues(pts, cfg.table, () => (sql: String) => println(sql))
+          pts.count()
       }
-      println(s"loaded $n points -> ${args(1)}")
+      println(s"loaded $n points")
     } finally spark.stop()
   }
 }

@@ -1,0 +1,209 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture generator — synthesizes an sf1-scale twin of
+  * the driver's TESTDATA.md tables (FIXTURES.md schemas + measured
+  * value domains) so the engine's 100 TB claims get at least one
+  * order of magnitude of LOCAL scaling evidence (VERDICT r7 #1).
+  *
+  * Usage: `runMain graft.tools.GenData <outDir> [mult]` — mult scales
+  * row counts relative to sf1 (default 1.0 → lineitem ≈ 6 M rows,
+  * documents 50 k, embeddings 20 k; 10× the driver's sf0.1).
+  *
+  * Design constraints, in order:
+  *  - DETERMINISTIC: every value is a pure function of (table, key)
+  *    via xxhash64 — no RNG state, no driver loops; re-running
+  *    byte-identically reproduces the fixture.
+  *  - DISTRIBUTED: built from `spark.range` + column expressions
+  *    (codegen'd, zero shuffles except lineitem's explode) — the
+  *    generator itself is the shape you'd run to synthesize 100 TB.
+  *  - SCHEMA-FAITHFUL to FIXTURES.md: same column names, int widths,
+  *    ms-timestamps (TIMESTAMP_MILLIS writer), value domains, FK
+  *    integrity (lineitem explodes FROM orders, so zero orphans by
+  *    construction), documents' planted duplication structure (exact
+  *    dups ~0.16%, 60-char shared-prefix groups ~10% of docs), and
+  *    L2-normalized label-clustered embeddings.
+  *
+  * One deliberate divergence: the driver writes `events.ts` as parquet
+  * TIMESTAMP(NANOS), which Spark cannot WRITE. We store raw int64
+  * nanos instead — `Tables.load` consumes both identically (under
+  * nanosAsLong the driver's column already ARRIVES as long nanos),
+  * and `tools/oracle_check.py` builds the DuckDB events view with the
+  * same ns→µs truncation when it sees the int64 form.
+  */
+object GenData {
+
+  /** 31-word DB-flavored vocabulary (driver fixture uses a same-sized
+    * small vocabulary — TF-IDF/langid/perplexity keys need realistic
+    * collision rates, not uniqueness). */
+  val Vocab: Seq[String] = Seq(
+    "query", "plan", "scan", "filter", "join", "shuffle", "batch",
+    "stream", "row", "column", "table", "index", "spark", "vector",
+    "window", "merge", "sort", "hash", "cache", "disk", "memory",
+    "node", "task", "stage", "executor", "driver", "schema", "parquet",
+    "string", "value", "fast")
+
+  private val DayS = 86400L
+  private val Epoch1995 = 788918400L         // 1995-01-01 UTC, seconds
+  private val Epoch2024Ns = 1704067200L * 1000000000L // 2024-01-01 UTC, ns
+
+  /** Non-negative deterministic hash of (seed, cols...). */
+  private def h(seed: String, cols: Column*): Column =
+    pmod(xxhash64((lit(seed) +: cols): _*), lit(Long.MaxValue))
+
+  /** Uniform double in [0, 1) with ~1e-9 grain, full mantissa kept
+    * downstream (driver fixtures are NOT 2dp-rounded). */
+  private def u01(seed: String, cols: Column*): Column =
+    pmod(xxhash64((lit(seed) +: cols): _*), lit(1000000000L)).cast("double") / 1e9
+
+  private def pick(seed: String, values: Seq[String], cols: Column*): Column =
+    element_at(array(values.map(lit): _*),
+      pmod(xxhash64((lit(seed) +: cols): _*), lit(values.size)).cast("int") + 1)
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("testdata/sf1")
+    val mult = if (args.length > 1) args(1).toDouble else 1.0
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-gendata")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      // driver fixtures carry ms timestamps; match the physical type
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def n(base: Long): Long = math.max(1L, (base * mult).toLong)
+    val nCust = n(150000); val nSupp = n(10000); val nPart = n(200000)
+    val nOrd = n(1500000); val nEvt = n(1000000); val nDoc = n(50000)
+    val nEmb = n(20000); val nUser = n(15000)
+
+    def write(name: String, df: DataFrame, parts: Int): Unit = {
+      df.repartition(parts).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$name.parquet")
+      println(s"[gendata] $name written")
+    }
+
+    import spark.implicits._
+
+    // region / nation: fixed small dims, driver-identical names
+    write("region", Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+      (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"), 1)
+    write("nation", (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey"), 1)
+
+    write("customer", spark.range(nCust).toDF("c_custkey")
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+      .withColumn("c_nationkey", pmod(h("cnat", col("c_custkey")), lit(25)).cast("int"))
+      .withColumn("c_acctbal", round(lit(-1000.0) + u01("cbal", col("c_custkey")) * 11000.0, 6))
+      .withColumn("c_mktsegment", pick("cseg", Seq("AUTOMOBILE", "BUILDING",
+        "FURNITURE", "HOUSEHOLD", "MACHINERY"), col("c_custkey"))), 2)
+
+    write("supplier", spark.range(nSupp).toDF("s_suppkey")
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+      .withColumn("s_nationkey", pmod(h("snat", col("s_suppkey")), lit(25)).cast("int"))
+      .withColumn("s_acctbal", round(lit(-1000.0) + u01("sbal", col("s_suppkey")) * 11000.0, 6)), 1)
+
+    write("part", spark.range(nPart).toDF("p_partkey")
+      .withColumn("p_name", concat_ws(" ",
+        pick("pn1", Seq("small", "large", "bright", "dark", "round", "flat",
+          "heavy", "light"), col("p_partkey")),
+        pick("pn2", Seq("ring", "box", "rod", "plate", "tube", "cap",
+          "disk", "wire"), col("p_partkey"))))
+      .withColumn("p_brand", concat(lit("Brand#"),
+        (pmod(h("pbr", col("p_partkey")), lit(25)) + 1).cast("int")))
+      .withColumn("p_type", pick("pty", Seq("ECONOMY", "LARGE", "MEDIUM",
+        "PROMO", "SMALL", "STANDARD"), col("p_partkey")))
+      .withColumn("p_size", (pmod(h("psz", col("p_partkey")), lit(50)) + 1).cast("int"))
+      .withColumn("p_retailprice", round(lit(900.0) + u01("prp", col("p_partkey")) * 99.9, 6)), 2)
+
+    val orders = spark.range(nOrd).toDF("o_orderkey")
+      .withColumn("o_custkey", pmod(h("ocust", col("o_orderkey")), lit(nCust)))
+      .withColumn("o_orderstatus", pick("ost", Seq("F", "O", "P"), col("o_orderkey")))
+      .withColumn("o_totalprice", round(lit(1000.0) + u01("otp", col("o_orderkey")) * 499000.0, 6))
+      .withColumn("o_orderdate", timestamp_seconds(
+        lit(Epoch1995) + pmod(h("oda", col("o_orderkey")), lit(2404L)) * DayS))
+      .withColumn("o_orderpriority", pick("opr", Seq("1-URGENT", "2-HIGH",
+        "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), col("o_orderkey")))
+    write("orders", orders, 4)
+
+    // lineitem explodes FROM orders: FK integrity by construction,
+    // 1..7 lines per order (mean 4 — the driver's measured shape)
+    val li = orders.select(col("o_orderkey").as("l_orderkey"))
+      .withColumn("l_linenumber", explode(sequence(lit(1),
+        (pmod(h("nl", col("l_orderkey")), lit(7)) + 1).cast("int"))))
+    val lkey = Seq(col("l_orderkey"), col("l_linenumber"))
+    write("lineitem", li
+      .withColumn("l_partkey", pmod(h("lpk", lkey: _*), lit(nPart)))
+      .withColumn("l_suppkey", pmod(h("lsk", lkey: _*), lit(nSupp)))
+      .withColumn("l_quantity", (pmod(h("lqt", lkey: _*), lit(50)) + 1).cast("double"))
+      .withColumn("l_extendedprice", round(lit(900.0) + u01("lep", lkey: _*) * 104100.0, 6))
+      .withColumn("l_discount", pmod(h("ldc", lkey: _*), lit(11)).cast("double") / 100.0)
+      .withColumn("l_tax", pmod(h("ltx", lkey: _*), lit(9)).cast("double") / 100.0)
+      .withColumn("l_returnflag", pick("lrf", Seq("A", "N", "R"), lkey: _*))
+      .withColumn("l_linestatus", pick("lls", Seq("F", "O"), lkey: _*))
+      .withColumn("l_shipdate", timestamp_seconds(
+        lit(Epoch1995 + DayS) + pmod(h("lsd", lkey: _*), lit(2498L)) * DayS)), 8)
+
+    // events: ts is raw int64 nanos (see scaladoc) with genuine
+    // sub-microsecond jitter so the ns→µs truncation path is LIVE
+    write("events", spark.range(nEvt).toDF("event_id")
+      .withColumn("ts", lit(Epoch2024Ns) +
+        pmod(h("ets", col("event_id")), lit(29L * DayS * 1000000000L)))
+      .withColumn("user_id", pmod(h("eus", col("event_id")), lit(nUser)))
+      .withColumn("event_type", pick("ety", Seq("click", "error", "purchase",
+        "signup", "view"), col("event_id")))
+      .withColumn("value", round(u01("evl", col("event_id")) * 560.0, 6))
+      .withColumn("props", concat(lit("{\"k\": "),
+        pmod(h("epr", col("event_id")), lit(100)), lit("}"))), 4)
+
+    // documents: planted duplication structure (FIXTURES.md) —
+    //  - exact dups: ids ≡ 0 (mod 625), id > 0, clone the full row of
+    //    id−1 (gid indirection) → ~80 dup pairs at sf1
+    //  - shared prefixes: 10% of gids take their first 12 words from
+    //    their 40-block key → ~1250 groups of ~4 sharing ≥60 chars
+    val vocabArr = array(Vocab.map(lit): _*)
+    write("documents", spark.range(nDoc).toDF("doc_id")
+      .withColumn("gid", when(col("doc_id") > 0 &&
+        pmod(col("doc_id"), lit(625)) === 0, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("inpfx", pmod(col("gid"), lit(20)) < 2)
+      .withColumn("pk", (col("gid") / 40).cast("long"))
+      .withColumn("len", (pmod(h("dlen", col("gid")), lit(91)) + 10).cast("int"))
+      .withColumn("vocab_arr", vocabArr)
+      .withColumn("text", expr(
+        """concat_ws(' ', transform(sequence(0, len - 1), d ->
+          |  element_at(vocab_arr, cast(pmod(xxhash64(
+          |    case when inpfx and d < 12
+          |         then concat('p', cast(pk as string), '_', cast(d as string))
+          |         else concat('w', cast(gid as string), '_', cast(d as string))
+          |    end), 31) + 1 as int))))""".stripMargin))
+      .withColumn("lang",
+        when(pmod(h("dlng", col("gid")), lit(100)) < 41, "en")
+          .when(pmod(h("dlng", col("gid")), lit(100)) < 56, "de")
+          .when(pmod(h("dlng", col("gid")), lit(100)) < 71, "es")
+          .when(pmod(h("dlng", col("gid")), lit(100)) < 86, "fr")
+          .otherwise("zh"))
+      .withColumn("source", concat(lit("src"), pmod(h("dsrc", col("gid")), lit(20))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars"), 2)
+
+    // embeddings: label-clustered (center(label) + noise(id)), then
+    // L2-normalized so cosine ≡ dot product — the fixture invariant
+    // every vector key relies on
+    write("embeddings", spark.range(nEmb).toDF("vec_id")
+      .withColumn("label", pmod(h("elb", col("vec_id")), lit(10)).cast("int"))
+      .withColumn("raw", expr(
+        """transform(sequence(0, 63), d ->
+          |  (cast(pmod(xxhash64(concat('c', cast(label as string), '_', cast(d as string))), 2001) as double) - 1000) / 1000.0
+          |  + (cast(pmod(xxhash64(concat('n', cast(vec_id as string), '_', cast(d as string))), 601) as double) - 300) / 1000.0)""".stripMargin))
+      .withColumn("nrm", expr("sqrt(aggregate(raw, 0d, (a, x) -> a + x * x))"))
+      .withColumn("embedding", expr("transform(raw, x -> cast(x / nrm as float))"))
+      .select("vec_id", "embedding", "label"), 1)
+
+    spark.stop()
+    println(s"[gendata] complete: $out (mult=$mult)")
+  }
+}

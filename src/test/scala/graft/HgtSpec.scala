@@ -252,4 +252,56 @@ class HgtCliSpec extends SparkSpec {
     assume(!sys.env.get("SPARK_GRAFT_ALLOW_NETWORK").contains("1"))
     intercept[IllegalArgumentException](graft.hgt.Fetch.urlFetcher())
   }
+
+  // ── flag surface (VERDICT r7 #6): Appendix B option parity ──────────
+
+  test("hgtload parse: full reconstructed flag set lands in the config") {
+    val cfg = graft.cli.HgtLoad.parse(Seq(
+      "-r", "-s", "25", "30", "-c", "8", "--host", "db1", "--port", "5433",
+      "--user", "gmalt", "--db", "tiles", "--table", "elev", "/data/hgt")).toOption.get
+    assert(cfg.raster && cfg.sampleLng === 25 && cfg.sampleLat === 30)
+    assert(cfg.concurrency === 8 && cfg.host === "db1" && cfg.port === 5433)
+    assert(cfg.user === "gmalt" && cfg.db === "tiles" && cfg.table === "elev")
+    assert(cfg.inDir === "/data/hgt" && cfg.out.isEmpty && cfg.window.isEmpty)
+  }
+
+  test("hgtload parse: defaults, aliases, window box, negative coords stay positional") {
+    val d = graft.cli.HgtLoad.parse(Seq("dir")).toOption.get
+    assert(!d.raster && d.sampleLng === 50 && d.sampleLat === 50 &&
+      d.concurrency === 4 && d.host === "localhost" && d.port === 5432 &&
+      d.table === "elevation")
+    val w = graft.cli.HgtLoad.parse(Seq(
+      "--sample", "10", "10", "--out", "/tmp/o",
+      "--window", "-12.5", "-11.5", "6.0", "7.0", "dir")).toOption.get
+    assert(w.sampleLng === 10 && w.window === Some((-12.5, -11.5, 6.0, 7.0)))
+    assert(w.out === Some("/tmp/o"))
+  }
+
+  test("hgtload/hgtget parse: violations are Left, usage strings are golden") {
+    assert(graft.cli.HgtLoad.parse(Seq("-x", "dir")) === Left("unknown option -x"))
+    assert(graft.cli.HgtLoad.parse(Seq("-s", "5", "dir")).isLeft) // arity 2 eats 5,dir
+    assert(graft.cli.HgtLoad.parse(Seq("a", "b")) === Left("expected exactly one DIR, got 2"))
+    assert(graft.cli.HgtGet.parse(Seq()) === Left("expected MANIFEST [DIR]"))
+    assert(graft.cli.HgtGet.parse(Seq("m", "d", "-c", "9")) ===
+      Right(graft.cli.HgtGet.Config("m", "d", 9)))
+    // golden usage: the console contract a gmalt user reads
+    assert(graft.cli.HgtLoad.usage.startsWith(
+      "usage: HgtLoad [-r] [-s LNG LAT] [-c N] [--host H] [--port P]"))
+    assert(graft.cli.HgtLoad.usage.contains("--window"))
+    assert(graft.cli.HgtGet.usage.startsWith("usage: HgtGet MANIFEST [DIR] [-c N]"))
+  }
+
+  test("hgtload raster -s LNG LAT: rectangular windows tile the grid exactly") {
+    // 3x3 grid, 2-wide x 3-tall windows → 2 column bands x 1 row band
+    val sqls = graft.cli.HgtLoad.rasterSql(tileBytes, 47, 6,
+      sampleLng = 2, sampleLat = 3, table = "rast")
+    assert(sqls.size === 2)
+    // and the directory-level import streams every INSERT through the executor
+    val dir = java.nio.file.Files.createTempDirectory("clirast").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "N47E006.hgt").toPath, tileBytes)
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val n = graft.cli.HgtLoad.importRaster(dir.getAbsolutePath, 2, 3, "rast",
+      (sql: String) => seen += sql)
+    assert(n === 2 && seen.toSeq === sqls)
+  }
 }

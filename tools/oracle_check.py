@@ -93,8 +93,25 @@ def main():
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        # GenData fixtures are Spark-written parquet DIRECTORIES;
+        # driver fixtures are single files. Glob handles both.
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if t == "events":
+            # Driver fixture: native TIMESTAMP(NANOS) — DuckDB reads it
+            # directly and truncates to µs, agreeing with Tables.load.
+            # GenData fixture: raw int64 nanos (Spark cannot WRITE ns
+            # parquet) — apply the SAME ns→µs truncation here so both
+            # forms present one TIMESTAMP surface to the oracle SQL.
+            ts_type = str(con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()[0])
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{src}')")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     n_ok, fails = 0, []
     for name in sorted(oracle):
