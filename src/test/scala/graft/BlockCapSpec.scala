@@ -47,36 +47,13 @@ class BlockCapSpec extends SparkSpec {
 
   // --- adversarial corpus-skew rehearsal -------------------------------
 
-  /** One doc_id region per population so assertions can tell them apart. */
-  private val MegaBase = 5000000L
-  private val MegaN = 600 // one bucket above the 500 cap
-  private val MegaText =
-    "boilerplate terms of service header repeated verbatim across every document in this synthetic corpus"
-
-  /** 10× the sf0.001 documents (distinct doc_ids, texts replicated —
-    * blocks and band buckets grow 10×, still far under the cap) plus a
-    * 600-doc identical-text mega-cluster whose prefix block AND MinHash
-    * band buckets all exceed MaxBlockBucket/MaxBandBucket = 500. */
-  private lazy val advDir: String = {
-    val dir = Files.createTempDirectory("graft-adv-fixture").toString
-    val base = spark.read.parquet(s"$sf/documents.parquet")
-    def cols(df: DataFrame) = df.select(
-      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val tenX = (0 until 10).map { i =>
-      cols(base.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
-    }.reduce(_ unionAll _)
-    val mega = spark.range(MegaN).select(
-      (col("id") + lit(MegaBase)).as("doc_id"),
-      lit(MegaText).as("text"),
-      lit("en").as("lang"),
-      lit("boilerplate").as("source"),
-      lit(MegaText.length.toLong).as("n_chars"))
-    tenX.unionAll(mega).coalesce(4)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    dir
-  }
-
-  private val MegaPairs = MegaN.toLong * (MegaN - 1) / 2
+  /** One doc_id region per population so assertions can tell them
+    * apart. Corpus construction shared with CurationPipelineSpec via
+    * [[AdvFixture]] (built once per JVM). */
+  private val MegaBase = AdvFixture.MegaBase
+  private val MegaN = AdvFixture.MegaN // one bucket above the 500 cap
+  private lazy val advDir: String = AdvFixture.dir(spark, sf)
+  private val MegaPairs = AdvFixture.MegaPairs
 
   test("adversarial: capped verify joins drop exactly the mega-cluster blowup") {
     for ((capped, uncapped) <- Seq(

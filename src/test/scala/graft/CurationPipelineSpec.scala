@@ -54,6 +54,51 @@ class CurationPipelineSpec extends SparkSpec {
     assert(f.map(_._3).toSeq === Seq(20L, 19L, 18L, 17L, 17L))
   }
 
+  test("funnel audit on the 10× adversarial mega-cluster corpus (VERDICT r7 #7)") {
+    // The composed pipeline on AdvFixture: 5 000 docs (10× sf0.001,
+    // each text appearing 10× under distinct ids) + the 600-doc
+    // identical-text mega-cluster. The load-bearing property is the
+    // STAGE ORDERING: exact dedup (skew-immune hash agg) reduces the
+    // mega-cluster to ONE representative BEFORE the pairwise LSH
+    // stage ever runs, so the n²/2 blowup BlockCapSpec has to cap in
+    // the standalone operators never even reaches stage 3 here.
+    // Bench shares a shingle with the mega text → decontamination
+    // must then kill that lone representative.
+    val adv = spark.read.parquet(s"${AdvFixture.dir(spark, sf)}/documents.parquet")
+    val megaBench = Seq(
+      (1L, "terms of service header repeated verbatim says the eval set"))
+      .toDF("doc_id", "text")
+    val (kept, funnel) = CurationPipeline.curate(
+      adv, megaBench, "doc_id", "text", "lang", target = 100000)
+    val f = funnel.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byStage = f.map(x => x._1 -> (x._2, x._3)).toMap
+
+    assert(f.head._2 === 5600L, "corpus in must be 10x500 replicas + 600 mega docs")
+    // funnel stays monotone and chained under skew
+    f.foreach { case (s, in, out) => assert(out <= in, s"$s grew: $in -> $out") }
+    assert(f.sliding(2).forall { case Array(a, b) => a._3 == b._2 })
+
+    // exact dedup must collapse the replicated corpus ~10:1 AND the
+    // mega-cluster 600:1 — its output is bounded by the number of
+    // distinct surviving texts (≤ 501 here), proving the pairwise
+    // stage's input is small no matter how skewed the corpus
+    val (exIn, exOut) = byStage("exact_dedup")
+    assert(exOut <= 501L, s"exact dedup left $exOut docs — 10x replicas or mega leaked")
+    assert(exIn - exOut >= 599L + 9 * 400L,
+      "exact dedup removed fewer than the planted replica mass")
+
+    // the mega representative (min id of the identical group) entered
+    // stage 3 alone, and decontamination then killed it via the
+    // shared shingle
+    val megaKept = kept.filter(col("doc_id") >= AdvFixture.MegaBase).count()
+    assert(megaKept === 0L, "mega representative survived decontamination")
+    val (dcIn, dcOut) = byStage("decontaminate")
+    assert(dcIn - dcOut >= 1L, "decontamination stage removed nothing")
+    // and the pipeline kept a real corpus — skew handling must not
+    // degenerate into dropping everything
+    assert(kept.count() > 300L, "adversarial corpus over-filtered")
+  }
+
   test("stratum cap engages when target is small; lazy form defers the funnel counts") {
     val stages = CurationPipeline.curateLazy(
       docs, bench, "doc_id", "text", "lang", target = 3)
