@@ -28,11 +28,21 @@ object Aggs {
 
   /** CUBE over (returnflag, linestatus) with a NULL-derived level
     * indicator (the flag columns are never null in the data, so
-    * IS NULL unambiguously marks the super-aggregate rows). */
+    * IS NULL unambiguously marks the super-aggregate rows).
+    *
+    * Money sums accumulate in DECIMAL (r8, found at sf1): the grand
+    * total is ~3.2e11 at 6 M rows, where double summation's
+    * order-dependent error (~1e-1 random walk) exceeds the 2 dp
+    * rounding grain — round(sum(double),2) stopped matching DuckDB.
+    * The fixture's money columns are exact 2 dp values, so
+    * cast→decimal(18,2) is lossless, the sum is order-independent at
+    * ANY scale, and the final cast back to double keeps the schema.
+    * Same pattern applied to every fixed-cardinality money-sum key. */
   def qAggCube(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"))
       .withColumn("lvl",
         when(col("l_returnflag").isNull, lit(1)).otherwise(lit(0)) +
         when(col("l_linestatus").isNull, lit(1)).otherwise(lit(0)))
@@ -125,8 +135,9 @@ object Aggs {
   def qAggUnpivot(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-           round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), // integral: exact in double
+           // decimal accumulation — see qAggCube (sf1 float-sum fix)
+           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
       .unpivot(Array(col("l_returnflag")),
                Array(col("sum_qty"), col("revenue")), "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))

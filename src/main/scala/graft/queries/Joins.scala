@@ -71,7 +71,9 @@ object Joins {
     val l = Tables.lineitem(spark, dir)
     l.join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .groupBy(col("lo"), col("hi"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"))
       .orderBy(col("lo"))
   }
 
@@ -158,7 +160,9 @@ object Joins {
     val o = Tables.orders(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"))
       .orderBy(col("o_orderstatus"))
   }
 }

@@ -81,7 +81,9 @@ object Layout {
     spark.read.parquet(out)
       .filter(col("o_month") === 3)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
       .orderBy(col("o_orderpriority"))
 
   /** DECLARED bucketed-layout key: write orders and lineitem
@@ -112,8 +114,9 @@ object Layout {
     o.write.mode("overwrite").option("header", "true").csv(out)
     spark.read.schema(o.schema).option("header", "true").csv(out)
       .groupBy(col("o_orderstatus"))
+      // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("s"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"),
         min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
       .orderBy(col("o_orderstatus"))
   }
@@ -159,8 +162,9 @@ object Layout {
     spark.read.orc(out)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("q"),
-        round(sum(col("l_extendedprice")), 2).as("s"),
+        round(sum(col("l_quantity")), 2).as("q"), // integral: exact in double
+        // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"),
         min(col("l_shipdate")).as("d0"), max(col("l_shipdate")).as("d1"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }

@@ -16,7 +16,7 @@ object OracleSql {
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity),2) AS sum_qty,
-        |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       round(avg(l_extendedprice),2) AS avg_price
         |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -30,7 +30,7 @@ object OracleSql {
         |GROUP BY o.o_orderkey, o.o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q_join_regional" ->
-      """SELECT n.n_name, round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+      """SELECT n.n_name, CAST(sum(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
         |JOIN customer c ON c.c_nationkey = n.n_nationkey
         |JOIN orders o ON o.o_custkey = c.c_custkey
@@ -56,7 +56,7 @@ object OracleSql {
         |WHERE rk <= 3 ORDER BY c_custkey, rk LIMIT 100""".stripMargin,
 
     "q_agg_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS s, count(*) AS n
+      """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 

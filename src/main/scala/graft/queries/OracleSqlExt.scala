@@ -33,7 +33,7 @@ object OracleSqlExt {
       """WITH bands AS (SELECT CAST(1.0 AS DOUBLE) + id*10 AS lo,
         |                      CAST(11.0 AS DOUBLE) + id*10 AS hi
         |               FROM range(5) t(id))
-        |SELECT lo, hi, count(*) AS n, round(sum(l_extendedprice),2) AS s
+        |SELECT lo, hi, count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY lo, hi ORDER BY lo""".stripMargin,
 
@@ -71,7 +71,7 @@ object OracleSqlExt {
         |ORDER BY band NULLS FIRST""".stripMargin,
 
     "q_join_smj" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice),2) AS s
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
@@ -196,7 +196,7 @@ object OracleSqlExt {
         |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem""".stripMargin,
 
     "q_agg_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice),2) AS s,
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
         |       (CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END
         |        + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS lvl
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -270,7 +270,7 @@ object OracleSqlExt {
 
     "q_agg_unpivot" ->
       """WITH a AS (SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
-        |                  round(sum(l_extendedprice),2) AS revenue
+        |                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |           FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
         |UNION ALL

@@ -366,7 +366,7 @@ object OracleSqlLlm {
     // the original parquet — text serialization is lossless
     "q_csv_roundtrip" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS s,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
         |       min(o_orderdate) AS d0, max(o_orderdate) AS d1
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -398,7 +398,7 @@ object OracleSqlLlm {
     // the partitioned write→pruned read round-trip must equal the same
     // aggregate over the unpartitioned table
     "q_part_pruned" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
+      """SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM orders WHERE month(o_orderdate) = 3
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

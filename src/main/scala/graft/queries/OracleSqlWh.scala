@@ -57,7 +57,7 @@ object OracleSqlWh {
         |FROM v WHERE o_custkey < 300 ORDER BY o_custkey, version""".stripMargin,
 
     "q_dpp_join" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
+      """SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM orders WHERE month(o_orderdate) IN (4,5,6)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -262,7 +262,8 @@ object OracleSqlWh {
 
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       round(sum(l_quantity),2) AS q, round(sum(l_extendedprice),2) AS s,
+        |       round(sum(l_quantity),2) AS q,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
         |       min(l_shipdate) AS d0, max(l_shipdate) AS d1
         |FROM lineitem WHERE l_orderkey <= 30000
         |GROUP BY l_returnflag, l_linestatus

@@ -29,8 +29,14 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"), // integral: exact in double
+        // revenue accumulates in DECIMAL (see Aggs.qAggCube, sf1
+        // float-sum fix). The per-row product of two exact 2 dp
+        // values has ≤4 decimals and double carries it well within
+        // decimal(18,4)'s grain, so the cast recovers the EXACT
+        // product; the sum is then order-independent at any scale.
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -95,7 +101,9 @@ object Relational {
       .join(broadcast(s),
         col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      // decimal(18,4) product accumulation — see qAggPricing
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -137,7 +145,9 @@ object Relational {
   def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("s"), count(lit(1)).as("n"))
+      // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 

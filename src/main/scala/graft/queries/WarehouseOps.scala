@@ -102,7 +102,9 @@ object WarehouseOps {
     val dim = spark.read.parquet(dimDir).filter(col("m_quarter") === 2)
     fact.join(dim, fact("o_month") === dim("m_month"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
       .orderBy(col("o_orderpriority"))
   }
 

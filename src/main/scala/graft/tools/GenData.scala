@@ -81,9 +81,36 @@ object GenData {
     val nOrd = n(1500000); val nEvt = n(1000000); val nDoc = n(50000)
     val nEmb = n(20000); val nUser = n(15000)
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts).write.mode(SaveMode.Overwrite)
-        .parquet(s"$out/$name.parquet")
+    // Driver-layout parity: each table is ONE parquet file named
+    // <table>.parquet, rows sorted by the table's key. Two reasons:
+    // (a) the streaming keys read events/documents via a file-stream
+    //     source with pathGlobFilter=<table>.parquet — a DIRECTORY of
+    //     part files matches zero leaves and silently streams nothing
+    //     (found at sf1, r8);
+    // (b) key-sorted single files give byte-deterministic output and
+    //     an arrival order that matches event time, which watermarked
+    //     replays require exactly like the driver fixture provides.
+    // Columns are computed in parallel upstream; only the final sort+
+    // write is single-task (seconds at sf1). Parquet files are
+    // row-group-splittable, so scan parallelism is unaffected.
+    def write(name: String, df: DataFrame, key: String): Unit = {
+      val tmp = s"$out/_tmp_$name"
+      df.repartition(1).sortWithinPartitions(col(key))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().filter(_.getName.endsWith(".parquet")) match {
+        case Array(one) => one
+        case other => sys.error(s"expected 1 part file for $name, got ${other.length}")
+      }
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete()
+      }
+      rmrf(new java.io.File(s"$out/$name.parquet")) // stale dir from a prior layout
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
       println(s"[gendata] $name written")
     }
 
@@ -91,21 +118,21 @@ object GenData {
 
     // region / nation: fixed small dims, driver-identical names
     write("region", Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
-      (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"), 1)
+      (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"), "r_regionkey")
     write("nation", (0 until 25).map(i => (i, s"NATION_$i", i % 5))
-      .toDF("n_nationkey", "n_name", "n_regionkey"), 1)
+      .toDF("n_nationkey", "n_name", "n_regionkey"), "n_nationkey")
 
     write("customer", spark.range(nCust).toDF("c_custkey")
       .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
       .withColumn("c_nationkey", pmod(h("cnat", col("c_custkey")), lit(25)).cast("int"))
       .withColumn("c_acctbal", round(lit(-1000.0) + u01("cbal", col("c_custkey")) * 11000.0, 6))
       .withColumn("c_mktsegment", pick("cseg", Seq("AUTOMOBILE", "BUILDING",
-        "FURNITURE", "HOUSEHOLD", "MACHINERY"), col("c_custkey"))), 2)
+        "FURNITURE", "HOUSEHOLD", "MACHINERY"), col("c_custkey"))), "c_custkey")
 
     write("supplier", spark.range(nSupp).toDF("s_suppkey")
       .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
       .withColumn("s_nationkey", pmod(h("snat", col("s_suppkey")), lit(25)).cast("int"))
-      .withColumn("s_acctbal", round(lit(-1000.0) + u01("sbal", col("s_suppkey")) * 11000.0, 6)), 1)
+      .withColumn("s_acctbal", round(lit(-1000.0) + u01("sbal", col("s_suppkey")) * 11000.0, 6)), "s_suppkey")
 
     write("part", spark.range(nPart).toDF("p_partkey")
       .withColumn("p_name", concat_ws(" ",
@@ -118,17 +145,19 @@ object GenData {
       .withColumn("p_type", pick("pty", Seq("ECONOMY", "LARGE", "MEDIUM",
         "PROMO", "SMALL", "STANDARD"), col("p_partkey")))
       .withColumn("p_size", (pmod(h("psz", col("p_partkey")), lit(50)) + 1).cast("int"))
-      .withColumn("p_retailprice", round(lit(900.0) + u01("prp", col("p_partkey")) * 99.9, 6)), 2)
+      .withColumn("p_retailprice", round(lit(900.0) + u01("prp", col("p_partkey")) * 99.9, 2)), "p_partkey")
 
     val orders = spark.range(nOrd).toDF("o_orderkey")
       .withColumn("o_custkey", pmod(h("ocust", col("o_orderkey")), lit(nCust)))
       .withColumn("o_orderstatus", pick("ost", Seq("F", "O", "P"), col("o_orderkey")))
-      .withColumn("o_totalprice", round(lit(1000.0) + u01("otp", col("o_orderkey")) * 499000.0, 6))
+      // money columns are exact 2 dp (driver parity — lets the decimal
+      // accumulation keys cast them losslessly)
+      .withColumn("o_totalprice", round(lit(1000.0) + u01("otp", col("o_orderkey")) * 499000.0, 2))
       .withColumn("o_orderdate", timestamp_seconds(
         lit(Epoch1995) + pmod(h("oda", col("o_orderkey")), lit(2404L)) * DayS))
       .withColumn("o_orderpriority", pick("opr", Seq("1-URGENT", "2-HIGH",
         "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), col("o_orderkey")))
-    write("orders", orders, 4)
+    write("orders", orders, "o_orderkey")
 
     // lineitem explodes FROM orders: FK integrity by construction,
     // 1..7 lines per order (mean 4 — the driver's measured shape)
@@ -140,25 +169,31 @@ object GenData {
       .withColumn("l_partkey", pmod(h("lpk", lkey: _*), lit(nPart)))
       .withColumn("l_suppkey", pmod(h("lsk", lkey: _*), lit(nSupp)))
       .withColumn("l_quantity", (pmod(h("lqt", lkey: _*), lit(50)) + 1).cast("double"))
-      .withColumn("l_extendedprice", round(lit(900.0) + u01("lep", lkey: _*) * 104100.0, 6))
+      .withColumn("l_extendedprice", round(lit(900.0) + u01("lep", lkey: _*) * 104100.0, 2))
       .withColumn("l_discount", pmod(h("ldc", lkey: _*), lit(11)).cast("double") / 100.0)
       .withColumn("l_tax", pmod(h("ltx", lkey: _*), lit(9)).cast("double") / 100.0)
       .withColumn("l_returnflag", pick("lrf", Seq("A", "N", "R"), lkey: _*))
       .withColumn("l_linestatus", pick("lls", Seq("F", "O"), lkey: _*))
       .withColumn("l_shipdate", timestamp_seconds(
-        lit(Epoch1995 + DayS) + pmod(h("lsd", lkey: _*), lit(2498L)) * DayS)), 8)
+        lit(Epoch1995 + DayS) + pmod(h("lsd", lkey: _*), lit(2498L)) * DayS)), "l_orderkey")
 
     // events: ts is raw int64 nanos (see scaladoc) with genuine
-    // sub-microsecond jitter so the ns→µs truncation path is LIVE
+    // sub-microsecond jitter so the ns→µs truncation path is LIVE.
+    // ts is MONOTONE in event_id (driver parity: corr ≈ 0.999995) —
+    // the file-stream replays in file order, so arrival order must
+    // track event time or every watermarked key drops the whole
+    // stream as late data (found at sf1, r8): each event gets its own
+    // [i·step, (i+1)·step) nanosecond slot with in-slot jitter.
     write("events", spark.range(nEvt).toDF("event_id")
       .withColumn("ts", lit(Epoch2024Ns) +
-        pmod(h("ets", col("event_id")), lit(29L * DayS * 1000000000L)))
+        col("event_id") * lit(29L * DayS * 1000000000L / nEvt) +
+        pmod(h("ets", col("event_id")), lit(29L * DayS * 1000000000L / nEvt)))
       .withColumn("user_id", pmod(h("eus", col("event_id")), lit(nUser)))
       .withColumn("event_type", pick("ety", Seq("click", "error", "purchase",
         "signup", "view"), col("event_id")))
       .withColumn("value", round(u01("evl", col("event_id")) * 560.0, 6))
       .withColumn("props", concat(lit("{\"k\": "),
-        pmod(h("epr", col("event_id")), lit(100)), lit("}"))), 4)
+        pmod(h("epr", col("event_id")), lit(100)), lit("}"))), "event_id")
 
     // documents: planted duplication structure (FIXTURES.md) —
     //  - exact dups: ids ≡ 0 (mod 625), id > 0, clone the full row of
@@ -188,7 +223,7 @@ object GenData {
           .otherwise("zh"))
       .withColumn("source", concat(lit("src"), pmod(h("dsrc", col("gid")), lit(20))))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .select("doc_id", "text", "lang", "source", "n_chars"), 2)
+      .select("doc_id", "text", "lang", "source", "n_chars"), "doc_id")
 
     // embeddings: label-clustered (center(label) + noise(id)), then
     // L2-normalized so cosine ≡ dot product — the fixture invariant
@@ -201,7 +236,7 @@ object GenData {
           |  + (cast(pmod(xxhash64(concat('n', cast(vec_id as string), '_', cast(d as string))), 601) as double) - 300) / 1000.0)""".stripMargin))
       .withColumn("nrm", expr("sqrt(aggregate(raw, 0d, (a, x) -> a + x * x))"))
       .withColumn("embedding", expr("transform(raw, x -> cast(x / nrm as float))"))
-      .select("vec_id", "embedding", "label"), 1)
+      .select("vec_id", "embedding", "label"), "vec_id")
 
     spark.stop()
     println(s"[gendata] complete: $out (mult=$mult)")
