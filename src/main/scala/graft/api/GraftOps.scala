@@ -84,11 +84,26 @@ object GraftOps {
     * key), then one codegen'd dot product per distinct candidate pair.
     * Approximate by construction — measured recall/fan-out at the
     * fixture geometry in AnnRecallSpec; see SCALE.md §ANN for the
-    * recall-vs-pruning trade. */
+    * recall-vs-pruning trade.
+    *
+    * Geometry (r8): `bits`/`bands` default to the declared
+    * oracle-mirrored construction (6 × 21), which targets the
+    * adversarial loose-threshold regime (cos ∈ [0.4, 0.5]) of the
+    * driver fixture — there candidate volume is Θ(N²/2^bits · bands),
+    * i.e. effectively quadratic, the price of recall at LSH exponent
+    * ρ ≈ 0.62. At corpus scale and a production near-dup threshold
+    * (cos ≥ 0.85), pass WIDE bands — bits ≈ log2(N/occupancy), e.g.
+    * (16, 8): random-pair collisions collapse to ~bands/2^bits of all
+    * pairs while planted near-dup recall stays ≥ 0.95
+    * (EmbLshScaleSpec proves both on a planted corpus; measured at
+    * sf1 in BASELINE.md §sf1). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        bits: Int = graft.queries.EmbLsh.Bits,
+                        bands: Int = graft.queries.EmbLsh.Bands): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
-    val keyed = df.select(col(idCol), explode(expr(s"graft_emb_lsh_keys($vecCol)")).as("__k"))
+    val keyed = df.select(col(idCol),
+      explode(expr(s"graft_emb_lsh_keys($vecCol, $bits, $bands)")).as("__k"))
     val cand = keyed.select(col(idCol).as("id_a"), col("__k"))
       .join(keyed.select(col(idCol).as("id_b"), col("__k")), "__k")
       .filter(col("id_a") < col("id_b"))

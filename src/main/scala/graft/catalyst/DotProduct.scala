@@ -99,9 +99,20 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
       "scala_udf")
 
+    // 1-arg form = the declared oracle-mirrored geometry; 3-arg form
+    // (embedding, bits, bands) takes foldable int literals for the
+    // scale-path geometries (see EmbLshKeys scaladoc)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_emb_lsh_keys",
-      (exprs: Seq[Expression]) => EmbLshKeys(exprs.head),
+      {
+        case Seq(e) => EmbLshKeys(e)
+        case Seq(e, b, l) if b.foldable && l.foldable =>
+          EmbLshKeys(e,
+            b.eval().asInstanceOf[Number].intValue(),
+            l.eval().asInstanceOf[Number].intValue())
+        case exprs => throw new IllegalArgumentException(
+          s"graft_emb_lsh_keys expects (vec) or (vec, bits, bands) literals, got ${exprs.size} args")
+      },
       "scala_udf")
 
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

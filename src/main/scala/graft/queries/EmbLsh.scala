@@ -15,12 +15,22 @@ package graft.queries
   * pairs, i.e. the adversarially hard low-similarity regime with LSH
   * exponent ρ = ln p₁ / ln p₂ ≈ 0.62. B=6, L=21 gives measured recall
   * 0.74 (sf0.001) / 0.75 (sf0.1) with a candidate set ≈ 0.30 of all
-  * pairs spread over ~1340 buckets (max bucket 27 of 500 vectors) —
-  * candidates scale as N^(1+ρ) ≈ N^1.6, not N². At a production dedup
-  * threshold (cos ≥ 0.9, p₁ ≈ 0.86) the same construction with wider
-  * bands (e.g. B=16, L=8) reaches recall > 0.95 at ~1e-4 of all pairs;
-  * the fixture geometry, not the construction, is what caps recall
-  * here.
+  * pairs spread over ~1340 buckets (max bucket 27 of 500 vectors).
+  *
+  * Scale honesty (r8, corrected after the sf1 sweep measured it): with
+  * B fixed, bucket occupancy grows linearly in N, so once buckets are
+  * saturated candidates are Θ(N²·L/2^B) — the measured sf1 fraction
+  * stays ≈ 0.28 of all pairs, i.e. this geometry is ~quadratic and is
+  * the right tool ONLY for the loose-τ regime it was tuned for (where
+  * the ANSWER itself is a constant fraction of pairs — no algorithm
+  * emits fewer rows than the answer). The production near-dup regime
+  * (cos ≥ 0.85, p₁ ≈ 0.84) uses the classic LSH parameterization
+  * B ≈ log2(N/occupancy) with L sized from the target recall: e.g.
+  * (B=12, L=24) gives per-band collision 0.842¹² ≈ 0.13 → recall
+  * ≈ 0.96 over 24 bands while random pairs collide at L/2^B ≈ 0.6%
+  * of all pairs. Both ends are proven in EmbLshScaleSpec and measured
+  * at sf1 in BASELINE.md §sf1; the geometry is a parameter of
+  * catalyst.EmbLshKeys / GraftOps.embeddingNearDups.
   */
 object EmbLsh {
 

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *    integrity (lineitem explodes FROM orders, so zero orphans by
   *    construction), documents' planted duplication structure (exact
   *    dups ~0.16%, 60-char shared-prefix groups ~10% of docs), and
-  *    L2-normalized label-clustered embeddings.
+  *    L2-normalized near-isotropic embeddings (weak label tilt,
+  *    planted cos ≈ 0.9 twin pairs at 1 per 250 vectors).
   *
   * One deliberate divergence: the driver writes `events.ts` as parquet
   * TIMESTAMP(NANOS), which Spark cannot WRITE. We store raw int64
@@ -225,15 +226,30 @@ object GenData {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars"), "doc_id")
 
-    // embeddings: label-clustered (center(label) + noise(id)), then
-    // L2-normalized so cosine ≡ dot product — the fixture invariant
-    // every vector key relies on
+    // embeddings: near-isotropic noise + WEAK label tilt, matching the
+    // driver geometry (measured at sf0.1: intra-label mean cos ≈
+    // 0.001, pair-cos std ≈ 1/√dims, frac(cos ≥ 0.4) ≈ 5.6e-4 — the
+    // loose-τ dedup answer is the NOISE TAIL, not cluster structure),
+    // then L2-normalized so cosine ≡ dot product. On top: a LINEAR
+    // planted near-dup layer — vec_id ≡ 1 (mod 250) redraws its base
+    // noise from vec_id−1, landing the pair at cos ≈ 0.90 (80 pairs at
+    // sf1) — the wide-band scale-path target (BASELINE.md §sf1).
+    // r8 fix, caught by the scaling sweep: the first cut made label
+    // centers DOMINANT (intra-label cos ≈ 0.92), so every intra-label
+    // pair passed τ = 0.4 and the declared answer itself exploded
+    // quadratically to 20 M rows (151 s at sf1) — an unfaithful twin.
+    // Per-dim magnitudes: center ±0.1, base noise ±1, perturb ±0.33
+    // (variance ratio ⇒ twin cos ≈ 0.336/0.373 ≈ 0.90, intra-label
+    // non-twin cos ≈ 0.009).
     write("embeddings", spark.range(nEmb).toDF("vec_id")
-      .withColumn("label", pmod(h("elb", col("vec_id")), lit(10)).cast("int"))
+      .withColumn("base", when(pmod(col("vec_id"), lit(250)) === 1,
+        col("vec_id") - 1).otherwise(col("vec_id")))
+      .withColumn("label", pmod(h("elb", col("base")), lit(10)).cast("int"))
       .withColumn("raw", expr(
         """transform(sequence(0, 63), d ->
-          |  (cast(pmod(xxhash64(concat('c', cast(label as string), '_', cast(d as string))), 2001) as double) - 1000) / 1000.0
-          |  + (cast(pmod(xxhash64(concat('n', cast(vec_id as string), '_', cast(d as string))), 601) as double) - 300) / 1000.0)""".stripMargin))
+          |  (cast(pmod(xxhash64(concat('c', cast(label as string), '_', cast(d as string))), 601) as double) - 300) / 3000.0
+          |  + (cast(pmod(xxhash64(concat('n', cast(base as string), '_', cast(d as string))), 2001) as double) - 1000) / 1000.0
+          |  + (cast(pmod(xxhash64(concat('p', cast(vec_id as string), '_', cast(d as string))), 661) as double) - 330) / 1000.0)""".stripMargin))
       .withColumn("nrm", expr("sqrt(aggregate(raw, 0d, (a, x) -> a + x * x))"))
       .withColumn("embedding", expr("transform(raw, x -> cast(x / nrm as float))"))
       .select("vec_id", "embedding", "label"), "vec_id")
