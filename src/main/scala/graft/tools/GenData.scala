@@ -201,21 +201,59 @@ object GenData {
     //    id−1 (gid indirection) → ~80 dup pairs at sf1
     //  - shared prefixes: 10% of gids take their first 12 words from
     //    their 40-block key → ~1250 groups of ~4 sharing ≥60 chars
+    //  - embedded dups: ids ≡ 300 (mod 2500), id > 0, append the FULL
+    //    text of doc id−7 → ~20 containment pairs at sf1 (victim ids
+    //    ≡ 293 mod 2500 never hit the 625-clone rule, so the victim's
+    //    own text is always its gid text)
+    //  - Zipf tail: each word position has a 3% chance of drawing a
+    //    long-tail type `t<k>`, k < 4·nDoc (hapax-heavy — df 1-3),
+    //    instead of the 31-word head. The head-only first cut made
+    //    EVERY 3-gram's df ≈ 150 at sf1 (31³ ≈ 30k types vs 4.6 M
+    //    instances — the gram space saturates), which silently turned
+    //    rare-gram blocking (q_dedup_containment) into a no-op; real
+    //    corpora are Zipf with an unbounded hapax tail, and the tail
+    //    layer restores that property at every mult. Tail draws key on
+    //    the same prefix/body strings as head draws, so prefix groups
+    //    and exact clones still share text verbatim.
     val vocabArr = array(Vocab.map(lit): _*)
+    val tailN = math.max(31L, 4L * nDoc)
+    // word at position d for a (g, fx, k) = (gid, inpfx, pk) triple —
+    // used twice: own text and the embedded victim's text
+    def words(g: String, fx: String, k: String, len: String): String =
+      s"""transform(sequence(0, $len - 1), d ->
+         |  case when pmod(xxhash64(concat('zt',
+         |      case when $fx and d < 12
+         |           then concat('p', cast($k as string), '_', cast(d as string))
+         |           else concat('w', cast($g as string), '_', cast(d as string))
+         |      end)), 100) < 3
+         |  then concat('t', cast(pmod(xxhash64(concat('tw',
+         |      case when $fx and d < 12
+         |           then concat('p', cast($k as string), '_', cast(d as string))
+         |           else concat('w', cast($g as string), '_', cast(d as string))
+         |      end)), $tailN) as string))
+         |  else element_at(vocab_arr, cast(pmod(xxhash64(
+         |      case when $fx and d < 12
+         |           then concat('p', cast($k as string), '_', cast(d as string))
+         |           else concat('w', cast($g as string), '_', cast(d as string))
+         |      end), 31) + 1 as int)) end)""".stripMargin
     write("documents", spark.range(nDoc).toDF("doc_id")
       .withColumn("gid", when(col("doc_id") > 0 &&
         pmod(col("doc_id"), lit(625)) === 0, col("doc_id") - 1).otherwise(col("doc_id")))
       .withColumn("inpfx", pmod(col("gid"), lit(20)) < 2)
       .withColumn("pk", (col("gid") / 40).cast("long"))
       .withColumn("len", (pmod(h("dlen", col("gid")), lit(91)) + 10).cast("int"))
+      // embedded-dup layer: victim columns derived from doc_id−7
+      .withColumn("isctn", col("doc_id") > 0 && pmod(col("doc_id"), lit(2500)) === 300)
+      .withColumn("vgid", col("doc_id") - 7)
+      .withColumn("vfx", pmod(col("vgid"), lit(20)) < 2)
+      .withColumn("vpk", (col("vgid") / 40).cast("long"))
+      .withColumn("vlen", (pmod(h("dlen", col("vgid")), lit(91)) + 10).cast("int"))
       .withColumn("vocab_arr", vocabArr)
       .withColumn("text", expr(
-        """concat_ws(' ', transform(sequence(0, len - 1), d ->
-          |  element_at(vocab_arr, cast(pmod(xxhash64(
-          |    case when inpfx and d < 12
-          |         then concat('p', cast(pk as string), '_', cast(d as string))
-          |         else concat('w', cast(gid as string), '_', cast(d as string))
-          |    end), 31) + 1 as int))))""".stripMargin))
+        s"""concat_ws(' ', case when isctn
+           |  then concat(${words("gid", "inpfx", "pk", "len")},
+           |              ${words("vgid", "vfx", "vpk", "vlen")})
+           |  else ${words("gid", "inpfx", "pk", "len")} end)""".stripMargin))
       .withColumn("lang",
         when(pmod(h("dlng", col("gid")), lit(100)) < 41, "en")
           .when(pmod(h("dlng", col("gid")), lit(100)) < 56, "de")
