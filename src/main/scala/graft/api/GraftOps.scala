@@ -93,10 +93,11 @@ object GraftOps {
     * i.e. effectively quadratic, the price of recall at LSH exponent
     * ρ ≈ 0.62. At corpus scale and a production near-dup threshold
     * (cos ≥ 0.85), pass WIDE bands — bits ≈ log2(N/occupancy), e.g.
-    * (16, 8): random-pair collisions collapse to ~bands/2^bits of all
-    * pairs while planted near-dup recall stays ≥ 0.95
+    * (12, 24): random-pair collisions collapse to ~bands/2^bits of
+    * all pairs while planted near-dup recall stays ≥ 0.95
     * (EmbLshScaleSpec proves both on a planted corpus; measured at
-    * sf1 in BASELINE.md §sf1). */
+    * sf1 by tools.EmbScaleBench — 11.9 s vs 57 s declared geometry,
+    * recall 0.987 — BASELINE.md §sf1). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         bits: Int = graft.queries.EmbLsh.Bits,
