@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_sort_limit fuses into TakeOrderedAndProject — per-partition top-k, zero exchanges") {
+    // the global-sort-then-limit trap would range-shuffle the whole
+    // fact table; the fused operator keeps a 100-row heap per
+    // partition and merges on the driver — the only acceptable shape
+    // at any scale (BASELINE.md §sf1 leans on this for the seed's
+    // partition-overhead explanation)
+    val p = planOf(queries.Relational.qSortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"(?i)exchange".r.findFirstIn(p).isDefined,
+      s"sorted limit must not shuffle:\n$p")
+  }
+
   test("q_pack_shards' corpus window is per-partition, not a single global partition") {
     val p = planOf(queries.PipelineOps.qPackShards(spark, sf))
     // the running sum over the corpus must be partitioned by __pid;
