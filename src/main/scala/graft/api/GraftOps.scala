@@ -42,11 +42,12 @@ object GraftOps {
   /** 4-permutation MinHash signature over n-token shingles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingle: Int = 3): DataFrame = {
-    val idxs = (0 until shingle).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    df.select(col(idCol), split(col(textCol), " ").as("t"))
-      .filter(size(col("t")) >= shingle) // sub-shingle docs yield no shingles, not partial ones
-      .select(col(idCol), explode(array_distinct(expr(
-        s"transform(sequence(0, size(t)-$shingle), i -> $idxs)"))).as("s"))
+    graft.catalyst.GraftFunctions.ensureRegistered(df.sparkSession)
+    // sub-shingle docs yield no shingles, not partial ones (empty
+    // array → explode drops the row); codegen'd WordShingles ≡ the
+    // interpreted SQL spelling (ShinglesSpec)
+    df.select(col(idCol),
+      explode(expr(s"graft_word_shingles(`$textCol`, $shingle)")).as("s"))
       .select(col(idCol), expr("cast(conv(substring(md5(s),1,8),16,10) as bigint)").as("h"))
       .groupBy(col(idCol)).agg(
         min((col("h") * 1 + 7)  % P).as("mh1"),
@@ -472,15 +473,19 @@ object GraftOps {
 
   /** Distinct n-token word shingles per id — the blocking unit of the
     * contamination/decontamination keys. Sub-shingle docs contribute
-    * NO grams (a negative `sequence` span would silently emit partial
-    * grams that a 1-indexed SQL oracle never produces — §2.2). */
+    * NO grams (the codegen'd expression returns an empty array there,
+    * which explode drops — a partial gram would be one a 1-indexed SQL
+    * oracle never produces, §2.2). Runs on the codegen'd
+    * [[graft.catalyst.WordShingles]] expression; ShinglesSpec proves
+    * it ≡ the interpreted
+    * `array_distinct(transform(sequence, concat_ws))` SQL spelling it
+    * replaced (which cost ~3.4 s of every sf1 dedup key —
+    * BASELINE.md §sf1). */
   def wordShingles(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, out: String = "gram"): DataFrame = {
-    val parts = (0 until n).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    df.select(col(idCol), split(col(textCol), " ").as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col(idCol), explode(array_distinct(expr(
-        s"transform(sequence(0, size(t)-$n), i -> $parts)"))).as(out))
+    graft.catalyst.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+      explode(expr(s"graft_word_shingles(`$textCol`, $n)")).as(out))
   }
 
   /** Rows of `left` that PASS the bloom prefilter built from `right`'s

@@ -127,6 +127,18 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => graft.agg.HllSketchAgg(exprs.head),
       "scala_udf")
 
+    // 1-arg form = trigrams; 2-arg form takes a foldable int width
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingles",
+      {
+        case Seq(e) => WordShingles(e)
+        case Seq(e, w) if w.foldable =>
+          WordShingles(e, w.eval().asInstanceOf[Number].intValue())
+        case exprs => throw new IllegalArgumentException(
+          s"graft_word_shingles expects (text) or (text, n literal), got ${exprs.size} args")
+      },
+      "scala_udf")
+
     val udf = org.apache.spark.sql.functions.udf(
       (a: Seq[Float], b: Seq[Float]) => {
         val n = math.min(a.length, b.length)

@@ -61,17 +61,17 @@ object DedupOps {
     * 0.5) — shared by the declared pair key and the clustering key. */
   private[graft] def minhashPairs(
       spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
-    // size >= 3: Spark's sequence(0, size-3) counts DOWN for shorter
-    // docs and would emit spurious partial shingles the oracle's
-    // end-exclusive range(1, len-1) never produces (same guard as
-    // TextOps.qTextContamination).
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val shingles = d.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-      ))).as("s"))
+    // Sub-trigram docs yield NO shingles (the expression returns an
+    // empty array, which explode drops) — a partial gram would be one
+    // the oracle's end-exclusive range(1, len-1) never produces.
+    // Codegen'd WordShingles ≡ the interpreted
+    // array_distinct(transform(sequence, concat_ws)) spelling
+    // (ShinglesSpec) and removes its ~3.4 s interpreted-lambda cost
+    // from every sf1 dedup key (BASELINE.md §sf1).
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val shingles = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("graft_word_shingles(text, 3)")).as("s"))
     val hs = shingles.select(col("doc_id"), expr(hx("s")).as("h"))
     val P = 2147483647L
     // localCheckpoint: the signature table is 4 longs/doc (tiny at any
@@ -280,8 +280,17 @@ object DedupOps {
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     val g = graft.api.GraftOps
       .wordShingles(docs, "doc_id", "text")
-      .localCheckpoint(true) // consumed by sizes, rare, blocking AND both shared-join sides
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumed by sets, rare AND blocking
+    // One corpus shuffle folds each doc's (distinct) gram set into a
+    // single array row; |A∩B| then evaluates per CANDIDATE pair via
+    // array_intersect. The previous shape joined the corpus-sized gram
+    // table twice per candidate + re-aggregated (doc_a, doc_b, gram) —
+    // three corpus-scale shuffles that dominated the sf1 bench
+    // (8.9 s → the candidate-join cost alone; BASELINE.md §sf1).
+    // wordShingles dedups grams per doc, so size(array_intersect) is
+    // exactly the shared-distinct-gram count and n = size(grams).
+    val sets = g.groupBy(col("doc_id"))
+      .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("n"))
     val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareGramDf).select(col("gram"))
     val blocked = g.join(rare, "gram")
@@ -289,14 +298,12 @@ object DedupOps {
       .join(blocked.select(col("doc_id").as("doc_b"), col("gram")), "gram")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val shared = cand
-      .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("__ga"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("__gb"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * 8)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
         round(col("shared") / least(col("n_a"), col("n_b")).cast("double"), 4)
