@@ -39,6 +39,25 @@ object GraftOps {
   def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(expr(s"cast(conv(substring(md5($keyCol),1,4),16,10) as int) % 100 < $pct"))
 
+  /** Widen a narrow batch frame to the session's shuffle parallelism
+    * before a fan-out stage (gram explosion, hyperplane pass).
+    *
+    * Why: a small parquet fixture is a single row group, which scans
+    * as ONE task no matter how many cores the session has; every
+    * per-row cost in the first stage then runs serially (the sf1
+    * embedding key spent 47 of its 70 s this way — see
+    * embeddingNearDups). The guard makes it a no-op exactly when it
+    * should be: at real scale the scan is already wider than the
+    * session parallelism (`getNumPartitions ≥ n`, planning-only, no
+    * job), and raw corpus bytes are never reshuffled. Streaming
+    * frames pass through untouched (`.rdd` is illegal on them; their
+    * micro-batch sources size partitions already). */
+  private[graft] def widened(df: DataFrame, keyCol: String): DataFrame = {
+    if (df.isStreaming) return df
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < n) df.repartition(n, col(keyCol)) else df
+  }
+
   /** 4-permutation MinHash signature over n-token shingles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingle: Int = 3): DataFrame = {
@@ -46,7 +65,7 @@ object GraftOps {
     // sub-shingle docs yield no shingles, not partial ones (empty
     // array → explode drops the row); codegen'd WordShingles ≡ the
     // interpreted SQL spelling (ShinglesSpec)
-    df.select(col(idCol),
+    widened(df, idCol).select(col(idCol),
       explode(expr(s"graft_word_shingles(`$textCol`, $shingle)")).as("s"))
       .select(col(idCol), expr("cast(conv(substring(md5(s),1,8),16,10) as bigint)").as("h"))
       .groupBy(col(idCol)).agg(
@@ -82,34 +101,70 @@ object GraftOps {
 
   /** Embedding-cosine near-duplicate pairs over an arbitrary frame:
     * multi-band LSH blocking (one equi self-join on the exploded band
-    * key), then one codegen'd dot product per distinct candidate pair.
+    * key), then one codegen'd dot product per candidate pair.
     * Approximate by construction — measured recall/fan-out at the
     * fixture geometry in AnnRecallSpec; see SCALE.md §ANN for the
     * recall-vs-pruning trade.
     *
-    * Geometry (r8): `bits`/`bands` default to the declared
-    * oracle-mirrored construction (6 × 21), which targets the
-    * adversarial loose-threshold regime (cos ∈ [0.4, 0.5]) of the
-    * driver fixture — there candidate volume is Θ(N²/2^bits · bands),
-    * i.e. effectively quadratic, the price of recall at LSH exponent
+    * Candidate dedup (r8): a pair colliding in several bands is
+    * emitted once per band; instead of `.distinct()` over the full
+    * candidate stream — at sf1 a 72.7 M-row exchange + 59.4 M-group
+    * hash aggregate that was ~70 s of the 70.5 s declared key — both
+    * join sides carry their signature array and a map-side
+    * `graft_first_band_match(sig_a, sig_b) = k` filter keeps each
+    * pair only in its FIRST common band (keys embed the band index,
+    * so the signature is position-aligned and cross-band keys never
+    * collide). Dedup happens inside the join's codegen stage; the
+    * candidate exchange disappears from the plan (PlanSpec pins
+    * zero post-join Exchanges before the dot product).
+    *
+    * The keyed table (id, signature) is localCheckpointed: both
+    * exploded join sides read it, and producing it evaluates
+    * bits×bands hyperplane dot products per vector — two consumers
+    * would recompute that pass. The vector-lookup sides deliberately
+    * re-derive from `df` instead: a checkpointed LogicalRDD has no
+    * size statistics, so Catalyst could never auto-broadcast it and
+    * the candidate probe would degrade to a sort-merge join; the
+    * source scan keeps real stats and the broadcast decision.
+    *
+    * Geometry: `bits`/`bands` default to the declared oracle-mirrored
+    * construction (6 × 21), which targets the adversarial
+    * loose-threshold regime (cos ∈ [0.4, 0.5]) of the driver
+    * fixture — there candidate volume is Θ(N²/2^bits · bands), i.e.
+    * effectively quadratic, the price of recall at LSH exponent
     * ρ ≈ 0.62. At corpus scale and a production near-dup threshold
     * (cos ≥ 0.85), pass WIDE bands — bits ≈ log2(N/occupancy), e.g.
     * (12, 24): random-pair collisions collapse to ~bands/2^bits of
     * all pairs while planted near-dup recall stays ≥ 0.95
     * (EmbLshScaleSpec proves both on a planted corpus; measured at
-    * sf1 by tools.EmbScaleBench — 11.9 s vs 57 s declared geometry,
-    * recall 0.987 — BASELINE.md §sf1). */
+    * sf1 by tools.EmbScaleBench — BASELINE.md §sf1). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         bits: Int = graft.queries.EmbLsh.Bits,
                         bands: Int = graft.queries.EmbLsh.Bands): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
-    val keyed = df.select(col(idCol),
-      explode(expr(s"graft_emb_lsh_keys($vecCol, $bits, $bands)")).as("__k"))
-    val cand = keyed.select(col(idCol).as("id_a"), col("__k"))
-      .join(keyed.select(col(idCol).as("id_b"), col("__k")), "__k")
+    // Repartition BEFORE the hyperplane pass: the corpus arrives in
+    // as few partitions as its file layout gives (a single-row-group
+    // parquet fixture = ONE task), and with every downstream join
+    // broadcast there is no exchange left to restore parallelism —
+    // the entire candidate enumeration would run on that one thread
+    // (measured: 59 M dot products on 2 threads = ~47 s of the 70 s
+    // sf1 key). One tiny shuffle of (id, vec) rows buys 32-way
+    // enumeration; at real scale the scan is already wide and this
+    // shuffle stays linear in N.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.repartition(n, col(idCol))
+      .select(col(idCol),
+        expr(s"graft_emb_lsh_keys($vecCol, $bits, $bands)").as("__sig"))
+      .localCheckpoint(true)
+    val a = keyed.select(col(idCol).as("id_a"), col("__sig").as("__sa"),
+      explode(col("__sig")).as("__k"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__sig").as("__sb"),
+      explode(col("__sig")).as("__k"))
+    val cand = a.join(b, "__k")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .filter(expr("graft_first_band_match(__sa, __sb)") === col("__k"))
+      .select(col("id_a"), col("id_b"))
     val ea = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val eb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     cand.join(ea, "id_a").join(eb, "id_b")
@@ -484,7 +539,7 @@ object GraftOps {
   def wordShingles(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, out: String = "gram"): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol),
+    widened(df, idCol).select(col(idCol),
       explode(expr(s"graft_word_shingles(`$textCol`, $n)")).as(out))
   }
 
@@ -553,7 +608,9 @@ object GraftOps {
     * decontam path documents. */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           headK: Int = 1024): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+    // widened: serialized token explosion off a narrow scan otherwise
+    val toks = widened(df, idCol)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
     val counts = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // vocabulary-sized; 3 consumers below
     val total = counts.agg(sum(col("__c")).as("__tot"))

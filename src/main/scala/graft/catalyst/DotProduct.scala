@@ -139,6 +139,11 @@ object GraftFunctions {
       },
       "scala_udf")
 
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_first_band_match",
+      (exprs: Seq[Expression]) => FirstBandMatch(exprs(0), exprs(1)),
+      "scala_udf")
+
     val udf = org.apache.spark.sql.functions.udf(
       (a: Seq[Float], b: Seq[Float]) => {
         val n = math.min(a.length, b.length)

@@ -69,7 +69,9 @@ object DedupOps {
     // (ShinglesSpec) and removes its ~3.4 s interpreted-lambda cost
     // from every sf1 dedup key (BASELINE.md §sf1).
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
-    val shingles = Tables.documents(spark, dir)
+    // widened: the fixture's single-row-group parquet scans as 1-2
+    // tasks, serializing the gram explosion (see GraftOps.widened)
+    val shingles = graft.api.GraftOps.widened(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"),
         explode(expr("graft_word_shingles(text, 3)")).as("s"))
     val hs = shingles.select(col("doc_id"), expr(hx("s")).as("h"))

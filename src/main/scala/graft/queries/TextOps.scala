@@ -23,7 +23,7 @@ object TextOps {
 
   /** Tokenize + global word count, top 100. */
   def qTextWordcount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
@@ -37,8 +37,11 @@ object TextOps {
     val d = docs(spark, dir)
     // explode ONCE into a per-(doc, word) base aggregate; both tf and
     // df derive from it — at corpus scale the token stream is the
-    // dominant volume and must not be materialized twice.
-    val base = d.select(col("lang"), col("doc_id"),
+    // dominant volume and must not be materialized twice. widened:
+    // the explosion would otherwise run on the narrow scan's 1-2
+    // tasks (GraftOps.widened).
+    val base = graft.api.GraftOps.widened(d, "doc_id")
+      .select(col("lang"), col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
       .groupBy(col("lang"), col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
@@ -133,7 +136,7 @@ object TextOps {
     * aggregate — one explode and one shuffle total, instead of a
     * second aggregation over the exploded bigrams plus a join. */
   def qTextBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val bi = docs(spark, dir)
+    val bi = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2) // descending-sequence guard, see qTextContamination
       .select(explode(expr(
@@ -396,7 +399,7 @@ object TextOps {
     * corpus scale), not the token stream. */
   def qTextZipf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs(spark, dir)
+    val counts = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
     val byFreq = Window.orderBy(col("n").desc, col("term"))

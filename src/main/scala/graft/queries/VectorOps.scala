@@ -80,33 +80,21 @@ object VectorOps {
     * sign bits, 64 buckets/band, deterministic ±1 hyperplanes shared
     * with the DuckDB oracle). Each vector explodes into 21 (band,
     * bucket) keys; ONE equi self-join on the key generates candidates
-    * across all bands, pairs are deduped, and the dot product runs
-    * once per distinct candidate pair. No corpus×corpus cross product
-    * exists in the plan (asserted in PlanSpec) and the observed bucket
-    * fan-out and recall vs brute force (0.74 at the fixture's
-    * adversarial cos≈0.45 geometry — see EmbLsh scaladoc for why
-    * that's near the sign-LSH bound there) are measured in
-    * AnnRecallSpec. */
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-    // localCheckpoint: the (vec_id, band-key) table is 21 ints/vector,
-    // but producing it evaluates 126 hyperplane dot products per
-    // vector — both sides of the self-join would recompute that pass
-    val keyed = e.select(col("vec_id"), explode(expr(EmbLsh.sparkKeysExpr)).as("k"))
-      .localCheckpoint(true)
-    val cand = keyed.select(col("vec_id").as("vec_a"), col("k"))
-      .join(keyed.select(col("vec_id").as("vec_b"), col("k")), "k")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as(P))
-    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as(T))
-    cand.join(ea, "vec_a").join(eb, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
-      .filter(col("cos") >= 0.4)
+    * across all bands, the first-common-band filter keeps each pair
+    * exactly once WITHOUT a distinct exchange (see
+    * [[graft.api.GraftOps.embeddingNearDups]], the shared
+    * implementation — at sf1 the old `.distinct()` was ~70 s of the
+    * 70.5 s key), and the dot product runs once per candidate pair.
+    * No corpus×corpus cross product exists in the plan (asserted in
+    * PlanSpec) and the observed bucket fan-out and recall vs brute
+    * force (0.74 at the fixture's adversarial cos≈0.45 geometry — see
+    * EmbLsh scaladoc for why that's near the sign-LSH bound there)
+    * are measured in AnnRecallSpec. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps
+      .embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
-  }
 
   /** Sign-bucket expression: 2-bit LSH code from the two projections.
     * Projections are rounded to 6 decimals before the sign test so a

@@ -58,6 +58,30 @@ class GraftOpsSpec extends SparkSpec {
     assert(api.exceptAll(declared).isEmpty && declared.exceptAll(api).isEmpty)
   }
 
+  test("first-common-band candidate dedup ≡ the distinct() it replaced") {
+    // The r8 rewrite keeps each colliding pair only in its first
+    // common band (graft_first_band_match) instead of running
+    // .distinct() over the per-band candidate stream — the sets must
+    // be identical: one surviving emission per colliding pair, none
+    // invented, none lost.
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val keyed = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr(graft.queries.EmbLsh.sparkKeysExpr).as("sig"))
+    val a = keyed.select(col("vec_id").as("id_a"), col("sig").as("sa"),
+      explode(col("sig")).as("k"))
+    val b = keyed.select(col("vec_id").as("id_b"), col("sig").as("sb"),
+      explode(col("sig")).as("k"))
+    val joined = a.join(b, "k").filter(col("id_a") < col("id_b"))
+    val firstBand = joined
+      .filter(expr("graft_first_band_match(sa, sb)") === col("k"))
+      .select(col("id_a"), col("id_b"))
+    val viaDistinct = joined.select(col("id_a"), col("id_b")).distinct()
+    assert(firstBand.count() === viaDistinct.count(),
+      "first-band emission count != distinct pair count (duplicates survived)")
+    assert(firstBand.exceptAll(viaDistinct).isEmpty &&
+      viaDistinct.exceptAll(firstBand).isEmpty)
+  }
+
   test("approxDistinct agrees with the HLL Aggregator surface") {
     val o = Tables.orders(spark, sf)
     val viaApi = o.agg(GraftOps.approxDistinct(o, "o_custkey")).head().getLong(0)
