@@ -60,6 +60,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("embedding dedup candidate dedup is a map-side filter — no distinct aggregate in the plan") {
+    // r8: the per-band duplicate emissions are killed by the codegen'd
+    // first_band_match filter INSIDE the band join's stage; the old
+    // .distinct() spelling planned an Exchange + HashAggregate over
+    // the full candidate stream (~70 s of the 70.5 s sf1 key,
+    // BASELINE.md §sf1). Pin both: the filter is present, and no
+    // aggregate of any kind survives in the physical plan.
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val p = planOf(queries.VectorOps.qDedupEmbedding(spark, sf))
+    assert(p.contains("first_band_match"),
+      s"in-join candidate dedup filter missing:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"a distinct-style aggregate reappeared in the candidate path:\n$p")
+  }
+
   test("corpus-cleaning keys are pure projections — no Exchange before the presentation sort") {
     // repetition/pii/normalize must stream through the scan; the only
     // shuffle allowed is the final orderBy's range exchange
