@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: all group-bys here run partial (map-side) + final
   * aggregation automatically; CUBE/GROUPING SETS expand rows by the
-  * number of grouping sets BEFORE the shuffle — at 100 TB prefer
-  * rollup of low-cardinality dims (as here: 3×2 flags) so the
-  * expansion factor stays constant.
+  * number of grouping sets BEFORE the shuffle — so the multi-set keys
+  * here aggregate to the base grain FIRST and expand only the
+  * partials (see qAggCube / Relational.qAggRollup), making the
+  * expansion cost constant in the grouping-key cardinality instead of
+  * linear in the data.
   */
 object Aggs {
 
@@ -39,10 +41,15 @@ object Aggs {
     * ANY scale, and the final cast back to double keeps the schema.
     * Same pattern applied to every fixed-cardinality money-sum key. */
   def qAggCube(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"))
+    // Pre-aggregate to the base grain, then CUBE the partials — see
+    // Relational.qAggRollup (r8): Expand's 4× multiplier applies to 6
+    // rows instead of the fact stream. sum/count re-aggregate exactly.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("s0"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n0")).as("n"), sum(col("s0")).cast("double").as("s"))
       .withColumn("lvl",
         when(col("l_returnflag").isNull, lit(1)).otherwise(lit(0)) +
         when(col("l_linestatus").isNull, lit(1)).otherwise(lit(0)))
@@ -52,11 +59,16 @@ object Aggs {
   /** GROUPING SETS ((returnflag), (linestatus), ()) — the explicit-set
     * form, distinct from rollup/cube. */
   def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .groupingSets(
+    // Pre-aggregate then expand — see Relational.qAggRollup (r8).
+    // l_quantity is integer-valued, so the double partial sums re-add
+    // exactly (integers ≤ 2^53) regardless of grouping order.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"), sum(col("l_quantity")).as("q0"))
+    base.groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .agg(sum(col("n0")).as("n"), round(sum(col("q0")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
