@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for float-vector dot product with
   * whole-stage codegen (SURVEY.md §2.4-J / §4).
@@ -74,6 +74,88 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+/** Mixed-numeric sibling of [[DotProduct]] for long / float / double
+  * element arrays (any combination), accumulating in double.
+  *
+  * Why it exists (r8): the int8-quantized coarse pass of the re-rank
+  * ANN and the IVF centroid assignment both folded
+  * `aggregate(zip_with(...))` over non-float arrays — interpreted,
+  * allocating an intermediate array per candidate pair. This compiles
+  * to the same tight loop as [[DotProduct]] with the accessor chosen
+  * from the child's element type at plan time.
+  *
+  * Exactness: for int8 codes the products (≤127²) and their ≤4096-dim
+  * sums stay far under 2^53, so the double accumulation is EXACT and
+  * `cast(num_dot(..) as bigint)` is bit-identical to a 0L long fold;
+  * for float×double inputs, float→double widening is exact, so values
+  * match the `cast(.. as array<double>)` zip_with spelling bit for
+  * bit. Left-to-right index-order summation, as DotProduct. */
+case class NumDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (FloatType | DoubleType | LongType), _) => Some(et)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"num_dot expects arrays of long/float/double, got (${left.dataType}, ${right.dataType})")
+    }
+
+  private val lt = elemType(left.dataType).getOrElse(DoubleType)
+  private val rt = elemType(right.dataType).getOrElse(DoubleType)
+
+  private def get(x: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType  => x.getFloat(i).toDouble
+    case LongType   => x.getLong(i).toDouble
+    case _          => x.getDouble(i)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += get(x, lt, i) * get(y, rt, i)
+      i += 1
+    }
+    s
+  }
+
+  private def accessor(arr: String, et: DataType, i: String): String = et match {
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case LongType   => s"(double) $arr.getLong($i)"
+    case _          => s"$arr.getDouble($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${accessor(a, lt, i)} * ${accessor(b, rt, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NumDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "num_dot"
+}
+
 /** Optimizer rule: rewrite the registered `graft_dot_udf` ScalaUDF
   * (black box to Catalyst, breaks codegen) into the native
   * [[DotProduct]] expression. Demonstrates the UDF-escape-hatch →
@@ -113,6 +195,11 @@ object GraftFunctions {
         case exprs => throw new IllegalArgumentException(
           s"graft_emb_lsh_keys expects (vec) or (vec, bits, bands) literals, got ${exprs.size} args")
       },
+      "scala_udf")
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_num_dot",
+      (exprs: Seq[Expression]) => NumDot(exprs.head, exprs(1)),
       "scala_udf")
 
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

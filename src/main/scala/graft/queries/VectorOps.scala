@@ -167,7 +167,9 @@ object VectorOps {
       .select(col("vec_id"), col("embedding").as(P))
     val assigned = probes.crossJoin(broadcast(cent))
       .select(col("vec_id"), col(P),
-        expr(s"aggregate(zip_with(cast($P as array<double>), cvec, (a,b) -> a*b), cast(0.0 as double), (acc,x) -> acc + x)").as("cos_c"),
+        // codegen'd float×double dot (catalyst/NumDot) — bit-identical
+        // to the interpreted cast-to-double zip_with fold it replaced
+        expr(s"graft_num_dot($P, cvec)").as("cos_c"),
         col("c_label"))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_label"))
     val probeCell = assigned.withColumn("rk", row_number().over(wA))
@@ -263,7 +265,9 @@ object VectorOps {
     val coarse = probes.crossJoin(corpus)
       .filter(col("neighbor") =!= col("vec_id"))
       .select(col("vec_id"), col("neighbor"), col(P), col(T),
-        expr("aggregate(zip_with(qp, qt, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot_q"))
+        // codegen'd long×long dot in exact double range (catalyst/NumDot);
+        // cast back to bigint ≡ the 0L long fold it replaced
+        expr("cast(graft_num_dot(qp, qt) as bigint)").as("dot_q"))
     val wCoarse = Window.partitionBy(col("vec_id")).orderBy(col("dot_q").desc, col("neighbor"))
     val shortlist = coarse.withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= 20)

@@ -52,6 +52,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(joined.filter(col("u") =!= col("s")).count() === 0)
   }
 
+  test("NumDot equals the interpreted zip_with fold for long×long and float×double, both eval paths") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    // long×long: the int8-code coarse-dot shape of q_knn_rerank —
+    // cast back to bigint must equal the exact 0L long fold
+    val codes = expr(
+      "transform(embedding, v -> least(greatest(floor(cast(v as double) * 127.0d + 0.5d), -127L), 127L))")
+    val longs = e.select(codes.as("q")).select(
+      expr("cast(graft_num_dot(q, q) as bigint)").as("native"),
+      expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("interp"))
+    assert(longs.filter(col("native") =!= col("interp")).count() === 0)
+    // float×double: the IVF centroid-assign shape of q_knn_ivf
+    val mixed = e.select(col("embedding"), expr("cast(embedding as array<double>)").as("d")).select(
+      expr("graft_num_dot(embedding, d)").as("native"),
+      expr("aggregate(zip_with(cast(embedding as array<double>), d, (a,b) -> a*b), cast(0.0 as double), (acc,x) -> acc + x)").as("interp"))
+    assert(mixed.filter(col("native") =!= col("interp")).count() === 0)
+    // interpreted path agrees with codegen (collect forces eval through
+    // the same expression; exercise nullSafeEval directly too)
+    val nd = graft.catalyst.NumDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, -2L, 3L), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4L, 5L, 6L), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(nd.eval(null) === (1 * 4 - 2 * 5 + 3 * 6).toDouble)
+  }
+
   test("knn bucketed result is a subset of brute-force candidates (same bucket ⊆ all pairs)") {
     val knn = queries.VectorOps.qKnnBucketed(spark, sf)
     assert(knn.count() > 0)
