@@ -227,6 +227,11 @@ object GraftFunctions {
       "scala_udf")
 
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      (exprs: Seq[Expression]) => SimHash(exprs.head),
+      "scala_udf")
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_first_band_match",
       (exprs: Seq[Expression]) => FirstBandMatch(exprs(0), exprs(1)),
       "scala_udf")

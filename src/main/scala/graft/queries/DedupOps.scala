@@ -141,24 +141,42 @@ object DedupOps {
   }
 
   /** SimHash: 8-bit signature from per-bit ±1 votes of token hashes;
-    * clusters = docs sharing a signature (Hamming distance 0). */
+    * clusters = docs sharing a signature (Hamming distance 0).
+    *
+    * The signature is ONE codegen'd expression (catalyst/SimHash, r8)
+    * — a per-document scalar needs no token explode and no
+    * pre-signature shuffle; the only Exchange left is the tiny final
+    * signature group-by. SimHashSpec proves the expression ≡ the
+    * relational spelling ([[simhashRelational]]) that the DuckDB
+    * oracle mirrors. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+      .filter(col("n") > 1)
+      .orderBy(col("n").desc, col("simhash"))
+      .limit(100)
+  }
+
+  /** The explode → md5 → bit-vote → groupBy spelling of the SimHash
+    * signature — the form the DuckDB oracle mirrors. Kept as the
+    * equivalence witness for [[qDedupSimhash]]'s fused expression
+    * (SimHashSpec asserts signature equality doc by doc). */
+  private[graft] def simhashRelational(spark: SparkSession, dir: String): DataFrame = {
     val hs = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), expr(hx("w")).as("h"))
     val bitSums = (0 until 8).map(bit =>
       expr(s"sum(CASE WHEN shiftright(h, $bit) % 2 = 1 THEN 1 ELSE -1 END)").as(s"b$bit"))
-    val sig = hs.groupBy(col("doc_id"))
+    hs.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
         (0 until 8).map(bit =>
           when(col(s"b$bit") > 0, 1 << bit).otherwise(0): org.apache.spark.sql.Column
         ).reduce(_ + _))
-    sig.groupBy(col("simhash"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
-      .filter(col("n") > 1)
-      .orderBy(col("n").desc, col("simhash"))
-      .limit(100)
+      .select(col("doc_id"), col("simhash"))
   }
 
   /** Default prefix-block cap for the verify joins
