@@ -40,6 +40,60 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("aggregate-below-join keys plan no aggregation above their join (r8 rewrite pins)") {
+    // The outer-join and Q3 keys pre-aggregate the fact side, so the
+    // join output must flow straight to projection/top-k — an
+    // aggregate ABOVE the join means the rewrite regressed to
+    // shuffling joined fact rows into a group-by.
+    Seq(
+      "q_join_left_outer"  -> queries.Joins.qJoinLeftOuter(spark, sf),
+      "q_join_right_outer" -> queries.Joins.qJoinRightOuter(spark, sf),
+      "q_join_topk"        -> queries.Relational.qJoinTopk(spark, sf)
+    ).foreach { case (name, df) =>
+      // assert on the optimized LOGICAL plan: under AQE the physical
+      // tree hides behind AdaptiveSparkPlanExec (childless), so a
+      // SparkPlan.collect sees nothing to walk
+      val plan = df.queryExecution.optimizedPlan
+      val joinAboveAgg = plan.collect {
+        case j if j.nodeName.contains("Join") =>
+          // no aggregate node may sit on the path from root to this join
+          var above = false
+          def walk(n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                   seenAgg: Boolean): Unit = {
+            if (n.eq(j) && seenAgg) above = true
+            n.children.foreach(c => walk(c, seenAgg || n.nodeName.contains("Aggregate")))
+          }
+          walk(plan, seenAgg = false)
+          above
+      }
+      assert(joinAboveAgg.nonEmpty, s"$name plans no join at all:\n$plan")
+      assert(!joinAboveAgg.exists(identity),
+        s"$name plans an aggregate above its join (fact rows shuffled post-join):\n$plan")
+    }
+  }
+
+  test("ROLLUP/CUBE/GROUPING SETS expand the pre-aggregated base grain, not the fact stream (r8)") {
+    // Expand's input must be an Aggregate (the 6-row base grain), so
+    // the grouping-set multiplier applies to a constant-size stream.
+    Seq(
+      "q_agg_rollup"        -> queries.Relational.qAggRollup(spark, sf),
+      "q_agg_cube"          -> queries.Aggs.qAggCube(spark, sf),
+      "q_agg_grouping_sets" -> queries.Aggs.qAggGroupingSets(spark, sf)
+    ).foreach { case (name, df) =>
+      // optimized logical plan for the same AQE reason as above
+      val plan = df.queryExecution.optimizedPlan
+      val expands = plan.collect { case e if e.nodeName.contains("Expand") => e }
+      assert(expands.nonEmpty, s"$name lost its Expand node:\n$plan")
+      expands.foreach { e =>
+        val hasAggBelow = e.children.exists(_.collectFirst {
+          case n if n.nodeName.contains("Aggregate") => n
+        }.nonEmpty)
+        assert(hasAggBelow,
+          s"$name's Expand sits directly on the scan (fact stream multiplied):\n$plan")
+      }
+    }
+  }
+
   test("q_join_smj honors the merge hint (big-big shape)") {
     val p = planOf(queries.Joins.qJoinSmj(spark, sf))
     assert(p.contains("SortMergeJoin"), p)
