@@ -6,13 +6,27 @@ import org.apache.spark.sql.functions._
 /** Central loader for the driver-provided fixture tables (TESTDATA.md).
   *
   * Owns the one session-level read hazard (SURVEY.md §1.2): `events.ts`
-  * is parquet TIMESTAMP(NANOS), which Spark 4.x refuses to read unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`. With that flag the
-  * column arrives as raw nanos (LongType); we truncate to microseconds
-  * with *integer* division (`div`), which is bit-identical to DuckDB's
-  * native ns→µs truncation for the non-negative epoch values in the
-  * fixtures. (Floating-point division would lose precision above 2^53
-  * ns and is deliberately avoided.)
+  * has shipped in THREE physical layouts across fixture generations,
+  * and the loader adapts on the actual file schema so all of them
+  * present one TIMESTAMP surface downstream:
+  *  - parquet TIMESTAMP(NANOS) (early driver fixtures): Spark 4.x
+  *    refuses to read it unless
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`; with that flag the
+  *    column arrives as raw nanos (LongType) and we truncate to
+  *    microseconds with *integer* division (`div`) — bit-identical to
+  *    DuckDB's native ns→µs truncation for the non-negative epoch
+  *    values in the fixtures. (Floating-point division would lose
+  *    precision above 2^53 ns and is deliberately avoided.)
+  *  - raw int64 nanos (our GenData sf1 fixture — Spark cannot WRITE ns
+  *    parquet): arrives as LongType with or without the flag; same
+  *    exact ns→µs path.
+  *  - parquet TIMESTAMP(MICROS), isAdjustedToUTC=false (driver
+  *    fixtures from round 8 on): arrives as TIMESTAMP_NTZ; cast to the
+  *    session-zone TIMESTAMP, value-preserving under the UTC session
+  *    this engine pins, so downstream code keeps seeing the exact type
+  *    the other two layouts produce.
+  * `tools/oracle_check.py` applies the mirror-image adaptation on the
+  * DuckDB side, so Spark and the oracle always agree byte-for-byte.
   *
   * Scale notes:
   *  - Plain lazy parquet scans: Catalyst column pruning + predicate
@@ -38,10 +52,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ts arrives as raw nanos (long) under nanosAsLong; exact ns→µs.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      // ns layouts arrive as long (nanosAsLong / raw int64); exact ns→µs.
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs NTZ layout (driver r8+): value-preserving cast under UTC.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")

@@ -157,20 +157,28 @@ object StreamOps {
   }
 
   /** Streaming file source over the fixture's events parquet with the
-    * explicit schema every streaming source needs; under nanosAsLong
-    * the ts column arrives as raw nanos (long) and is truncated to µs
-    * exactly as graft.Tables does for batch reads. */
+    * explicit schema every streaming source needs. The physical `ts`
+    * layout varies by fixture generation (ns-as-long vs µs NTZ — the
+    * full story is in [[graft.Tables]]'s scaladoc), and a streaming
+    * source cannot schema-infer, so we peek the batch footer once at
+    * plan time and build the matching schema + normalization, exactly
+    * as `Tables.load` does for batch reads. */
   private def eventsStream(spark: org.apache.spark.sql.SparkSession, sfDir: String) = {
     import org.apache.spark.sql.types._
     graft.Tables.configure(spark)
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** DECLARED streaming key (t2-verified): streaming benchmark
