@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *    session-zone TIMESTAMP, value-preserving under the UTC session
   *    this engine pins, so downstream code keeps seeing the exact type
   *    the other two layouts produce.
-  * `tools/oracle_check.py` applies the mirror-image adaptation on the
-  * DuckDB side, so Spark and the oracle always agree byte-for-byte.
+  * `tools/oracle_check.py` keeps the DuckDB side agreeing
+  * byte-for-byte: only the raw-int64 layout needs a view rewrite there
+  * (the same ns→µs truncation); DuckDB reads the other two layouts
+  * natively to the equivalent µs surface (details in the script).
   *
   * Scale notes:
   *  - Plain lazy parquet scans: Catalyst column pruning + predicate
@@ -49,18 +51,43 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Physical dataType of `events.ts` in this fixture (one batch
+    * footer read). Shared with StreamOps.eventsStream, whose streaming
+    * source must declare an explicit schema and therefore needs the
+    * layout BEFORE it can read (ADVICE r8: the dispatch logic used to
+    * live twice and could drift). */
+  def tsPhysicalType(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.DataType = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+  }
+
+  /** Normalize an events frame (batch or streaming) from its physical
+    * `ts` layout to the one session-zone TIMESTAMP surface downstream
+    * code assumes. Fails FAST on an unrecognized layout (ADVICE r8):
+    * the old silent fallthrough would let a fourth fixture generation
+    * (ms-as-long, string ts, …) flow into window/watermark code that
+    * assumes TimestampType and break far from the loader — or worse,
+    * quietly compute on wrong values. */
+  def normalizeTs(df: DataFrame, tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
       // ns layouts arrive as long (nanosAsLong / raw int64); exact ns→µs.
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // µs NTZ layout (driver r8+): value-preserving cast under UTC.
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    } else df
+      // µs/ms TIMESTAMP (tz-adjusted): already the downstream surface.
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported physical type $other; known layouts: " +
+          "int64 nanos (LongType via nanosAsLong / raw), TIMESTAMP_NTZ (µs), TIMESTAMP. " +
+          "Teach Tables.normalizeTs the new layout (and mirror it in tools/oracle_check.py).")
+    }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeTs(df, df.schema("ts").dataType) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")

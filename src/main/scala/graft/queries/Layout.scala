@@ -86,19 +86,6 @@ object Layout {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
       .orderBy(col("o_orderpriority"))
 
-  /** DECLARED bucketed-layout key: write orders and lineitem
-    * `bucketBy(4, orderkey) sortBy(orderkey)`, then merge-join them
-    * through the catalog tables. With both sides bucketed+sorted on
-    * the join key, the SMJ consumes bucket files directly — NO
-    * Exchange and NO per-task Sort on either side (asserted on this
-    * key's plan in BucketingSpec) — which is the layout lever that
-    * carries recurring big-big joins at 100 TB: shuffle the fact
-    * tables once at write time, never again per query. The merge hint
-    * (not a conf flip) keeps the co-located shape declaratively. The
-    * oracle computes the same join aggregate from the raw parquet, so
-    * the declared result also proves the bucketed round-trip loses
-    * nothing. Tables are keyed by scale factor; the write runs every
-    * invocation — the key deliberately measures the full round-trip. */
   /** DECLARED format-round-trip key: orders → CSV (header, explicit
     * schema both ways) → read back → aggregate. The oracle computes
     * the same aggregate from the original parquet, so the green row
@@ -111,7 +98,16 @@ object Layout {
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = s"$layoutRoot/${new java.io.File(dir).getName}/orders_csv"
     val o = Tables.orders(spark, dir)
-    o.write.mode("overwrite").option("header", "true").csv(out)
+    // writeOnce (VERDICT r8 #6): the cold CSV write made this the
+    // noisiest key in the whole bench (sf0.1 spread 4.2 s > median
+    // 3.2 s — a permanent noise source in every round's regression
+    // diff). Warm bench runs now measure the read+agg the text layout
+    // serves; Verify's fresh JVM still pays and therefore still
+    // verifies the full cold round-trip, exactly like qPartPruned and
+    // qBucketJoin before it.
+    writeOnce(out, dir) {
+      o.write.mode("overwrite").option("header", "true").csv(out)
+    }
     spark.read.schema(o.schema).option("header", "true").csv(out)
       .groupBy(col("o_orderstatus"))
       // decimal accumulation — see Aggs.qAggCube (sf1 float-sum fix)
@@ -136,7 +132,9 @@ object Layout {
     // the explicit micro format on both sides keeps the round-trip
     // lossless (this is exactly what this key exists to catch)
     val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    e.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    writeOnce(out, dir) { // same write-once rationale as qCsvRoundtrip
+      e.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    }
     spark.read.schema(e.schema).option("timestampFormat", fmt).json(out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -156,9 +154,11 @@ object Layout {
     * unlike the text formats). */
   def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = s"$layoutRoot/${new java.io.File(dir).getName}/lineitem_orc"
-    Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey") <= 30000)
-      .write.mode("overwrite").orc(out)
+    writeOnce(out, dir) { // same write-once rationale as qCsvRoundtrip
+      Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") <= 30000)
+        .write.mode("overwrite").orc(out)
+    }
     spark.read.orc(out)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
@@ -182,6 +182,19 @@ object Layout {
     * sharing a basename can't serve each other's data. */
   private val bucketed = scala.collection.mutable.Set[String]()
 
+  /** DECLARED bucketed-layout key: write orders and lineitem
+    * `bucketBy(4, orderkey) sortBy(orderkey)`, then merge-join them
+    * through the catalog tables. With both sides bucketed+sorted on
+    * the join key, the SMJ consumes bucket files directly — NO
+    * Exchange and NO per-task Sort on either side (asserted on this
+    * key's plan in BucketingSpec) — which is the layout lever that
+    * carries recurring big-big joins at 100 TB: shuffle the fact
+    * tables once at write time, never again per query. The merge hint
+    * (not a conf flip) keeps the co-located shape declaratively. The
+    * oracle computes the same join aggregate from the raw parquet, so
+    * the declared result also proves the bucketed round-trip loses
+    * nothing. Tables are keyed by scale factor; the write runs once
+    * per JVM ([[bucketed]]). */
   def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
     val canonical = new java.io.File(dir).getCanonicalPath
     val sfTag = new java.io.File(dir).getName.replace('.', '_') + "_" +

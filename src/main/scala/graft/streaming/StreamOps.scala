@@ -165,20 +165,19 @@ object StreamOps {
     * as `Tables.load` does for batch reads. */
   private def eventsStream(spark: org.apache.spark.sql.SparkSession, sfDir: String) = {
     import org.apache.spark.sql.types._
-    graft.Tables.configure(spark)
-    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    // layout dispatch + normalization live ONCE, in Tables (ADVICE r8:
+    // this method used to carry a second copy that could drift); the
+    // footer peek costs one batch read per q_stream_* call, plan-time.
+    val tsType = graft.Tables.tsPhysicalType(spark, sfDir)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    tsType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir),
+      tsType)
   }
 
   /** DECLARED streaming key (t2-verified): streaming benchmark

@@ -104,6 +104,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q_dedup_levenshtein evaluates the O(len²) edit distance exactly once per pair") {
+    // VERDICT r8 #5: the inline spelling computed levenshtein twice in
+    // one projection (dist + overlap) and leaned on codegen subexpr
+    // elimination without proof. The rewrite binds it once in its own
+    // project; CollapseProject must NOT re-inline it (it declines to
+    // duplicate non-cheap expressions). Count evaluations in the
+    // OPTIMIZED plan — the one codegen consumes.
+    val opt = queries.DedupOps.qDedupLevenshtein(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val evals = "levenshtein\\(".r.findAllIn(opt).size
+    assert(evals == 1, s"expected exactly 1 levenshtein eval, found $evals:\n$opt")
+  }
+
   test("bucketed knn joins on the bucket key — no cartesian product") {
     val p = planOf(queries.VectorOps.qKnnBucketed(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

@@ -99,11 +99,19 @@ def main():
         # driver fixtures are single files. Glob handles both.
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         if t == "events":
-            # Driver fixture: native TIMESTAMP(NANOS) — DuckDB reads it
-            # directly and truncates to µs, agreeing with Tables.load.
-            # GenData fixture: raw int64 nanos (Spark cannot WRITE ns
-            # parquet) — apply the SAME ns→µs truncation here so both
-            # forms present one TIMESTAMP surface to the oracle SQL.
+            # events.ts ships in THREE physical layouts (graft.Tables
+            # scaladoc). Only ONE needs a view rewrite here:
+            #  - native TIMESTAMP(NANOS) (early driver fixtures): DuckDB
+            #    reads it directly and truncates to µs, agreeing with
+            #    Tables.load — no rewrite.
+            #  - raw int64 nanos (GenData fixtures; Spark cannot WRITE
+            #    ns parquet): arrives as BIGINT — apply the SAME ns→µs
+            #    truncation Tables.load performs (the rewrite below).
+            #  - TIMESTAMP(MICROS) isAdjustedToUTC=false (driver r8+):
+            #    DuckDB reads it natively as naive TIMESTAMP, which under
+            #    the UTC session equals Spark's NTZ→TIMESTAMP cast — no
+            #    rewrite needed (ADVICE r8: this case is deliberate, not
+            #    an omission).
             ts_type = str(con.execute(
                 f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()[0])
             if ts_type == "BIGINT":
