@@ -59,33 +59,43 @@ object DedupOps {
 
   /** The un-truncated candidate pair set (doc_a, doc_b, jacc_est ≥
     * 0.5) — shared by the declared pair key and the clustering key. */
-  private[graft] def minhashPairs(
-      spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
-    // Sub-trigram docs yield NO shingles (the expression returns an
-    // empty array, which explode drops) — a partial gram would be one
-    // the oracle's end-exclusive range(1, len-1) never produces.
-    // Codegen'd WordShingles ≡ the interpreted
-    // array_distinct(transform(sequence, concat_ws)) spelling
-    // (ShinglesSpec) and removes its ~3.4 s interpreted-lambda cost
-    // from every sf1 dedup key (BASELINE.md §sf1).
-    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+  /** MinHash signature table (doc_id, mh1..mh4) for any (doc_id,
+    * text) frame — shared by [[minhashPairs]] and
+    * tools.DedupScaleAudit (which measures band-bucket populations
+    * without running the candidate joins).
+    *
+    * Sub-trigram docs yield NO shingles (the expression returns an
+    * empty array, which explode drops) — a partial gram would be one
+    * the oracle's end-exclusive range(1, len-1) never produces.
+    * Codegen'd WordShingles ≡ the interpreted
+    * array_distinct(transform(sequence, concat_ws)) spelling
+    * (ShinglesSpec) and removes its ~3.4 s interpreted-lambda cost
+    * from every sf1 dedup key (BASELINE.md §sf1).
+    *
+    * localCheckpoint: the signature table is 4 longs/doc (tiny at any
+    * corpus scale) but its subtree — shingle explode + md5 + min-agg
+    * over the whole corpus — feeds BOTH sides of BOTH band joins and
+    * both cap guards; without it Spark recomputes the corpus pass 6×. */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(docs.sparkSession)
     // widened: the fixture's single-row-group parquet scans as 1-2
     // tasks, serializing the gram explosion (see GraftOps.widened)
-    val shingles = graft.api.GraftOps.widened(Tables.documents(spark, dir), "doc_id")
+    val shingles = graft.api.GraftOps.widened(docs, "doc_id")
       .select(col("doc_id"),
         explode(expr("graft_word_shingles(text, 3)")).as("s"))
     val hs = shingles.select(col("doc_id"), expr(hx("s")).as("h"))
     val P = 2147483647L
-    // localCheckpoint: the signature table is 4 longs/doc (tiny at any
-    // corpus scale) but its subtree — shingle explode + md5 + min-agg
-    // over the whole corpus — feeds BOTH sides of BOTH band joins and
-    // both cap guards; without it Spark recomputes the corpus pass 6×.
-    val mh = hs.groupBy(col("doc_id")).agg(
+    hs.groupBy(col("doc_id")).agg(
       min((col("h") * 1 + 7)  % P).as("mh1"),
       min((col("h") * 3 + 11) % P).as("mh2"),
       min((col("h") * 5 + 13) % P).as("mh3"),
       min((col("h") * 7 + 17) % P).as("mh4"))
       .localCheckpoint(true)
+  }
+
+  private[graft] def minhashPairs(
+      spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
+    val mh = minhashSignatures(Tables.documents(spark, dir))
 
     // The over-cap key set is bounded small by construction (≤ N/cap
     // keys can exceed the cap), so the guard is a broadcast anti-join

@@ -8,9 +8,16 @@ import org.apache.spark.sql.functions._
   * value domains) so the engine's 100 TB claims get at least one
   * order of magnitude of LOCAL scaling evidence (VERDICT r7 #1).
   *
-  * Usage: `runMain graft.tools.GenData <outDir> [mult]` — mult scales
-  * row counts relative to sf1 (default 1.0 → lineitem ≈ 6 M rows,
-  * documents 50 k, embeddings 20 k; 10× the driver's sf0.1).
+  * Usage: `runMain graft.tools.GenData <outDir> [mult] [tables]` —
+  * mult scales row counts relative to sf1 (default 1.0 → lineitem ≈
+  * 6 M rows, documents 50 k, embeddings 20 k; 10× the driver's
+  * sf0.1). Optional `tables` is a comma-separated subset to write
+  * (e.g. `documents,embeddings` for the sf10 dedup/ANN fixture —
+  * VERDICT r8 #4: the 100× evidence needs only the north-star corpus
+  * tables, and skipping lineitem keeps the fixture ~60 M rows
+  * smaller). Values remain a pure function of (table, key, mult), so
+  * a subset fixture is byte-identical to the same tables of a full
+  * one.
   *
   * Design constraints, in order:
   *  - DETERMINISTIC: every value is a pure function of (table, key)
@@ -66,6 +73,8 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("testdata/sf1")
     val mult = if (args.length > 1) args(1).toDouble else 1.0
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-gendata")
@@ -95,6 +104,7 @@ object GenData {
     // write is single-task (seconds at sf1). Parquet files are
     // row-group-splittable, so scan parallelism is unaffected.
     def write(name: String, df: DataFrame, key: String): Unit = {
+      if (only.exists(!_.contains(name))) return
       val tmp = s"$out/_tmp_$name"
       df.repartition(1).sortWithinPartitions(col(key))
         .write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -2,11 +2,17 @@
 """Local t2 rehearsal (SURVEY.md §5.2-3): compare Verify output against
 DuckDB running the paired oracle SQL on the same parquet tables.
 
-Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir> [--json out.json]
 
 Mimics the driver: for each key in oracle_sql.json, load the Spark
 result parquet, run the SQL in DuckDB, sort columns by name, normalize
 types, sort rows, compare values exactly. Exit 1 on any mismatch.
+
+--json writes a per-key artifact in the driver's CORRECTNESS_r{N}.json
+shape (rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err) so a non-driver sweep — e.g. the committed
+CORRECTNESS_sf1.json produced by tools/check_correctness.sh — is
+third-party diffable against driver output (VERDICT r8 #3).
 
 NOT part of the engine — dev harness only (driver-side python env).
 """
@@ -122,10 +128,19 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     n_ok, fails = 0, []
+    report = {}  # driver-shape per-key record (--json)
+
+    def record(name, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name in sorted(oracle):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             fails.append((name, "no spark result parquet"))
+            record(name, err="no spark result parquet")
             continue
         try:
             spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files],
@@ -133,9 +148,13 @@ def main():
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             fails.append((name, f"exec error: {e}"))
+            record(name, err=f"exec error: {e}"[:200])
             continue
+        nr_s, nr_d = len(spark_df), len(duck_df)
+        rows_eq = nr_s == nr_d
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             fails.append((name, f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))
+            record(name, rows_match=rows_eq, spark_rows=nr_s, oracle_rows=nr_d)
             continue
         # Strict dtype-class check BEFORE normalization (driver hash semantics).
         dt_bad = [(c, dtype_class(spark_df[c]), dtype_class(duck_df[c]))
@@ -144,21 +163,32 @@ def main():
         if dt_bad:
             fails.append((name, "dtype mismatch (driver hash would differ): " +
                           ", ".join(f"{c}: spark={a} duck={b}" for c, a, b in dt_bad)))
+            record(name, rows_match=rows_eq, spark_rows=nr_s, oracle_rows=nr_d)
+            continue
+        if not rows_eq:
+            fails.append((name, f"row count: spark={nr_s} duck={nr_d}"))
+            record(name, schema_match=True, spark_rows=nr_s, oracle_rows=nr_d)
             continue
         a, b = normalize(spark_df), normalize(duck_df)
-        if len(a) != len(b):
-            fails.append((name, f"row count: spark={len(a)} duck={len(b)}"))
-            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             n_ok += 1
             print(f"  OK    {name} ({len(a)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=nr_s, oracle_rows=nr_d)
         except AssertionError as e:
             fails.append((name, f"values differ: {str(e).splitlines()[-1] if str(e) else e}"))
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=nr_s, oracle_rows=nr_d)
 
     print(f"\n{n_ok}/{len(oracle)} MATCH")
     for name, why in fails:
         print(f"  FAIL  {name}: {why}")
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {path}")
     sys.exit(1 if fails else 0)
 
 
