@@ -116,7 +116,9 @@ object DedupScaleAudit {
       val emb = graft.Tables.embeddings(spark, sfDir)
       val nEmb = emb.count()
       Seq(("emb_lsh_declared_6x21", graft.queries.EmbLsh.Bits, graft.queries.EmbLsh.Bands),
-          ("emb_lsh_wide_12x24", 12, 24)).foreach { case (name, bits, bands) =>
+          ("emb_lsh_wide_12x24", 12, 24),
+          // the re-dialed sf10 geometry (bits ≈ log2(N/occupancy))
+          ("emb_lsh_wide_14x28", 14, 28)).foreach { case (name, bits, bands) =>
         val sizes = emb
           .select(explode(expr(s"graft_emb_lsh_keys(embedding, $bits, $bands)")).as("k"))
           .groupBy(col("k")).agg(count(lit(1)).as("bsz"))

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * construction, parameterized for the near-dup threshold instead of
   * the adversarial loose-τ regime.
   *
-  * Usage: `runMain graft.tools.EmbScaleBench [sfDir]`
+  * Usage: `runMain graft.tools.EmbScaleBench [sfDir] [bits] [bands]`
+  * — bits/bands override the production geometry so the documented
+  * scale dial (bits ≈ log2(N/occupancy), bands from target recall) is
+  * measurable at any N: e.g. at sf10's 200 k vectors, (14, 28) holds
+  * per-bucket occupancy where (12, 24) was tuned for 20 k.
   */
 object EmbScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val bits = args.lift(1).map(_.toInt).getOrElse(12)
+    val bands = args.lift(2).map(_.toInt).getOrElse(24)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-emb-scale")
@@ -37,7 +43,7 @@ object EmbScaleBench {
 
     val t0 = System.nanoTime()
     val pairs = graft.api.GraftOps
-      .embeddingNearDups(emb, "vec_id", "embedding", 0.85, bits = 12, bands = 24)
+      .embeddingNearDups(emb, "vec_id", "embedding", 0.85, bits = bits, bands = bands)
       .localCheckpoint(true)
     val nPairs = pairs.count()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -49,7 +55,7 @@ object EmbScaleBench {
     val nPlanted = planted.count()
     val hit = pairs.join(planted, Seq("id_a", "id_b"), "left_semi").count()
 
-    println(s"""{"metric":"emb_scale_path","sf_dir":"$sfDir","bits":12,"bands":24,"tau":0.85,""" +
+    println(s"""{"metric":"emb_scale_path","sf_dir":"$sfDir","bits":$bits,"bands":$bands,"tau":0.85,""" +
       s""""sec":${math.round(sec * 10000) / 10000.0},"pairs":$nPairs,""" +
       s""""planted":$nPlanted,"planted_hit":$hit}""")
     spark.stop()
