@@ -159,7 +159,9 @@ object SparkEntry {
     "q_media_meta"         -> graft.multimodal.MediaOps.qMediaMeta _,
     "q_stream_decontam"    -> StreamOps.qStreamDecontam _,
     "q_dedup_containment"  -> DedupOps.qDedupContainment _,
-    "q_dedup_url"          -> DedupOps.qDedupUrl _
+    "q_dedup_url"          -> DedupOps.qDedupUrl _,
+    // round-9: unsupervised IVF quantizer build
+    "q_kmeans_build"       -> VectorOps.qKmeansBuild _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

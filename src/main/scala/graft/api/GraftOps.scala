@@ -92,6 +92,76 @@ object GraftOps {
           when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
   }
 
+  /** Deterministic distributed Lloyd's k-means over an embedding
+    * column — the UNSUPERVISED IVF coarse-quantizer build step
+    * (qKnnIvf's cells currently come from the fixture's label column,
+    * a supervised stand-in real corpora don't have; this is the
+    * operator that produces them from nothing). Returns the final
+    * (id, cell) assignment after `iters` Lloyd rounds.
+    *
+    * Engine-neutral determinism, same discipline as [[pageRank]]:
+    *  - seeds: the k vectors with the smallest engine-neutral 32-bit
+    *    md5 hash of their id (ties by id), numbered 0..k−1 in that
+    *    order — no RNG, reproducible in SQL;
+    *  - assignment: argmin of round(‖c‖² − 2·v·c, 6) (the ‖v‖² term is
+    *    constant per vector and cannot change the argmin), ties to the
+    *    smaller cell id; the 6-dp re-rounding makes last-ulp float-sum
+    *    differences between engines unobservable, and graft_num_dot
+    *    keeps the inner loop codegen'd;
+    *  - update: per-dimension mean re-rounded to 4 dp (the
+    *    qEmbCentroid convention), so every round starts from
+    *    bit-identical centroids in any engine. A cell that loses all
+    *    members simply vanishes — identically everywhere.
+    *
+    * Scale shape (100 TB): each round is one broadcast of k·d centroid
+    * doubles into a map-side codegen'd scoring pass (zero shuffle for
+    * assignment — min(struct) is a partial+final agg on the id key the
+    * corpus is already partitioned by) plus one posexplode partial-agg
+    * shuffle whose combiner output is k·d rows per partition.
+    * Centroids localCheckpoint per round (lineage cut, O(iters) jobs,
+    * only k tiny rows materialized — the Pregel loop discipline of
+    * [[connectedComponents]]). Production builds quantizers from a
+    * SAMPLE (compose with the sampling operators), but nothing here
+    * requires it. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val v = df.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("__ev"))
+    val seedW = Window.orderBy(col("__h"), col("__id"))
+    val c0 = v
+      .withColumn("__h",
+        expr("cast(conv(substring(md5(cast(__id as string)),1,8),16,10) as bigint)"))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .withColumn("__cell", row_number().over(seedW) - 1)
+      .select(col("__cell"), expr("transform(__ev, x -> round(x, 4))").as("__c"))
+
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(
+          cent.withColumn("__cn", round(expr("graft_num_dot(__c, __c)"), 6))))
+        .select(col("__id"), col("__ev"),
+          struct(
+            round(col("__cn") - lit(2.0) * expr("graft_num_dot(__ev, __c)"), 6)
+              .as("__d"),
+            col("__cell")).as("__dc"))
+        .groupBy(col("__id"))
+        .agg(min(col("__dc")).as("__m"), first(col("__ev")).as("__ev"))
+        .select(col("__id"), col("__ev"), col("__m").getField("__cell").as("__cell"))
+
+    def update(a: DataFrame): DataFrame =
+      a.select(col("__cell"), posexplode(col("__ev")).as(Seq("__p", "__x")))
+        .groupBy(col("__cell"), col("__p"))
+        .agg(round(avg(col("__x")), 4).as("__cx"))
+        .groupBy(col("__cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(__p, __cx))), s -> s.__cx)")
+          .as("__c"))
+        .localCheckpoint(true)
+
+    var cent = c0.localCheckpoint(true)
+    for (_ <- 1 to iters) cent = update(assign(cent))
+    assign(cent).select(col("__id").as(idCol), col("__cell").as("cell"))
+  }
+
   /** Attach the multi-band sign-LSH key array (EmbLshKeys: 21 bands ×
     * 6 bits, codegen'd) for an `array<float>` embedding column. */
   def embLshKeys(df: DataFrame, vecCol: String, out: String = "lsh_keys"): DataFrame = {

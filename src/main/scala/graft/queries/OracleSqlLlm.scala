@@ -483,6 +483,38 @@ object OracleSqlLlm {
     // custom plan-node top-k ≡ the window idiom; reuse its oracle
     "q_topk_custom" -> OracleSql.seed("q_window_topk"),
 
+    // k-means build: both Lloyd rounds unrolled as CTEs (the pagerank
+    // fixed-iteration precedent) from the same seed/rounding/argmin
+    // discipline as GraftOps.kmeans (assign/update fragments generated
+    // below so the two rounds cannot drift apart)
+    "q_kmeans_build" -> {
+      def assign(cent: String) =
+        s"""SELECT vec_id, ev, cell FROM (
+           |  SELECT v.vec_id, v.ev, c.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      round(round(list_dot_product(c.cv, c.cv), 6)
+           |            - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
+           |  FROM v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
+      def update(a: String) =
+        s"""SELECT cell, list(cx ORDER BY p) AS cv FROM (
+           |  SELECT cell, i AS p, round(avg(ev[i]), 4) AS cx
+           |  FROM $a, unnest(range(1, 65)) t(i) GROUP BY cell, i) y
+           |GROUP BY cell""".stripMargin
+      val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
+         |         list_transform(ev, x -> round(x, 4)) AS cv
+         |  FROM v ORDER BY $h, vec_id LIMIT 8),
+         |a1 AS (${assign("c0")}),
+         |c1 AS (${update("a1")}),
+         |a2 AS (${assign("c1")}),
+         |c2 AS (${update("a2")}),
+         |af AS (${assign("c2")})
+         |SELECT cell, count(*) AS n, min(vec_id) AS rep
+         |FROM af GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
     "q_emb_centroid" ->
       """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS c
         |FROM embeddings, unnest(range(1,65)) t(i)

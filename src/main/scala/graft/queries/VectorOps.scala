@@ -186,6 +186,25 @@ object VectorOps {
       .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
   }
 
+  /** DECLARED k-means quantizer build (r9): 2 Lloyd rounds, k = 8
+    * deterministic hash-picked seeds, over the embeddings table —
+    * `GraftOps.kmeans`, the unsupervised counterpart of
+    * [[qEmbCentroid]]'s label-derived cells (real corpora are
+    * unlabeled; this is the IVF index-build step from nothing).
+    * Declared output is the final partition audit (cell, member
+    * count, smallest member id); the DuckDB oracle unrolls both
+    * Lloyd rounds as CTEs (the [[WarehouseOps.qGraphPagerank]]
+    * fixed-iteration precedent) from the same seed rule, centroid
+    * rounding (4 dp), and argmin discipline (6 dp, ties to the
+    * smaller cell). */
+  def qKmeansBuild(spark: SparkSession, dir: String): DataFrame = {
+    graft.api.GraftOps
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", 8, 2)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("rep"))
+      .orderBy(col("cell"))
+  }
+
   /** Top-3 orders per customer through the custom TopKPerGroup plan
     * node (graft.plans: logical node → strategy → partial/final
     * physical top-k) — same rows as the window row_number idiom, same

@@ -226,6 +226,34 @@ class GraftOpsSpec extends SparkSpec {
     assert(pr.forall(_.getDouble(2) == 1.0), s"uniform fixpoint expected: ${pr.mkString(",")}")
   }
 
+  test("kmeans separates planted clusters, assigns every point once, and is deterministic") {
+    // Two tight planted clusters on the 2-sphere: x-ish points and
+    // y-ish points. ANY 2-means from any seed pair must converge (2
+    // Lloyd rounds suffice at this separation) to the planted split —
+    // cluster ids are seed-order-dependent, membership is not.
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.95f, 0.05f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.05f, 0.95f))
+    ).toDF("id", "vec")
+    val a = GraftOps.kmeans(pts, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L), "every point assigned exactly once")
+    assert(a(1L) === a(2L) && a(2L) === a(3L), s"x-cluster split: $a")
+    assert(a(4L) === a(5L) && a(5L) === a(6L), s"y-cluster split: $a")
+    assert(a(1L) !== a(4L), s"clusters collapsed: $a")
+    val b = GraftOps.kmeans(pts, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b, "deterministic across runs")
+  }
+
+  test("kmeans declared key: cells partition the corpus and reps are members") {
+    val cells = graft.queries.VectorOps.qKmeansBuild(spark, sf).collect()
+    assert(cells.map(_.getLong(1)).sum ===
+      graft.Tables.embeddings(spark, sf).count(), "cells partition all vectors")
+    assert(cells.length > 1 && cells.length <= 8, s"degenerate cell count ${cells.length}")
+  }
+
   test("pageRank directed=true: no symmetrization, sinks kept with deg 0 (ADVICE r7)") {
     // directed path 1→2→3. deg = (1, 1, 0) — node 3 is a sink that
     // must still appear (it only occurs as a destination). By hand,
