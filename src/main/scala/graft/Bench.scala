@@ -98,6 +98,10 @@ object Bench {
     Seq.fill(3)(once()).sorted.apply(1)
   }
 
+  /** The calibration probe for sibling harnesses (tools.KeyBench) —
+    * same probe, same floor, one definition. */
+  private[graft] def calibrationProbe(spark: SparkSession): Double = calibrate(spark)
+
   /** First field of /proc/loadavg (1-min load), or -1 off-Linux. */
   private def loadAvg(): Double =
     try {

@@ -5,7 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Single-key timing harness for plan iteration — the per-key
   * companion of [[graft.Bench]] (same session conf, same
   * warmup + median-of-3 discipline), for measuring ONE operator
-  * rewrite without paying the 127-key full-bench cycle.
+  * rewrite without paying the full-inventory bench cycle.
+  *
+  * Carries the same load stamp as Bench (r9): calibration probe at
+  * start/end vs the committed quiet-box floor + loadavg, so numbers
+  * quoted into SCALE.md/BASELINE.md are self-policing too.
+  *
+  * Measurement hygiene (found measuring the r9 100× campaign): a
+  * MULTI-key invocation shares one JVM, so a heavy key's reading can
+  * be inflated ~2× by earlier keys' localCheckpoint blocks competing
+  * for block-manager memory — q_dedup_containment measured 9.9 s in a
+  * 14-key run vs 3.5 s alone at sf1. Time heavy keys in their OWN
+  * invocation before quoting a number.
   *
   * Usage: `runMain graft.tools.KeyBench <sfDir> <key> [key ...]`
   */
@@ -23,6 +34,7 @@ object KeyBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
 
+    val cal0 = graft.Bench.calibrationProbe(spark)
     val timings = args.tail.toSeq.map { key =>
       val fn = graft.SparkEntry.queries(key)
       fn(spark, sfDir).count() // warmup
@@ -33,10 +45,13 @@ object KeyBench {
       }.sorted
       key -> (reps(1), reps.last - reps.head)
     }
+    val cal1 = graft.Bench.calibrationProbe(spark)
+    val contaminated =
+      math.max(cal0, cal1) > graft.Bench.LoadFactorBar * graft.Bench.CalibrationFloorSec
     val body = timings.map { case (k, (med, spr)) =>
       s""""$k":{"median":${math.round(med * 10000) / 10000.0},"spread":${math.round(spr * 10000) / 10000.0}}"""
     }.mkString(",")
-    println(s"""{"metric":"key_bench","sf_dir":"$sfDir","queries":{$body}}""")
+    println(s"""{"metric":"key_bench","sf_dir":"$sfDir","calibration_sec":[${math.round(cal0 * 10000) / 10000.0},${math.round(cal1 * 10000) / 10000.0}],"load_contaminated":$contaminated,"queries":{$body}}""")
     spark.stop()
   }
 }
