@@ -42,7 +42,13 @@ object DedupScaleAudit {
   val MegaText =
     "boilerplate terms of service header repeated verbatim across every document in this synthetic corpus"
 
-  private def bucketJson(name: String, sizes: DataFrame, cap: Long): String = {
+  /** (n_buckets, max_bucket, buckets_over_cap, pairs_uncapped,
+    * pairs_capped) from a (k → bsz) bucket-population frame.
+    * DedupScaleAuditSpec proves pairs_uncapped ≡ the row count of the
+    * real uncapped candidate join on the same blocking key, and that
+    * capping subtracts exactly Σ_overcap b·(b−1)/2 — the instrument
+    * itself is verified, not just the numbers it prints. */
+  private[graft] def bucketStats(sizes: DataFrame, cap: Long): (Long, Long, Long, Long, Long) = {
     val r = sizes.agg(
       count(lit(1)).as("n_buckets"),
       max(col("bsz")).as("max_bucket"),
@@ -52,9 +58,14 @@ object DedupScaleAudit {
       sum(expr("bsz * (bsz - 1) div 2")).as("pairs_uncapped"),
       sum(when(col("bsz") <= cap, expr("bsz * (bsz - 1) div 2"))
         .otherwise(0L)).as("pairs_capped")).collect()(0)
-    s"""{"structure":"$name","cap":$cap,"n_buckets":${r.getLong(0)},""" +
-      s""""max_bucket":${r.getLong(1)},"buckets_over_cap":${r.getLong(2)},""" +
-      s""""pairs_uncapped":${r.getLong(3)},"pairs_capped":${r.getLong(4)}}"""
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  private def bucketJson(name: String, sizes: DataFrame, cap: Long): String = {
+    val (nb, mx, oc, pu, pc) = bucketStats(sizes, cap)
+    s"""{"structure":"$name","cap":$cap,"n_buckets":$nb,""" +
+      s""""max_bucket":$mx,"buckets_over_cap":$oc,""" +
+      s""""pairs_uncapped":$pu,"pairs_capped":$pc}"""
   }
 
   def main(args: Array[String]): Unit = {
