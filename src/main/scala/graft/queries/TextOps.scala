@@ -111,7 +111,11 @@ object TextOps {
     // explode once + conditional sums (codegen'd) instead of four
     // interpreted list_filter lambdas per doc — ~4× faster at sf0.1,
     // identical counts (every doc has ≥1 token, so no doc is lost).
-    docs(spark, dir)
+    // widened (r9): the single-file fixture scans as 1–2 tasks, which
+    // serialized the token explosion ahead of the doc-grain shuffle —
+    // the steepest text-key scaling at sf10 (8.1× for 10×) until the
+    // same guard its sibling qTextBigrams already had was applied.
+    graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("lang"), col("doc_id"))
       .agg(
