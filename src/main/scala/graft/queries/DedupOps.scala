@@ -161,7 +161,11 @@ object DedupOps {
     * oracle mirrors. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
-    Tables.documents(spark, dir)
+    // widened (r9): the signature is heavy PER ROW (tokenize + one md5
+    // per token), and the narrow single-file scan serialized it on 1-2
+    // tasks — the steepest dedup-key scaling at sf10 (7.5× for 10×)
+    // until the guard was applied; same rationale as minhashSignatures.
+    graft.api.GraftOps.widened(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
