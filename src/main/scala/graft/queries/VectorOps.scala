@@ -275,7 +275,11 @@ object VectorOps {
       """transform(embedding,
         |  v -> least(greatest(floor(cast(v as double) * 127.0d + 0.5d), -127L), 127L))
         |""".stripMargin)
-    val e = Tables.embeddings(spark, dir)
+    // widened (r9): the localCheckpoint inherits the scan's partition
+    // count, and a single-file fixture scans 1-2 tasks — the whole
+    // coarse pass (2 M codegen'd dots at sf10) then streamed on those
+    // tasks: 5.5 s at sf10 until the guard restored full parallelism.
+    val e = graft.api.GraftOps.widened(Tables.embeddings(spark, dir), "vec_id")
     val q = e.select(col("vec_id"), col("embedding"), codes.as("qc"))
       .localCheckpoint(true) // quantize once; probed and scanned sides share it
     val probes = q.filter(col("vec_id") < 10)
