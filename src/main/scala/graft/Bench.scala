@@ -73,11 +73,43 @@ object Bench {
     * start (codegen JIT still warming), 0.11 s steady-state; the floor
     * sits just above the start-of-run value so only genuine competing
     * load (which roughly doubles the probe on a saturated box) trips
-    * the 1.5× bar, not the probe's own warm-up slope. */
-  val CalibrationFloorSec = 0.20
+    * the 1.5× bar, not the probe's own warm-up slope.
+    *
+    * The constant is a PER-BOX number (probe wall time scales with
+    * core count — ADVICE r9): on any other box set
+    * `GRAFT_CAL_FLOOR_SEC` to that box's measured quiet median, and
+    * read the `calibration_cpus` field the output carries to judge
+    * whether two artifacts' floors are even comparable. */
+  val CalibrationFloorSec: Double = sys.env.get("GRAFT_CAL_FLOOR_SEC")
+    .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.20)
 
   /** Contamination threshold on calibration/floor (VERDICT r8 #1). */
   val LoadFactorBar = 1.5
+
+  /** Contamination threshold on start-probe vs end-probe DISAGREEMENT
+    * (VERDICT r9 #2): a run that starts loaded and ends quiet (or the
+    * reverse) can keep both probes under the absolute bar while dozens
+    * of medians are inflated — r9's driver artifact read probes
+    * [0.271, 0.080] (3.4× apart, loadavg 2.8→8.0) yet stamped clean,
+    * and ~27 untouched keys carried a +0.3–0.5 s offset. The probes
+    * measure the SAME fixed work, so disagreement = the box's
+    * available CPU changed mid-run and per-key medians are not
+    * comparable. Bar placement: the measured QUIET start/end pair is
+    * 0.21/0.11 (1.9× — the start probe still pays residual JIT even
+    * after calibrate()'s double warmup), so the bar sits at 2× — just
+    * above the quiet slope, well under r9's 3.4× contaminated
+    * reading. */
+  val CalDisagreeBar = 2.0
+
+  /** The whole-file contamination verdict — one definition shared by
+    * Bench and tools.KeyBench, pure so the r9 failure case is unit-
+    * testable (LoadGuardSpec replays the exact probes r9 mis-stamped).
+    * Contaminated when EITHER probe exceeds the absolute bar OR the
+    * two probes disagree by more than [[CalDisagreeBar]]. */
+  private[graft] def loadVerdict(cal0: Double, cal1: Double,
+                                 floor: Double = CalibrationFloorSec): Boolean =
+    math.max(cal0, cal1) > LoadFactorBar * floor ||
+    math.max(cal0, cal1) > CalDisagreeBar * math.min(cal0, cal1)
 
   /** Fixed CPU-bound probe: hash-reduce 200 M longs, no I/O, no
     * shuffle — wall time tracks available CPU and nothing else.
@@ -109,14 +141,28 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  /** Count of live JVMs on the box (competing Spark/sbt processes are
-    * exactly the ambient load the calibration probe exists to catch;
-    * recording the count makes a contaminated run diagnosable). */
+  /** Count of COMPETING live JVMs on the box (other Spark/sbt
+    * processes are exactly the ambient load the calibration probe
+    * exists to catch; recording the count makes a contaminated run
+    * diagnosable). ADVICE r9: matches the executable BASENAME
+    * (`java`), not a substring — a substring also counted javaws /
+    * javascript tooling — and excludes this process and its ancestor
+    * chain (the sbt/wrapper JVMs that launched it), so a quiet box
+    * reads 0, not 1–2 of self-count. */
   private def javaProcs(): Int =
     try {
       import scala.jdk.CollectionConverters._
-      ProcessHandle.allProcesses().iterator().asScala.count(
-        _.info().command().map[Boolean](_.contains("java")).orElse(false))
+      var selfChain = Set.empty[Long]
+      var cur: java.util.Optional[ProcessHandle] =
+        java.util.Optional.of(ProcessHandle.current())
+      while (cur.isPresent) {
+        selfChain += cur.get.pid(); cur = cur.get.parent()
+      }
+      ProcessHandle.allProcesses().iterator().asScala.count { p =>
+        !selfChain.contains(p.pid()) &&
+        p.info().command().map[Boolean](c =>
+          new java.io.File(c).getName == "java").orElse(false)
+      }
     } catch { case _: Throwable => -1 }
 
   /** The 14 validated seed queries of BASELINE.md ("Per-query warm seconds"). */
@@ -160,6 +206,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // numeric pass-through for the JSON field; a non-numeric local[N]
+    // spec (e.g. "*") is quoted rather than corrupting the line
+    val cpusJson = scala.util.Try(cpus.trim.toInt).map(_.toString).getOrElse(jstr(cpus))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -207,8 +256,7 @@ object Bench {
       try udfRewriteChecks(spark, sfDir) catch { case _: Throwable => (false, false) }
     val cal1 = calibrate(spark)
     val load1 = loadAvg(); val jvms1 = javaProcs()
-    val contaminated =
-      math.max(cal0, cal1) > LoadFactorBar * CalibrationFloorSec
+    val contaminated = loadVerdict(cal0, cal1)
     val allTotal = timings.values.sum
     // The seed map is BY CONSTRUCTION the same per-key medians the
     // per_query block reports — one measurement pass, one protocol
@@ -224,7 +272,7 @@ object Bench {
 
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"load_contaminated":$contaminated,"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is

@@ -46,8 +46,8 @@ object KeyBench {
       key -> (reps(1), reps.last - reps.head)
     }
     val cal1 = graft.Bench.calibrationProbe(spark)
-    val contaminated =
-      math.max(cal0, cal1) > graft.Bench.LoadFactorBar * graft.Bench.CalibrationFloorSec
+    // shared verdict (absolute bar + r10 start/end disagreement rule)
+    val contaminated = graft.Bench.loadVerdict(cal0, cal1)
     val body = timings.map { case (k, (med, spr)) =>
       s""""$k":{"median":${math.round(med * 10000) / 10000.0},"spread":${math.round(spr * 10000) / 10000.0}}"""
     }.mkString(",")
