@@ -76,20 +76,30 @@ object GraftOps {
   }
 
   /** LSH candidate pairs from signatures (two 2-row bands, equi joins
-    * only) with the signature-estimated Jaccard. */
+    * only) with the signature-estimated Jaccard. Cross-band duplicate
+    * pairs are killed by a map-side first-common-band filter (a pair
+    * matching BOTH bands is kept only by band 1), not a
+    * candidate-stream `.distinct()` — the duplicate test is a column
+    * comparison already resident in band 2's join stage, so no
+    * exchange + hash aggregate over the full candidate volume exists
+    * in the plan (the [[embeddingNearDups]] FirstBandMatch precedent,
+    * scalar 2-band spelling). */
   def lshCandidates(signatures: DataFrame, idCol: String): DataFrame = {
     val a = signatures.select(signatures.columns.map(c => col(c).as(s"a_$c")): _*)
     val b = signatures.select(signatures.columns.map(c => col(c).as(s"b_$c")): _*)
+    val pairCols = Seq(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
+      ((when(col("a_mh1") === col("b_mh1"), 1).otherwise(0) +
+        when(col("a_mh2") === col("b_mh2"), 1).otherwise(0) +
+        when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
+        when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
     val band1 = a.join(b, col("a_mh1") === col("b_mh1") &&
       col("a_mh2") === col("b_mh2") && col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(pairCols: _*)
     val band2 = a.join(b, col("a_mh3") === col("b_mh3") &&
       col("a_mh4") === col("b_mh4") && col(s"a_$idCol") < col(s"b_$idCol"))
-    band1.unionAll(band2).distinct()
-      .select(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
-        ((when(col("a_mh1") === col("b_mh1"), 1).otherwise(0) +
-          when(col("a_mh2") === col("b_mh2"), 1).otherwise(0) +
-          when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
-          when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
+      .filter(col("a_mh1") =!= col("b_mh1") || col("a_mh2") =!= col("b_mh2"))
+      .select(pairCols: _*)
+    band1.unionAll(band2)
   }
 
   /** Deterministic distributed Lloyd's k-means over an embedding

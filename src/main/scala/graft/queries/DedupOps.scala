@@ -37,7 +37,9 @@ object DedupOps {
   /** MinHash (4 permutations over 3-token shingles) + LSH with two
     * 2-row bands; candidate pairs carry the signature-estimated
     * Jaccard. Bands are equi-join keys — each band join is a plain
-    * hash join, unioned then de-duplicated.
+    * hash join; cross-band duplicates are killed by a map-side
+    * first-common-band filter inside band 2's join stage, not a
+    * candidate-stream `.distinct()` (see [[minhashPairs]]).
     *
     * Band-skew guard: a bucket of n docs sharing a band signature
     * yields n²/2 candidate pairs in one partition; boilerplate docs
@@ -100,31 +102,53 @@ object DedupOps {
     // The over-cap key set is bounded small by construction (≤ N/cap
     // keys can exceed the cap), so the guard is a broadcast anti-join
     // — no extra sorted window pass over the signatures.
-    def capped(k1: String, k2: String) = {
-      val big = mh.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("bsz"))
+    def overCap(k1: String, k2: String) =
+      mh.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > maxBandBucket)
         .select(col(k1).as("big_k1"), col(k2).as("big_k2"))
+    val big1 = overCap("mh1", "mh2")
+    def capped(big: DataFrame, k1: String, k2: String) =
       mh.join(broadcast(big),
         col(k1) === col("big_k1") && col(k2) === col("big_k2"), "left_anti")
-    }
     def renamed(df: org.apache.spark.sql.DataFrame, p: String) =
       df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
 
-    val a1 = renamed(capped("mh1", "mh2"), "a_"); val b1 = renamed(capped("mh1", "mh2"), "b_")
-    val a2 = renamed(capped("mh3", "mh4"), "a_"); val b2 = renamed(capped("mh3", "mh4"), "b_")
+    val a1 = renamed(capped(big1, "mh1", "mh2"), "a_")
+    val b1 = renamed(capped(big1, "mh1", "mh2"), "b_")
+    val big2 = overCap("mh3", "mh4")
+    val a2 = renamed(capped(big2, "mh3", "mh4"), "a_")
+    val b2 = renamed(capped(big2, "mh3", "mh4"), "b_")
+    val pairCols = Seq(
+      col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+      ((when(col("a_mh1") === col("b_mh1"), 1).otherwise(0) +
+        when(col("a_mh2") === col("b_mh2"), 1).otherwise(0) +
+        when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
+        when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
     val band1 = a1.join(b1,
       col("a_mh1") === col("b_mh1") && col("a_mh2") === col("b_mh2") &&
       col("a_doc_id") < col("b_doc_id"))
+      .select(pairCols: _*)
+    // Cross-band candidate dedup WITHOUT a distinct Exchange
+    // (VERDICT r9 #4, the FirstBandMatch precedent): with two bands a
+    // pair duplicates iff it matches in BOTH, so band 2 keeps a pair
+    // only when its band-1 keys do NOT also match — a map-side filter
+    // inside the join's codegen stage, replacing the full-candidate
+    // shuffle + hash aggregate `.distinct()` planned (13.7 M rows at
+    // sf10). Cap-awareness keeps the pair set EXACTLY the old
+    // distinct-union: a pair whose band-1 bucket was over-cap never
+    // reached band 1, so band 2 must still emit it even though its
+    // band-1 keys match — the over-cap key set rides the same
+    // broadcast the anti-join already ships (PlanSpec pins the plan;
+    // MinhashCapSpec pins capped ≡ uncapped on the fixtures).
     val band2 = a2.join(b2,
       col("a_mh3") === col("b_mh3") && col("a_mh4") === col("b_mh4") &&
       col("a_doc_id") < col("b_doc_id"))
-    band1.unionAll(band2).distinct()
-      .select(
-        col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
-        ((when(col("a_mh1") === col("b_mh1"), 1).otherwise(0) +
-          when(col("a_mh2") === col("b_mh2"), 1).otherwise(0) +
-          when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
-          when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
+      .join(broadcast(big1.withColumn("__b1cap", lit(true))),
+        col("a_mh1") === col("big_k1") && col("a_mh2") === col("big_k2"), "left")
+      .filter(col("a_mh1") =!= col("b_mh1") || col("a_mh2") =!= col("b_mh2") ||
+        coalesce(col("__b1cap"), lit(false)))
+      .select(pairCols: _*)
+    band1.unionAll(band2)
       .filter(col("jacc_est") >= 0.5)
   }
 
