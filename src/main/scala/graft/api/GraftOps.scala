@@ -123,18 +123,39 @@ object GraftOps {
     *    bit-identical centroids in any engine. A cell that loses all
     *    members simply vanishes — identically everywhere.
     *
-    * Scale shape (100 TB): each round is one broadcast of k·d centroid
-    * doubles into a map-side codegen'd scoring pass (zero shuffle for
-    * assignment — min(struct) is a partial+final agg on the id key the
-    * corpus is already partitioned by) plus one posexplode partial-agg
-    * shuffle whose combiner output is k·d rows per partition.
-    * Centroids localCheckpoint per round (lineage cut, O(iters) jobs,
-    * only k tiny rows materialized — the Pregel loop discipline of
-    * [[connectedComponents]]). Production builds quantizers from a
-    * SAMPLE (compose with the sampling operators), but nothing here
-    * requires it. */
+    * Scale shape (100 TB): each round is one broadcast of the k·d
+    * centroid doubles — folded into a SINGLE array-of-structs row and
+    * nested-loop-broadcast onto the corpus — into a map-side argmin
+    * (`array_min(transform(centroids, …))`, the same min-struct
+    * ordering as a grouped `min(struct(d, cell))` but evaluated
+    * per-row inside codegen), so assignment is genuinely ZERO
+    * shuffle and never materializes corpus×k candidate rows (ADVICE
+    * r9 flagged the previous crossJoin+groupBy spelling, which
+    * re-shuffled one corpus-sized row — id + full d-dim vector — per
+    * round). The only per-round shuffle is the centroid update: one
+    * posexplode partial-agg whose combiner output is k·d rows per
+    * partition. Centroids localCheckpoint per round (lineage cut,
+    * O(iters) jobs, only k tiny rows materialized — the Pregel loop
+    * discipline of [[connectedComponents]]). Production builds
+    * quantizers from a SAMPLE (compose with the sampling operators),
+    * but nothing here requires it. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int): DataFrame = {
+             k: Int, iters: Int): DataFrame =
+    kmeansModel(df, idCol, vecCol, k, iters)._2
+      .select(col(idCol), col("cell"))
+
+  /** [[kmeans]] exposing the trained model: returns
+    * `(centroids, assigned)` where `centroids` is (cell, __c:
+    * array&lt;double&gt;) — the final post-update centroids the last
+    * assignment ran against — and `assigned` is `df` with a `cell`
+    * column appended (all original columns kept: the final assignment
+    * is a pure map stage, so no join-back is needed). The centroids
+    * frame is what IVF retrieval probes against ([[graft.queries
+    * .VectorOps.qKnnIvfKmeans]]): a probe vector's nearest cell under
+    * the same argmin metric is BY CONSTRUCTION the cell its corpus
+    * copy was assigned to. */
+  def kmeansModel(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): (DataFrame, DataFrame) = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val v = df.select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("__ev"))
@@ -146,17 +167,26 @@ object GraftOps {
       .withColumn("__cell", row_number().over(seedW) - 1)
       .select(col("__cell"), expr("transform(__ev, x -> round(x, 4))").as("__c"))
 
+    // One row, one column: every centroid as (cell, vector, ‖c‖²)
+    // sorted by cell — the whole model as a broadcastable literal.
+    def centArr(cent: DataFrame): DataFrame =
+      cent.agg(array_sort(collect_list(struct(
+        col("__cell"),
+        col("__c"),
+        round(expr("graft_num_dot(__c, __c)"), 6).as("__cn")))).as("__cs"))
+
+    // Per-row argmin of round(‖c‖² − 2·v·c, 6), ties to the smaller
+    // cell: array_min over struct<__d,__cell> compares __d first then
+    // __cell — exactly the old grouped min(struct) ordering, but with
+    // no exchange and no corpus×k intermediate.
+    def cellExpr(vec: String): Column = expr(
+      s"""array_min(transform(__cs, c -> struct(
+         |  round(c.__cn - 2.0d * graft_num_dot($vec, c.__c), 6) AS __d,
+         |  c.__cell AS __cell))).__cell""".stripMargin)
+
     def assign(cent: DataFrame): DataFrame =
-      v.crossJoin(broadcast(
-          cent.withColumn("__cn", round(expr("graft_num_dot(__c, __c)"), 6))))
-        .select(col("__id"), col("__ev"),
-          struct(
-            round(col("__cn") - lit(2.0) * expr("graft_num_dot(__ev, __c)"), 6)
-              .as("__d"),
-            col("__cell")).as("__dc"))
-        .groupBy(col("__id"))
-        .agg(min(col("__dc")).as("__m"), first(col("__ev")).as("__ev"))
-        .select(col("__id"), col("__ev"), col("__m").getField("__cell").as("__cell"))
+      v.crossJoin(broadcast(centArr(cent)))
+        .select(col("__id"), col("__ev"), cellExpr("__ev").as("__cell"))
 
     def update(a: DataFrame): DataFrame =
       a.select(col("__cell"), posexplode(col("__ev")).as(Seq("__p", "__x")))
@@ -169,7 +199,12 @@ object GraftOps {
 
     var cent = c0.localCheckpoint(true)
     for (_ <- 1 to iters) cent = update(assign(cent))
-    assign(cent).select(col("__id").as(idCol), col("__cell").as("cell"))
+    val assigned = df
+      .crossJoin(broadcast(centArr(cent)))
+      .withColumn("cell",
+        cellExpr(s"transform($vecCol, x -> cast(x as double))"))
+      .drop("__cs")
+    (cent, assigned)
   }
 
   /** Attach the multi-band sign-LSH key array (EmbLshKeys: 21 bands ×

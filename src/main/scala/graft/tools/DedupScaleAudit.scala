@@ -49,15 +49,19 @@ object DedupScaleAudit {
     * capping subtracts exactly Σ_overcap b·(b−1)/2 — the instrument
     * itself is verified, not just the numbers it prints. */
   private[graft] def bucketStats(sizes: DataFrame, cap: Long): (Long, Long, Long, Long, Long) = {
+    // every max/sum is coalesced: on an EMPTY sizes frame (a corpus
+    // where no gram clears the df floor, say) those aggregates return
+    // NULL and the getLong below would NPE the whole audit (ADVICE r9)
+    // — an empty structure is a legitimate "all zeros" reading.
     val r = sizes.agg(
       count(lit(1)).as("n_buckets"),
-      max(col("bsz")).as("max_bucket"),
-      sum(when(col("bsz") > cap, 1L).otherwise(0L)).as("over_cap"),
+      coalesce(max(col("bsz")), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("bsz") > cap, 1L).otherwise(0L)), lit(0L)).as("over_cap"),
       // `div`, not `/`: Spark's Divide returns double (and the product
       // of two consecutive ints is even, so div 2 is exact)
-      sum(expr("bsz * (bsz - 1) div 2")).as("pairs_uncapped"),
-      sum(when(col("bsz") <= cap, expr("bsz * (bsz - 1) div 2"))
-        .otherwise(0L)).as("pairs_capped")).collect()(0)
+      coalesce(sum(expr("bsz * (bsz - 1) div 2")), lit(0L)).as("pairs_uncapped"),
+      coalesce(sum(when(col("bsz") <= cap, expr("bsz * (bsz - 1) div 2"))
+        .otherwise(0L)), lit(0L)).as("pairs_capped")).collect()(0)
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
   }
 
