@@ -161,7 +161,9 @@ object SparkEntry {
     "q_dedup_containment"  -> DedupOps.qDedupContainment _,
     "q_dedup_url"          -> DedupOps.qDedupUrl _,
     // round-9: unsupervised IVF quantizer build
-    "q_kmeans_build"       -> VectorOps.qKmeansBuild _
+    "q_kmeans_build"       -> VectorOps.qKmeansBuild _,
+    // round-10: unsupervised end-to-end IVF (kmeans cells → retrieval)
+    "q_knn_ivf_kmeans"     -> VectorOps.qKnnIvfKmeans _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

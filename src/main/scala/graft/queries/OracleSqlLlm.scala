@@ -436,6 +436,42 @@ object OracleSqlLlm {
         |FROM m GROUP BY 1 ORDER BY stage""".stripMargin
   )
 
+  // ---- k-means unrolled-Lloyd CTE machinery, shared by
+  // q_kmeans_build and q_knn_ivf_kmeans: one generator per Lloyd
+  // fragment so the two keys' rounds are the same strings and cannot
+  // drift apart. Mirrors GraftOps.kmeansModel: hash-picked seeds,
+  // argmin of round(||c||^2 - 2 v.c, 6) with ties to the smaller
+  // cell, per-dim means re-rounded to 4 dp. ----
+  private def kmAssign(cent: String) =
+    s"""SELECT vec_id, ev, cell FROM (
+       |  SELECT v.vec_id, v.ev, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(round(list_dot_product(c.cv, c.cv), 6)
+       |            - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
+       |  FROM v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
+
+  private def kmUpdate(a: String) =
+    s"""SELECT cell, list(cx ORDER BY p) AS cv FROM (
+       |  SELECT cell, i AS p, round(avg(ev[i]), 4) AS cx
+       |  FROM $a, unnest(range(1, 65)) t(i) GROUP BY cell, i) y
+       |GROUP BY cell""".stripMargin
+
+  /** WITH-prefix ending at `af`, the final corpus (vec_id, ev, cell)
+    * assignment after the two unrolled Lloyd rounds (k = 8). */
+  private def kmCtes: String = {
+    val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
+       |         list_transform(ev, x -> round(x, 4)) AS cv
+       |  FROM v ORDER BY $h, vec_id LIMIT 8),
+       |a1 AS (${kmAssign("c0")}),
+       |c1 AS (${kmUpdate("a1")}),
+       |a2 AS (${kmAssign("c1")}),
+       |c2 AS (${kmUpdate("a2")}),
+       |af AS (${kmAssign("c2")})""".stripMargin
+  }
+
   val vector: Map[String, String] = Map(
     // Three formulations, one semantics — same oracle as q_cosine_topk.
     "q_cosine_expr" -> OracleSql.seed("q_cosine_topk"),
@@ -486,34 +522,34 @@ object OracleSqlLlm {
     // k-means build: both Lloyd rounds unrolled as CTEs (the pagerank
     // fixed-iteration precedent) from the same seed/rounding/argmin
     // discipline as GraftOps.kmeans (assign/update fragments generated
-    // below so the two rounds cannot drift apart)
-    "q_kmeans_build" -> {
-      def assign(cent: String) =
-        s"""SELECT vec_id, ev, cell FROM (
-           |  SELECT v.vec_id, v.ev, c.cell,
-           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |      round(round(list_dot_product(c.cv, c.cv), 6)
-           |            - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
-           |  FROM v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
-      def update(a: String) =
-        s"""SELECT cell, list(cx ORDER BY p) AS cv FROM (
-           |  SELECT cell, i AS p, round(avg(ev[i]), 4) AS cx
-           |  FROM $a, unnest(range(1, 65)) t(i) GROUP BY cell, i) y
-           |GROUP BY cell""".stripMargin
-      val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
-         |         list_transform(ev, x -> round(x, 4)) AS cv
-         |  FROM v ORDER BY $h, vec_id LIMIT 8),
-         |a1 AS (${assign("c0")}),
-         |c1 AS (${update("a1")}),
-         |a2 AS (${assign("c1")}),
-         |c2 AS (${update("a2")}),
-         |af AS (${assign("c2")})
+    // by the shared kmCtes builder below so this key and
+    // q_knn_ivf_kmeans cannot drift apart)
+    "q_kmeans_build" ->
+      s"""$kmCtes
          |SELECT cell, count(*) AS n, min(vec_id) AS rep
-         |FROM af GROUP BY cell ORDER BY cell""".stripMargin
-    },
+         |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // unsupervised end-to-end IVF: the SAME unrolled Lloyd build, then
+    // probes rank cells by the build's own argmin metric (nprobe=2)
+    // and search only their cells' members — mirrors
+    // VectorOps.qKnnIvfKmeans exactly
+    "q_knn_ivf_kmeans" ->
+      s"""$kmCtes,
+         |pc AS (
+         |  SELECT vec_id, ev, cell FROM (
+         |    SELECT v.vec_id, v.ev, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(round(list_dot_product(c.cv, c.cv), 6)
+         |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
+         |    FROM v CROSS JOIN c2 c WHERE v.vec_id < 10) x WHERE rk <= 2),
+         |pairs AS (
+         |  SELECT p.vec_id, t.vec_id AS neighbor,
+         |    round(CAST(list_dot_product(p.ev, t.ev) AS DOUBLE), 4) AS cos
+         |  FROM pc p JOIN af t ON t.cell = p.cell AND t.vec_id <> p.vec_id)
+         |SELECT vec_id, neighbor, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) z
+         |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
 
     "q_emb_centroid" ->
       """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS c

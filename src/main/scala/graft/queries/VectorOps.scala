@@ -205,6 +205,71 @@ object VectorOps {
       .orderBy(col("cell"))
   }
 
+  /** Unsupervised end-to-end IVF retrieval (r10 — closes the last
+    * structural seam in the vector stack): [[qKnnIvf]] reads its cells
+    * from the fixture's `label` column, a supervised stand-in real
+    * corpora don't have; here the cells come from
+    * [[graft.api.GraftOps.kmeansModel]] — the k=8, 2-round
+    * deterministic Lloyd build of q_kmeans_build — so the whole path
+    * is what a production pipeline actually runs: train quantizer →
+    * assign corpus → multi-probe search.
+    *
+    * Probe-cell ranking uses the SAME argmin metric as the build
+    * (round(‖c‖² − 2·v·c, 6) ascending, ties to the smaller cell), so
+    * a probe's top-1 cell is by construction the cell its corpus copy
+    * was assigned to — rank-1 retrieval can never miss the probe's own
+    * cell, the property that makes IVF recall predictable (asserted
+    * per-probe in AnnRecallSpec). nprobe=2 declared; measured top-3
+    * recall 0.467 at 2/8 of the corpus scanned — BETTER than
+    * [[qKnnIvf]]'s 0.300 from the 10 label cells, because Lloyd cells
+    * follow the data's actual neighborhood structure while the
+    * fixture's labels are assigned independently of geometry. The
+    * 1/2/4 nprobe curve (0.300/0.467/0.700) is pinned monotone.
+    *
+    * Scale shape: the corpus assignment is a zero-shuffle map stage
+    * (kmeansModel keeps all columns — no join-back), the k·d centroid
+    * model broadcasts, and the search is one equi join on the cell
+    * key — identical join geometry to qKnnIvf. The cell key has
+    * cardinality k, so production sizes k accordingly (k ≈ √N cells is
+    * the IVF convention); at k=8 on the fixture the join is effectively
+    * a broadcast of the probe side. */
+  def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    qKnnIvfKmeansProbed(spark, dir, 2)
+
+  private[graft] def qKnnIvfKmeansProbed(
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val (cent, assigned) =
+      graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", 8, 2)
+    val centN = cent.withColumn("__cn", round(expr("graft_num_dot(__c, __c)"), 6))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as(P))
+    val pa = probes.crossJoin(broadcast(centN))
+      .select(col("vec_id"), col(P),
+        // same 6-dp argmin metric as the build; float×double num_dot is
+        // exact-equal to the build's double×double (float→double is exact)
+        round(col("__cn") - lit(2.0) * expr(s"graft_num_dot($P, __c)"), 6).as("d_c"),
+        col("__cell").as("cell"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d_c"), col("cell"))
+    val probeCell = pa.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col(P), col("cell"))
+    val targets = assigned
+      .select(col("vec_id").as("neighbor"), col("cell"), col("embedding").as(T))
+    // probe side is bounded (≤ 10·nprobe rows) but hides behind a
+    // window, so Catalyst has no stats to auto-broadcast it — hint it,
+    // keeping the corpus side shuffle-free
+    val pairs = broadcast(probeCell).join(targets, "cell")
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("neighbor"), col("cos"))
+      .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+  }
+
   /** Top-3 orders per customer through the custom TopKPerGroup plan
     * node (graft.plans: logical node → strategy → partial/final
     * physical top-k) — same rows as the window row_number idiom, same

@@ -124,6 +124,54 @@ class AnnRecallSpec extends SparkSpec {
     assert(byNp(4) > byNp(2), "nprobe=4 should strictly improve over nprobe=2 on this fixture")
   }
 
+  test("q_knn_ivf_kmeans (unsupervised cells, nprobe=2): measured top-3 recall ≥ 0.25") {
+    // the end-to-end unsupervised path: kmeans(k=8, 2 rounds) trains
+    // the cells q_knn_ivf reads from the fixture's label column. On
+    // this isotropic fixture the learned 8-cell partition behaves like
+    // the 10 label cells (slightly coarser: 2/8 of the corpus scanned
+    // at nprobe=2 vs 2/10) — the floor pins that training cells from
+    // nothing does not collapse retrieval.
+    val found = pairsOf(VectorOps.qKnnIvfKmeans(spark, sf), "vec_id", "neighbor")
+    val recall = (found & gtTop3).size.toDouble / gtTop3.size
+    info(f"knn_ivf_kmeans recall = ${(found & gtTop3).size}/${gtTop3.size} = $recall%.3f")
+    assert(recall >= 0.25, f"recall $recall%.3f below 0.25 floor (measured 0.467)")
+  }
+
+  test("q_knn_ivf_kmeans nprobe curve (1/2/4): recall is monotone in scan fraction") {
+    val recalls = Seq(1, 2, 4).map { np =>
+      val found = pairsOf(VectorOps.qKnnIvfKmeansProbed(spark, sf, np), "vec_id", "neighbor")
+      np -> (found & gtTop3).size.toDouble / gtTop3.size
+    }
+    info(recalls.map { case (np, r) => f"nprobe=$np: $r%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$np1) to $r2%.3f (nprobe=$np2)")
+    }
+  }
+
+  test("q_knn_ivf_kmeans: a corpus probe's top-ranked cell is its own kmeans cell") {
+    // the property the scaladoc claims BY CONSTRUCTION: probe-cell
+    // ranking uses the build's own argmin metric, so rank-1 = the cell
+    // the corpus copy was assigned to, for every probe
+    val (cent, assigned) = graft.api.GraftOps
+      .kmeansModel(emb, "vec_id", "embedding", 8, 2)
+    val own = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val centN = cent.withColumn("__cn", round(expr("graft_num_dot(__c, __c)"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d_c"), col("cell"))
+    val top1 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as("e_p"))
+      .crossJoin(broadcast(centN))
+      .select(col("vec_id"),
+        round(col("__cn") - lit(2.0) * expr("graft_num_dot(e_p, __c)"), 6).as("d_c"),
+        col("__cell").as("cell"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(top1 == own, s"probe top-1 cells $top1 != corpus assignment $own")
+  }
+
   test("q_knn_rerank (int8 coarse → exact re-rank): top-3 recall ≥ 0.9") {
     // unlike the LSH/IVF keys this is NOT a pruning trade-off: the
     // coarse pass scans everything at 1/127 resolution, so the only
