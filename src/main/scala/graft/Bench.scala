@@ -62,18 +62,30 @@ object Bench {
     * cannot drag the median (VERDICT r7 #2). */
   val NoisyReps = 7
 
-  /** Quiet-box median of the [[calibrate]] probe on the round-8/9
+  /** Quiet-box median of the [[calibrate]] probe on the round-8/9/10
     * build box (local[32], measured over repeated quiet runs). A
     * calibration median beyond [[LoadFactorBar]]× this floor stamps
     * the whole file `load_contaminated` — the guard VERDICT r8 #1
     * demanded after the sf0.1 full-inventory total regressed 45.8→62 s
     * across UNTOUCHED code with tight per-key spreads: consistent
     * ambient load inflates medians without widening spreads, so spread
-    * policing alone cannot see it. Measured quiet: 0.21 s at session
-    * start (codegen JIT still warming), 0.11 s steady-state; the floor
-    * sits just above the start-of-run value so only genuine competing
-    * load (which roughly doubles the probe on a saturated box) trips
-    * the 1.5× bar, not the probe's own warm-up slope.
+    * policing alone cannot see it.
+    *
+    * Floor placement (re-measured r10): the probe's QUIET wall time is
+    * not one number — it tracks whole-JVM warmth, not probe-local JIT.
+    * Measured on an idle box (loadavg 0.24): 0.26 s from a fresh JVM
+    * even after [[calibrate]]'s five warmups, 0.15 s at the end of a
+    * short run, 0.09–0.12 s deep into a long run. The floor must sit
+    * above the fresh-JVM quiet value (every Bench/KeyBench START probe
+    * is one), hence 0.20 with the 1.5× bar at 0.30. An r10 attempt to
+    * drop the floor to the long-run steady state (0.11) false-flagged
+    * every fresh-JVM quiet run and was reverted. KNOWN BLIND SPOT,
+    * accepted and documented: a box loaded a constant ~2× reads
+    * ~0.18–0.25 s agreeing probes — indistinguishable by these signals
+    * from fresh-JVM quiet; the loadavg/java_procs fields exist so a
+    * consumer can adjudicate such runs, and the per-key medians of a
+    * suspect artifact should be cross-checked against BASELINE.md's
+    * own-JVM pins (the r9/r10 protocol).
     *
     * The constant is a PER-BOX number (probe wall time scales with
     * core count — ADVICE r9): on any other box set
@@ -94,11 +106,12 @@ object Bench {
     * and ~27 untouched keys carried a +0.3–0.5 s offset. The probes
     * measure the SAME fixed work, so disagreement = the box's
     * available CPU changed mid-run and per-key medians are not
-    * comparable. Bar placement: the measured QUIET start/end pair is
-    * 0.21/0.11 (1.9× — the start probe still pays residual JIT even
-    * after calibrate()'s double warmup), so the bar sits at 2× — just
-    * above the quiet slope, well under r9's 3.4× contaminated
-    * reading. */
+    * comparable. Bar placement: originally sized against a quiet
+    * start/end pair of 0.21/0.11 (1.9× of residual-JIT slope after
+    * two warmups); the r10 five-warmup fix converges both probes to
+    * steady state (measured quiet pairs now agree within ~1.4×), so
+    * the 2× bar carries real margin while staying well under r9's
+    * 3.4× contaminated reading. */
   val CalDisagreeBar = 2.0
 
   /** The whole-file contamination verdict — one definition shared by
@@ -122,11 +135,13 @@ object Bench {
       spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // TWO warmups: the first session-start probe pays codegen compile +
-    // JIT (~0.27 s vs 0.11 s steady) and one warmup alone leaves the
-    // start-of-run median near the 1.5× trip line on a QUIET box —
-    // the probe must measure CPU availability, not JVM warm-up slope.
-    once(); once()
+    // FIVE warmups (r10, was 2): shaves what probe-local warm-up CAN
+    // be shaved. Measured honestly though (see CalibrationFloorSec):
+    // a fresh-JVM start probe still reads ~0.26 s on an idle box —
+    // the residual is whole-JVM warmth (Spark scheduler, codegen
+    // infrastructure), which no amount of probe-local repetition
+    // removes. The floor is placed above that fresh-JVM value.
+    (1 to 5).foreach(_ => once())
     Seq.fill(3)(once()).sorted.apply(1)
   }
 
@@ -212,6 +227,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-file fixtures under the default 128 MB maxPartitionBytes
+      // scan in size/128MB tasks — sf1's lineitem is ONE task on a
+      // 32-core box (r10; KeyBench carries the same knob + rationale)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -335,7 +335,18 @@ object GraftOps {
     * from a dedicated `spark.newSession()`. (Per-frame `repartition`
     * can't replace the conf here: it sizes its own exchange, not the
     * groupBy/join exchanges Catalyst inserts downstream.) */
-  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol, _ => ())
+
+  /** [[connectedComponents]] with a per-round observer: `onRound`
+    * receives each round's changed-label count (the loop's own
+    * convergence scalar — no extra action is run to report it). Lets
+    * scale audits record the measured round count / convergence curve
+    * at a given fixture without duplicating the loop
+    * (`tools.CcRoundAudit`); the 2-arg overload is the operator API. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          onRound: Long => Unit): DataFrame = {
     // checkpoint BEFORE doubling so the (possibly expensive) edge
     // subtree materializes once; the direction-flip union is a cheap
     // projection over the in-memory checkpoint each round
@@ -381,6 +392,7 @@ object GraftOps {
             (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
           .localCheckpoint(true)
         changed = next.filter(col("__changed")).count()
+        onRound(changed)
         comp = next.select(col("id"), col("component"))
       }
       comp

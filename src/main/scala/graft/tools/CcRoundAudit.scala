@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the connected-components convergence curve on
+  * q_dedup_clusters' EXACT edge set (capped MinHash candidate pairs)
+  * at a given fixture — the number the loop's O(diameter) cost claim
+  * rests on (VERDICT r9 #5: "CC round count at sf10 recorded").
+  *
+  * Uses the 4-arg [[graft.api.GraftOps.connectedComponents]] overload:
+  * the per-round changed counts come from the loop's OWN convergence
+  * scalars, so the instrument adds zero Spark actions to what the
+  * declared key already runs. Prints one JSON line:
+  * edges, rounds, changed-per-round, clusters, wall seconds.
+  *
+  * Usage: `runMain graft.tools.CcRoundAudit <sfDir> [label]`
+  */
+object CcRoundAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val label = args.lift(1).getOrElse(new java.io.File(sfDir).getName)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-cc-round-audit")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+
+    val pairs = graft.queries.DedupOps
+      .minhashPairs(spark, sfDir, graft.queries.DedupOps.MaxBandBucket)
+    val nEdges = pairs.count()
+    val rounds = scala.collection.mutable.ArrayBuffer[Long]()
+    val t0 = System.nanoTime()
+    val comp = graft.api.GraftOps
+      .connectedComponents(pairs, "doc_a", "doc_b", rounds += _)
+    val nClusters = comp.select(col("component")).distinct().count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"cc_rounds","label":"$label","edges":$nEdges,""" +
+      s""""rounds":${rounds.size},"changed_per_round":[${rounds.mkString(",")}],""" +
+      s""""clusters":$nClusters,"wall_sec":${math.round(wall * 100) / 100.0}}""")
+    spark.stop()
+  }
+}

@@ -28,6 +28,15 @@ object KeyBench {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-keybench")
       .config("spark.sql.shuffle.partitions", "32")
+      // single-file fixtures cap scan parallelism at size/128 MB tasks
+      // under the default maxPartitionBytes — sf1's 75 MB lineitem
+      // scans as ONE task on a 32-core box, flooring every scan-bound
+      // reading (r10, found comparing sf1 vs sf10 agg walls: 10× rows
+      // in LESS wall). 16 MB sizes splits to the core count at the
+      // fixture scales; production many-file datasets parallelize by
+      // file count and don't need the knob.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

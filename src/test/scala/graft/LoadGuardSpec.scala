@@ -40,6 +40,16 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(!Bench.loadVerdict(0.12, 0.08, floor))
   }
 
+  test("r10: fresh-JVM quiet start probe [0.26] with warm end probe passes under the default floor") {
+    // measured on an idle box (loadavg 0.24): the start probe reads
+    // ~0.26 s from a fresh JVM even after five warmups — whole-JVM
+    // warmth, not load. The default floor must clear it (an r10
+    // attempt at floor 0.11 false-flagged every such run; the
+    // documented trade is that constant ~2× load on a fresh JVM is
+    // indistinguishable from this — see CalibrationFloorSec scaladoc)
+    assert(!Bench.loadVerdict(0.26, 0.157))
+  }
+
   test("floor override scales the absolute bar") {
     // a slower box with floor 0.40: 0.45 agreeing probes are quiet
     assert(!Bench.loadVerdict(0.45, 0.44, 0.40))
