@@ -163,7 +163,11 @@ object SparkEntry {
     // round-9: unsupervised IVF quantizer build
     "q_kmeans_build"       -> VectorOps.qKmeansBuild _,
     // round-10: unsupervised end-to-end IVF (kmeans cells → retrieval)
-    "q_knn_ivf_kmeans"     -> VectorOps.qKnnIvfKmeans _
+    "q_knn_ivf_kmeans"     -> VectorOps.qKnnIvfKmeans _,
+    // round-10: SemDeDup — kmeans cells as semantic dedup blocking
+    "q_dedup_semantic"     -> VectorOps.qDedupSemantic _,
+    // round-10: BM25 retrieval scoring (zero-shuffle two-pass shape)
+    "q_text_bm25"          -> TextOps.qTextBm25 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -11,6 +11,34 @@ package graft.queries
 object OracleSqlLlm {
 
   val text: Map[String, String] = Map(
+    // BM25: per-term fragments generated so the three terms cannot
+    // drift from the Spark side's list; constants are the literals
+    // 2.2/1.2/0.25/0.75 in both engines (see qTextBm25 scaladoc)
+    "q_text_bm25" -> {
+      val terms = Seq("query", "join", "scan")
+      val tfCols = terms.map(t =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t")
+        .mkString(",\n    ")
+      val dfCols = terms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(",\n    ")
+      val scoreSum = terms.map(t =>
+        s"(CASE WHEN tf_$t > 0 THEN ln(1 + (nd - df_$t + 0.5)/(df_$t + 0.5))" +
+        s" * tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS nd, round(avg(dl), 6) AS avgdl,
+         |    $dfCols
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, round($scoreSum, 4) AS bm25 FROM base, stats)
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
     "q_text_wordcount" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
@@ -550,6 +578,17 @@ object OracleSqlLlm {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) z
          |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
+
+    // SemDeDup: same unrolled Lloyd build, candidates = within-cell
+    // pairs, same τ/rounding as q_dedup_embedding
+    "q_dedup_semantic" ->
+      s"""$kmCtes,
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(CAST(list_dot_product(a.ev, b.ev) AS DOUBLE), 4) AS cos
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs
+         |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
 
     "q_emb_centroid" ->
       """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS c

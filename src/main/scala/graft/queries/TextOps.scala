@@ -401,6 +401,58 @@ object TextOps {
     * goes flat). One explode + one map-side-combinable count agg; the
     * ranking window runs over the aggregated VOCABULARY (tiny at any
     * corpus scale), not the token stream. */
+  /** BM25 retrieval scoring (r10) — the classic probabilistic ranking
+    * function (Robertson/Spärck Jones; the Lucene `ln(1 + (N−df+0.5)/
+    * (df+0.5))` idf variant, k1 = 1.2, b = 0.75) of every document
+    * against a fixed 3-term query, top-20 by score. The retrieval
+    * counterpart of [[qTextTfidf]]'s corpus-level term weights.
+    *
+    * Scale shape — deliberately the cheapest possible BM25: per-doc
+    * term frequencies and length come from per-row array ops on the
+    * SPLIT TEXT (`size(filter(...))` — no token explode, no
+    * per-(doc,term) shuffle; a 3-term query needs 3 counters per row,
+    * not an inverted index), the corpus statistics (N, avgdl, per-term
+    * df) are ONE global aggregate row broadcast back, and the score is
+    * a codegen'd per-row expression. Total: one partial+final agg of
+    * one row + a broadcast nested-loop of 1 row — the same two-pass
+    * shape as the prefix-sum operators. A production system amortizes
+    * the stats pass across queries (they're query-independent except
+    * df, which an inverted index or CMS sketch serves).
+    *
+    * Determinism: tf/dl/df/N are exact integers; avgdl is re-rounded
+    * to 6 dp before use so the one inexact corpus statistic is
+    * bit-identical across engines; ln of identical rationals and the
+    * fixed double chain round to 4 dp (the [[qTextTfidf]] log
+    * discipline). Ties at the top-20 boundary break on doc_id. */
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("query", "join", "scan")
+    // constants appear as the LITERALS 2.2 / 1.2 / 0.25 / 0.75 on both
+    // engines, never as computed doubles: 1.2 + 1 in Scala lands
+    // exactly on a round-to-even tie against the parsed literal 2.2,
+    // and a one-ulp constant seam would poison every score
+    val base = docs(spark, dir).select(
+      (col("doc_id") +: size(split(col("text"), " ")).as("dl") +:
+        terms.map(t =>
+          size(expr(s"filter(split(text, ' '), x -> x = '$t')")).as(s"tf_$t"))): _*)
+    val statCols = count(lit(1)).as("nd") +: round(avg(col("dl")), 6).as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("nd") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      when(col(s"tf_$t") > 0,
+        idf * tf * lit(2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def qTextZipf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")

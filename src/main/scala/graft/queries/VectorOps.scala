@@ -270,6 +270,41 @@ object VectorOps {
       .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (r10): k-means cells as the
+    * blocking structure for embedding near-dup pairs — the method of
+    * Abbas et al. 2023 ("SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus
+    * embeddings, then compare pairs only WITHIN a cluster, since
+    * semantic duplicates land in the same cell by construction. Same
+    * τ = 0.4 and output shape as [[qDedupEmbedding]], so the two
+    * blocking strategies (learned cells here, 21×6-bit sign-LSH
+    * there) are directly comparable on recall — AnnRecallSpec
+    * measures both against the same brute-force ground truth.
+    *
+    * Scale shape: the corpus assignment is the zero-shuffle kmeans map
+    * stage; candidates come from ONE equi self-join on the cell key.
+    * Candidate volume is Σ_cells n_c·(n_c−1)/2 ≈ N²/(2k) for balanced
+    * cells — k is the dial, sized k ≈ N/target_cell_size in
+    * production (SemDeDup used 50 k clusters for 5 B embeddings;
+    * within-cell work can further compose with the int8 coarse pass
+    * of [[qKnnRerank]]). The declared k = 8 keeps the key
+    * oracle-checkable at every fixture SF; the declared geometry is
+    * quadratic-within-cell by construction, exactly like the paper. */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val (_, assigned) =
+      graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", 8, 2)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("graft_dot_product(e_a, e_b)"), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+  }
+
   /** Top-3 orders per customer through the custom TopKPerGroup plan
     * node (graft.plans: logical node → strategy → partial/final
     * physical top-k) — same rows as the window row_number idiom, same

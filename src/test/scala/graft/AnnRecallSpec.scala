@@ -124,6 +124,31 @@ class AnnRecallSpec extends SparkSpec {
     assert(byNp(4) > byNp(2), "nprobe=4 should strictly improve over nprobe=2 on this fixture")
   }
 
+  test("q_dedup_semantic: sound (no false positives), recall measured vs LSH blocking") {
+    // SemDeDup blocking (8 learned cells) vs the 21×6-bit sign-LSH of
+    // q_dedup_embedding, same τ and same brute-force ground truth. A
+    // within-cell pair is always a true candidate (the dot product is
+    // exact), so soundness is structural; recall measures how many
+    // τ-pairs land in the SAME cell. On this isotropic fixture most
+    // τ = 0.4 pairs are noise-tail pairs with no semantic structure,
+    // so cell-recall sits well below the LSH's 0.742 — the knob the
+    // paper turns (more clusters → finer cells) trades the other way
+    // on real clustered embeddings. The floor pins the planted twin
+    // layer's behavior: cos ≈ 0.90 twins are co-assigned reliably.
+    val found = pairsOf(VectorOps.qDedupSemantic(spark, sf), "vec_a", "vec_b")
+    assert(found.subsetOf(gtNearDup),
+      s"within-cell pairs must be true near-dups; extras: ${found -- gtNearDup}")
+    val recall = found.size.toDouble / gtNearDup.size
+    info(f"dedup_semantic recall = ${found.size}/${gtNearDup.size} = $recall%.3f (LSH: 0.742)")
+    // measured 0.364 on this fixture (8 cells ⇒ a random noise-tail
+    // pair co-assigns w.p. ~1/8; the measured value above that floor
+    // is the twins + what cluster structure the weak label tilt
+    // gives). Deterministic inputs ⇒ exact reproducible value; the
+    // floor guards structural collapse (e.g. all-one-cell or
+    // cells-ignore-geometry regressions in the kmeans build).
+    assert(recall >= 0.30, f"recall $recall%.3f below 0.30 floor (measured 0.364)")
+  }
+
   test("q_knn_ivf_kmeans (unsupervised cells, nprobe=2): measured top-3 recall ≥ 0.25") {
     // the end-to-end unsupervised path: kmeans(k=8, 2 rounds) trains
     // the cells q_knn_ivf reads from the fixture's label column. On

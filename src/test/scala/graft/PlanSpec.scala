@@ -191,6 +191,25 @@ class PlanSpec extends SparkSpec {
       s"sorted limit must not shuffle:\n$p")
   }
 
+  test("q_text_bm25 never shuffles the corpus: one single-row stats exchange + broadcast back") {
+    // the BM25 scale claim (TextOps scaladoc): tf/dl are per-row array
+    // ops (no token explode), corpus stats are ONE partial+final agg
+    // whose exchange moves one combiner row per partition, and the
+    // stats row rides a broadcast join back over the corpus. Top-20 is
+    // the fused per-partition heap. Any (doc,term) shuffle or global
+    // sort would print additional exchanges.
+    val p = planOf(queries.TextOps.qTextBm25(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row must broadcast:\n$p")
+    val singlePartition = "Exchange SinglePartition".r.findAllIn(p).length
+    // every shuffle exchange in the plan must be the stats agg's
+    // single-partition gather; a corpus-keyed exchange is a regression
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"corpus-keyed shuffle appeared in BM25:\n$p")
+    assert(singlePartition <= 1, s"more than one gather:\n$p")
+  }
+
   test("q_pack_shards' corpus window is per-partition, not a single global partition") {
     val p = planOf(queries.PipelineOps.qPackShards(spark, sf))
     // the running sum over the corpus must be partitioned by __pid;
