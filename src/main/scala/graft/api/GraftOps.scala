@@ -167,26 +167,9 @@ object GraftOps {
       .withColumn("__cell", row_number().over(seedW) - 1)
       .select(col("__cell"), expr("transform(__ev, x -> round(x, 4))").as("__c"))
 
-    // One row, one column: every centroid as (cell, vector, ‖c‖²)
-    // sorted by cell — the whole model as a broadcastable literal.
-    def centArr(cent: DataFrame): DataFrame =
-      cent.agg(array_sort(collect_list(struct(
-        col("__cell"),
-        col("__c"),
-        round(expr("graft_num_dot(__c, __c)"), 6).as("__cn")))).as("__cs"))
-
-    // Per-row argmin of round(‖c‖² − 2·v·c, 6), ties to the smaller
-    // cell: array_min over struct<__d,__cell> compares __d first then
-    // __cell — exactly the old grouped min(struct) ordering, but with
-    // no exchange and no corpus×k intermediate.
-    def cellExpr(vec: String): Column = expr(
-      s"""array_min(transform(__cs, c -> struct(
-         |  round(c.__cn - 2.0d * graft_num_dot($vec, c.__c), 6) AS __d,
-         |  c.__cell AS __cell))).__cell""".stripMargin)
-
     def assign(cent: DataFrame): DataFrame =
-      v.crossJoin(broadcast(centArr(cent)))
-        .select(col("__id"), col("__ev"), cellExpr("__ev").as("__cell"))
+      v.crossJoin(broadcast(centroidArray(cent)))
+        .select(col("__id"), col("__ev"), cellColumn("__ev").as("__cell"))
 
     def update(a: DataFrame): DataFrame =
       a.select(col("__cell"), posexplode(col("__ev")).as(Seq("__p", "__x")))
@@ -200,12 +183,38 @@ object GraftOps {
     var cent = c0.localCheckpoint(true)
     for (_ <- 1 to iters) cent = update(assign(cent))
     val assigned = df
-      .crossJoin(broadcast(centArr(cent)))
-      .withColumn("cell",
-        cellExpr(s"transform($vecCol, x -> cast(x as double))"))
+      .crossJoin(broadcast(centroidArray(cent)))
+      .withColumn("cell", cellColumn(vecCol))
       .drop("__cs")
     (cent, assigned)
   }
+
+  /** The trained k-means model folded into ONE broadcastable row:
+    * every centroid as (cell, vector, ‖c‖²) sorted by cell, in a
+    * single `__cs` array column. This is the frame a consumer joins
+    * (broadcast) onto any batch OR stream of vectors before applying
+    * [[cellColumn]] — streaming ingestion assigns new vectors to IVF
+    * cells with a stream-static broadcast join and zero state
+    * ([[graft.streaming.StreamOps.qStreamAssign]]). */
+  def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(collect_list(struct(
+      col("__cell"),
+      col("__c"),
+      round(expr("graft_num_dot(__c, __c)"), 6).as("__cn")))).as("__cs"))
+
+  /** Per-row argmin of round(‖c‖² − 2·v·c, 6) over the [[centroidArray]]
+    * `__cs` column (which must be in scope), ties to the smaller cell
+    * — [[graft.catalyst.CellArgmin]], the whole k-loop (dot, round,
+    * argmin) inside whole-stage codegen. Bit-identical to the
+    * min-struct `array_min(transform(…))` spelling (CellArgminSpec
+    * pins ≡ plus tie/empty edges), which was interpreter-bound at
+    * large k: `transform` has no doGenCode, and interpreted `round()`
+    * allocates a BigDecimal per centroid per row (~1.3 G of them at
+    * k = 800 × 200 k rows — the tools.SemScaleBench straggler that
+    * motivated the rewrite). `vec` is the SQL of a float- or
+    * double-array expression for the vector (float widening is
+    * exact, so raw embedding columns work without a cast pass). */
+  def cellColumn(vec: String): Column = expr(s"graft_cell_argmin($vec, __cs)")
 
   /** Attach the multi-band sign-LSH key array (EmbLshKeys: 21 bands ×
     * 6 bits, codegen'd) for an `array<float>` embedding column. */
@@ -253,6 +262,34 @@ object GraftOps {
     * all pairs while planted near-dup recall stays ≥ 0.95
     * (EmbLshScaleSpec proves both on a planted corpus; measured at
     * sf1 by tools.EmbScaleBench — BASELINE.md §sf1). */
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    * 2023): [[kmeansModel]] cells as the blocking structure — train
+    * the quantizer, assign the corpus (zero-shuffle map stage),
+    * generate candidates from ONE equi self-join on the cell key, one
+    * codegen'd dot product per within-cell pair. Candidate volume is
+    * Σ_cells n_c·(n_c−1)/2 ≈ N²/(2k) balanced — `k` is THE dial,
+    * sized k ≈ N/target_cell_size (the paper ran 50 k cells over 5 B
+    * embeddings); `tools.SemScaleBench` measures the dial at the
+    * fixture decades. Returns (id_a, id_b, cos ≥ threshold). */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, k: Int = 8,
+                       iters: Int = 2): DataFrame = {
+    // The (cell, id, vec) frame feeds BOTH sides of the self-join;
+    // without the lineage cut each side would re-run the O(k·d)/row
+    // scoring pass. (Unlike the MinHash candidate probe, losing scan
+    // stats costs nothing here: both sides are the same corpus-sized
+    // frame, so the cell join was never broadcastable anyway.)
+    val assigned = kmeansModel(df, idCol, vecCol, k, iters)._2
+      .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint(true)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         bits: Int = graft.queries.EmbLsh.Bits,

@@ -1,0 +1,138 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd nearest-centroid argmin for the k-means / IVF family:
+  * `cell_argmin(vec, cells)` over the one-row broadcast model frame
+  * ([[graft.api.GraftOps.centroidArray]]'s `__cs`:
+  * `array<struct<__cell:int, __c:array<double>, __cn:double>>`,
+  * sorted by cell) returns the cell minimizing
+  * `round(‖c‖² − 2·v·c, 6)`, ties to the SMALLER cell id — exactly
+  * the `array_min(transform(__cs, c -> struct(round(c.__cn − 2·v·c,
+  * 6), c.__cell))).__cell` spelling, whose min-struct ordering
+  * compares the rounded distance first, then the cell id.
+  *
+  * Why it exists (r10, found by `tools.SemScaleBench` at k = 800):
+  * `transform` is a HigherOrderFunction — no doGenCode — so the old
+  * spelling evaluated k `round()`s per ROW through the interpreter,
+  * and Spark's interpreted `RoundBase` allocates a `scala.math
+  * .BigDecimal` per call (thread-dump hot frame: `BigDecimal$.decimal`
+  * under `ArrayTransform.eval`). At k·N = 800 × 200 k × ~8 scoring
+  * passes that is ~1.3 G interpreted BigDecimal constructions — the
+  * assignment went from shuffle-bound to single-straggler
+  * interpreter-bound. This expression runs the whole k-loop (dot,
+  * round, argmin) inside whole-stage codegen; the one BigDecimal per
+  * candidate survives because it IS the rounding semantics
+  * (`java.math.BigDecimal.valueOf(d).setScale(6, HALF_UP)` — the
+  * exact interpreted-`round()` path, so results are bit-identical;
+  * CellArgminSpec pins ≡ against the transform spelling plus the
+  * tie and empty-model edges), but the lambda interpreter, the
+  * per-candidate struct row, and the k-element array allocation per
+  * row are gone.
+  *
+  * The probe vector may be `array<float>` or `array<double>`
+  * (float→double widening is exact, so probing with the raw
+  * embedding column equals the `transform(…, cast)` spelling while
+  * skipping an interpreted per-row cast-transform); dimensions fold
+  * left-to-right over `min(|v|, |c|)`, the [[NumDot]] convention.
+  * Empty or all-null `cells` → null, as `array_min` of an empty
+  * array. */
+case class CellArgmin(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private val CellsType = ArrayType(StructType(Seq(
+    StructField("__cell", IntegerType), StructField("__c", ArrayType(DoubleType)),
+    StructField("__cn", DoubleType))))
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(StructType(Array(
+      StructField(_, IntegerType, _, _),
+      StructField(_, ArrayType(DoubleType, _), _, _),
+      StructField(_, DoubleType, _, _))), _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cell_argmin expects (array<float|double>, ${CellsType.simpleString}), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private val vecIsFloat =
+    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cells = b.asInstanceOf[ArrayData]
+    var bestD = 0.0
+    var bestCell = 0
+    var found = false
+    var i = 0
+    val n = cells.numElements()
+    while (i < n) {
+      if (!cells.isNullAt(i)) {
+        val c = cells.getStruct(i, 3)
+        val cell = c.getInt(0)
+        val cv = c.getArray(1)
+        val cn = c.getDouble(2)
+        val m = math.min(vec.numElements(), cv.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < m) {
+          s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) *
+            cv.getDouble(j)
+          j += 1
+        }
+        val d = java.math.BigDecimal.valueOf(cn - 2.0 * s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (!found || d < bestD || (d == bestD && cell < bestCell)) {
+          found = true; bestD = d; bestCell = cell
+        }
+      }
+      i += 1
+    }
+    if (found) bestCell else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val vGet = if (vecIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val d = ctx.freshName("d"); val cell = ctx.freshName("cell")
+      val cv = ctx.freshName("cv")
+      val bestD = ctx.freshName("bestD"); val bestCell = ctx.freshName("bestCell")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $b.numElements();
+         |double $bestD = 0.0; int $bestCell = 0; boolean $found = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($b.isNullAt($i)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $b.getStruct($i, 3);
+         |  int $cell = $c.getInt(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  int $m = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $vGet($j) * $cv.getDouble($j);
+         |  }
+         |  double $d = java.math.BigDecimal.valueOf($c.getDouble(2) - 2.0d * $s)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if (!$found || $d < $bestD || ($d == $bestD && $cell < $bestCell)) {
+         |    $found = true; $bestD = $d; $bestCell = $cell;
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $bestCell; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellArgmin =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cell_argmin"
+}

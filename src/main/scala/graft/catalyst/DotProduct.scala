@@ -232,6 +232,11 @@ object GraftFunctions {
       "scala_udf")
 
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cell_argmin",
+      (exprs: Seq[Expression]) => CellArgmin(exprs(0), exprs(1)),
+      "scala_udf")
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_first_band_match",
       (exprs: Seq[Expression]) => FirstBandMatch(exprs(0), exprs(1)),
       "scala_udf")

@@ -292,16 +292,9 @@ object VectorOps {
     * quadratic-within-cell by construction, exactly like the paper. */
   def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-    val (_, assigned) =
-      graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", 8, 2)
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, "cell")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(expr("graft_dot_product(e_a, e_b)"), 4).as("cos"))
-      .filter(col("cos") >= 0.4)
+    graft.api.GraftOps
+      .semanticNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }
 

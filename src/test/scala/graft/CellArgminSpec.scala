@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalyst.GraftFunctions
+
+/** [[graft.catalyst.CellArgmin]] (`graft_cell_argmin`) ≡ the
+  * interpreted `array_min(transform(...))` min-struct spelling it
+  * replaced ([[graft.api.GraftOps.cellColumn]]'s r10 rewrite), plus
+  * the edges the fixture can't hit: exact distance ties (smaller cell
+  * wins), empty model (null), float vs double probe equality. */
+class CellArgminSpec extends SparkSpec {
+
+  // the OLD interpreted spelling, verbatim from the r9 cellColumn
+  private def oldSpelling(vec: String) =
+    expr(
+      s"""array_min(transform(__cs, c -> struct(
+         |  round(c.__cn - 2.0d * graft_num_dot($vec, c.__c), 6) AS __d,
+         |  c.__cell AS __cell))).__cell""".stripMargin)
+
+  test("codegen argmin equals the interpreted min-struct spelling on the fixture corpus") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val (cent, _) =
+      graft.api.GraftOps.kmeansModel(emb, "vec_id", "embedding", 5, 2)
+    val scored = emb
+      .crossJoin(broadcast(graft.api.GraftOps.centroidArray(cent)))
+      .select(
+        col("vec_id"),
+        graft.api.GraftOps.cellColumn("embedding").as("new_cell"),
+        oldSpelling("transform(embedding, x -> cast(x as double))").as("old_cell"),
+        // float probe ≡ pre-cast double probe (widening is exact)
+        oldSpelling("embedding").as("old_cell_float"))
+    assert(scored.filter(col("new_cell") =!= col("old_cell")).count() === 0)
+    assert(scored.filter(col("new_cell") =!= col("old_cell_float")).count() === 0)
+    assert(scored.select(countDistinct(col("new_cell"))).first().getLong(0) === 5L)
+  }
+
+  test("exact distance tie goes to the smaller cell id, matching min-struct order") {
+    GraftFunctions.ensureRegistered(spark)
+    // two centroids symmetric about the probe: d = ‖c‖² − 2 v·c is
+    // identical for both → the struct ordering (then cell id) decides
+    val df = spark.sql(
+      """SELECT graft_cell_argmin(
+        |  array(cast(1.0 as double), cast(0.0 as double)),
+        |  array(struct(7 AS __cell, array(0.0d, 1.0d) AS __c, 1.0d AS __cn),
+        |        struct(3 AS __cell, array(0.0d, -1.0d) AS __c, 1.0d AS __cn))) AS cell""".stripMargin)
+    assert(df.first().getInt(0) === 3)
+  }
+
+  test("empty and all-null models yield null, like array_min of an empty array") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cell_argmin(array(1.0d),
+        |    cast(array() as array<struct<__cell:int, __c:array<double>, __cn:double>>)) AS a,
+        |  graft_cell_argmin(array(1.0d),
+        |    cast(array(null) as array<struct<__cell:int, __c:array<double>, __cn:double>>)) AS b""".stripMargin)
+      .first()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("rounding at 6 dp is decisive: a 1e-7 separation is a tie, 1e-5 is not") {
+    GraftFunctions.ensureRegistered(spark)
+    // cell 9 is truly nearer by 1e-7 — invisible at 6 dp, so the tie
+    // rule sends the probe to cell 2; at 1e-5 the separation survives
+    // rounding and cell 9 wins despite the larger id.
+    def probe(eps: String) = spark.sql(
+      s"""SELECT graft_cell_argmin(array(1.0d),
+         |  array(struct(9 AS __cell, array(0.5d) AS __c, cast(1.0d - $eps as double) AS __cn),
+         |        struct(2 AS __cell, array(0.5d) AS __c, 1.0d AS __cn))) AS cell""".stripMargin)
+      .first().getInt(0)
+    assert(probe("1.0e-7") === 2)
+    assert(probe("1.0e-5") === 9)
+  }
+}
