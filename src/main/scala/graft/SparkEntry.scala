@@ -167,7 +167,9 @@ object SparkEntry {
     // round-10: SemDeDup — kmeans cells as semantic dedup blocking
     "q_dedup_semantic"     -> VectorOps.qDedupSemantic _,
     // round-10: BM25 retrieval scoring (zero-shuffle two-pass shape)
-    "q_text_bm25"          -> TextOps.qTextBm25 _
+    "q_text_bm25"          -> TextOps.qTextBm25 _,
+    // round-10: online IVF-cell assignment (stream-static model join)
+    "q_stream_assign"      -> StreamOps.qStreamAssign _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -375,6 +375,14 @@ object OracleSqlLlm {
     // batch oracle — same SQL as q_events_tumbling
     "q_stream_tumbling" -> OracleSql.seed("q_events_tumbling"),
 
+    // online IVF-cell assignment: the streamed partition audit must
+    // equal the batch quantizer build — same unrolled-Lloyd oracle as
+    // q_kmeans_build (assignment is the build's own argmin metric)
+    "q_stream_assign" ->
+      s"""$kmCtes
+         |SELECT cell, count(*) AS n, min(vec_id) AS rep
+         |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
+
     // flatMapGroupsWithState sessionize replayed as a stream must equal
     // the batch lag+cumsum sessionize — same SQL as q_events_sessionize
     "q_stream_sessionize" -> OracleSql.seed("q_events_sessionize"),

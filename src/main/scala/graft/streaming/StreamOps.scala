@@ -215,6 +215,44 @@ object StreamOps {
       .orderBy(col("n_shared").desc, col("doc_id"))
   }
 
+  /** DECLARED streaming key (r10, t2-verified): ONLINE IVF-CELL
+    * ASSIGNMENT — the serving half of the k-means quantizer. The model
+    * (k = 8, 2 Lloyd rounds — exactly q_kmeans_build's) is trained on
+    * the BATCH embeddings table, folded into the one-row
+    * [[graft.api.GraftOps.centroidArray]] frame, and joined
+    * (stream-static broadcast on a constant key, stateless) onto a
+    * STREAM of the same vectors; each arriving vector gets its cell
+    * from the codegen'd [[graft.api.GraftOps.cellColumn]] argmin, and
+    * a complete-mode count/min per cell snapshots the partition. This
+    * is how production ingestion routes new embeddings into an IVF
+    * index without re-clustering; determinism: assignment is the
+    * build's own metric, so the streamed partition equals the batch
+    * one and the oracle is q_kmeans_build's (same unrolled-Lloyd
+    * CTEs, same audit projection). State is k rows — the watermark
+    * story is trivial because the join itself is stateless. */
+  def qStreamAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val sinkName = s"graft_stream_assign_${runSeq.incrementAndGet()}"
+    val (cent, _) = graft.api.GraftOps
+      .kmeansModel(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", 8, 2)
+    val model = graft.api.GraftOps.centroidArray(cent).withColumn("__one", lit(1))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+    runToMemorySink(spark,
+      stream.withColumn("__one", lit(1))
+        .join(broadcast(model), "__one")
+        .withColumn("cell", graft.api.GraftOps.cellColumn("embedding"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("rep")),
+      sinkName, "complete", partitions = 4)
+      .orderBy(col("cell"))
+  }
+
   /** DECLARED streaming key (t2-verified): the SLIDING window
     * aggregation (1 h window, 15 min slide — each event lands in 4
     * overlapping windows) as a real Structured Streaming query,
