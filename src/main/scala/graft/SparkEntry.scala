@@ -169,7 +169,9 @@ object SparkEntry {
     // round-10: BM25 retrieval scoring (zero-shuffle two-pass shape)
     "q_text_bm25"          -> TextOps.qTextBm25 _,
     // round-10: online IVF-cell assignment (stream-static model join)
-    "q_stream_assign"      -> StreamOps.qStreamAssign _
+    "q_stream_assign"      -> StreamOps.qStreamAssign _,
+    // round-10: multi-probe SemDeDup (top-2 cell blocking, CellTopP)
+    "q_dedup_semantic_mp"  -> VectorOps.qDedupSemanticMp _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

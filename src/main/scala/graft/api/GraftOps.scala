@@ -270,24 +270,59 @@ object GraftOps {
     * Σ_cells n_c·(n_c−1)/2 ≈ N²/(2k) balanced — `k` is THE dial,
     * sized k ≈ N/target_cell_size (the paper ran 50 k cells over 5 B
     * embeddings); `tools.SemScaleBench` measures the dial at the
-    * fixture decades. Returns (id_a, id_b, cos ≥ threshold). */
+    * fixture decades. Returns (id_a, id_b, cos ≥ threshold).
+    *
+    * `probes` (r10) is the RECALL dial: single-assignment blocking
+    * splits near-dup pairs straddling a cell boundary (planted-twin
+    * recall 0.50–0.66 across the whole k range — SCALE.md §SemDeDup).
+    * With `probes = p > 1` each vector blocks on its `p` nearest
+    * cells ([[graft.catalyst.CellTopP]], one codegen'd pass) and a
+    * pair is a candidate if the two probe sets INTERSECT. Exactly-
+    * once emission without a distinct Exchange: the pair is kept only
+    * where the join cell equals the SMALLEST shared cell
+    * (`array_min(array_intersect(..))` over two ≤p arrays, the
+    * FirstBandMatch discipline adapted to unordered cell sets).
+    * Candidate volume is bounded by p× the exploded corpus joining
+    * the same cells — in practice 2–3× probes=1 — and the scoring
+    * pass cost is unchanged (top-p falls out of the same k-loop). */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, k: Int = 8,
-                       iters: Int = 2): DataFrame = {
-    // The (cell, id, vec) frame feeds BOTH sides of the self-join;
-    // without the lineage cut each side would re-run the O(k·d)/row
-    // scoring pass. (Unlike the MinHash candidate probe, losing scan
-    // stats costs nothing here: both sides are the same corpus-sized
-    // frame, so the cell join was never broadcastable anyway.)
-    val assigned = kmeansModel(df, idCol, vecCol, k, iters)._2
-      .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint(true)
-    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, "cell")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
-      .filter(col("cos") >= threshold)
+                       iters: Int = 2, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    // The assignment frame feeds BOTH sides of the self-join; without
+    // the lineage cut each side would re-run the O(k·d)/row scoring
+    // pass. (Unlike the MinHash candidate probe, losing scan stats
+    // costs nothing here: both sides are the same corpus-sized frame,
+    // so the cell join was never broadcastable anyway.)
+    if (probes == 1) {
+      val assigned = kmeansModel(df, idCol, vecCol, k, iters)._2
+        .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint(true)
+      val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+      val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      a.join(b, "cell")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val (cent, _) = kmeansModel(df, idCol, vecCol, k, iters)
+      val assigned = df
+        .crossJoin(broadcast(centroidArray(cent)))
+        .select(col(idCol), col(vecCol),
+          expr(s"graft_cell_topp($vecCol, __cs, $probes)").as("__cells"))
+        .localCheckpoint(true)
+      def side(suffix: String) = assigned.select(
+        explode(col("__cells")).as("cell"),
+        col(idCol).as(s"id_$suffix"), col(vecCol).as(s"__v$suffix"),
+        col("__cells").as(s"__c$suffix"))
+      side("a").join(side("b"), "cell")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("cell") ===
+          array_min(array_intersect(col("__ca"), col("__cb"))))
+        .select(col("id_a"), col("id_b"),
+          round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -136,3 +136,128 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
 
   override def prettyName: String = "cell_argmin"
 }
+
+/** Multi-probe sibling of [[CellArgmin]]: `cell_topp(vec, cells, p)`
+  * returns the `p` nearest cell ids ordered by the same
+  * (rounded distance, cell id) struct order — element 0 is exactly
+  * `cell_argmin(vec, cells)` (CellArgminSpec pins this), so top-p
+  * blocking strictly extends single-assignment blocking.
+  *
+  * Why it exists (r10): SemDeDup's single-assignment candidate
+  * blocking splits near-duplicate pairs that straddle a cell
+  * boundary — planted-twin recall measured 0.50–0.66 across the
+  * whole k dial (SCALE.md §SemDeDup). Probing each vector's top-2
+  * cells and joining on ANY shared cell recovers boundary pairs at a
+  * bounded volume multiple (≤ p² per pair slot, in practice ~2–3×);
+  * the pair-dedup predicate (keep a pair only at its SMALLEST shared
+  * cell) keeps the join's emission exactly-once without a distinct
+  * Exchange — the FirstBandMatch discipline on unordered cell sets.
+  *
+  * `p` is a foldable literal, tiny (2–4); insertion into a length-p
+  * sorted window inside the k-loop keeps the pass O(k·(d+p)) per row,
+  * still one whole-stage-codegen stage. Fewer than `p` live cells →
+  * a shorter array (empty model → empty array, NOT null — callers
+  * explode it). */
+case class CellTopP(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression {
+
+  require(p >= 1 && p <= 16, s"cell_topp p must be in [1,16], got $p")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    CellArgmin(left, right).checkInputDataTypes()
+
+  private val vecIsFloat =
+    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cells = b.asInstanceOf[ArrayData]
+    val topD = new Array[Double](p)
+    val topC = new Array[Int](p)
+    var filled = 0
+    var i = 0
+    val n = cells.numElements()
+    while (i < n) {
+      if (!cells.isNullAt(i)) {
+        val c = cells.getStruct(i, 3)
+        val cell = c.getInt(0)
+        val cv = c.getArray(1)
+        val m = math.min(vec.numElements(), cv.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < m) {
+          s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) *
+            cv.getDouble(j)
+          j += 1
+        }
+        val d = java.math.BigDecimal.valueOf(c.getDouble(2) - 2.0 * s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // insertion: find slot, shift the tail down
+        var pos = filled
+        while (pos > 0 && (d < topD(pos - 1) ||
+          (d == topD(pos - 1) && cell < topC(pos - 1)))) pos -= 1
+        if (pos < p) {
+          var t = math.min(filled, p - 1)
+          while (t > pos) { topD(t) = topD(t - 1); topC(t) = topC(t - 1); t -= 1 }
+          topD(pos) = d; topC(pos) = cell
+          if (filled < p) filled += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(topC, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val vGet = if (vecIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val d = ctx.freshName("d"); val cell = ctx.freshName("cell")
+      val cv = ctx.freshName("cv"); val filled = ctx.freshName("filled")
+      val topD = ctx.freshName("topD"); val topC = ctx.freshName("topC")
+      val pos = ctx.freshName("pos"); val t = ctx.freshName("t")
+      s"""
+         |int $n = $b.numElements();
+         |double[] $topD = new double[$p];
+         |int[] $topC = new int[$p];
+         |int $filled = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($b.isNullAt($i)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $b.getStruct($i, 3);
+         |  int $cell = $c.getInt(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  int $m = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $vGet($j) * $cv.getDouble($j);
+         |  }
+         |  double $d = java.math.BigDecimal.valueOf($c.getDouble(2) - 2.0d * $s)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  int $pos = $filled;
+         |  while ($pos > 0 && ($d < $topD[$pos - 1] ||
+         |    ($d == $topD[$pos - 1] && $cell < $topC[$pos - 1]))) $pos--;
+         |  if ($pos < $p) {
+         |    for (int $t = java.lang.Math.min($filled, $p - 1); $t > $pos; $t--) {
+         |      $topD[$t] = $topD[$t - 1]; $topC[$t] = $topC[$t - 1];
+         |    }
+         |    $topD[$pos] = $d; $topC[$pos] = $cell;
+         |    if ($filled < $p) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  java.util.Arrays.copyOf($topC, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellTopP =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cell_topp"
+}

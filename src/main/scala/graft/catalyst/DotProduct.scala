@@ -236,6 +236,17 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CellArgmin(exprs(0), exprs(1)),
       "scala_udf")
 
+    // (vec, cells, p literal) → the p nearest cell ids, multi-probe
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cell_topp",
+      {
+        case Seq(v, cs, p) if p.foldable =>
+          CellTopP(v, cs, p.eval().asInstanceOf[Number].intValue())
+        case exprs => throw new IllegalArgumentException(
+          s"graft_cell_topp expects (vec, cells, p literal), got ${exprs.size} args")
+      },
+      "scala_udf")
+
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_first_band_match",
       (exprs: Seq[Expression]) => FirstBandMatch(exprs(0), exprs(1)),

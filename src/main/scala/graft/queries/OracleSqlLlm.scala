@@ -598,6 +598,28 @@ object OracleSqlLlm {
          |SELECT vec_a, vec_b, cos FROM pairs
          |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
 
+    // multi-probe SemDeDup: same unrolled Lloyd build; each vector
+    // blocks on its TOP-2 cells under the build's own argmin metric
+    // (the q_knn_ivf_kmeans pc-CTE ranking, rank <= 2 over the final
+    // c2 centroids); a pair is a candidate if the probe sets
+    // intersect — DISTINCT here plays the role of the Spark side's
+    // smallest-shared-cell exactly-once predicate (same SET)
+    "q_dedup_semantic_mp" ->
+      s"""$kmCtes,
+         |a2c AS (
+         |  SELECT vec_id, ev, cell FROM (
+         |    SELECT v.vec_id, v.ev, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(round(list_dot_product(c.cv, c.cv), 6)
+         |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
+         |    FROM v CROSS JOIN c2 c) x WHERE rk <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(CAST(list_dot_product(a.ev, b.ev) AS DOUBLE), 4) AS cos
+         |  FROM a2c a JOIN a2c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs
+         |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
+
     "q_emb_centroid" ->
       """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS c
         |FROM embeddings, unnest(range(1,65)) t(i)

@@ -298,6 +298,25 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }
 
+  /** DECLARED: multi-probe SemDeDup — [[qDedupSemantic]] with each
+    * vector blocking on its TOP-2 cells ([[graft.catalyst.CellTopP]],
+    * probes = 2), recovering near-dup pairs that straddle a cell
+    * boundary (the single-assignment recall ceiling: planted-twin
+    * recall 0.50–0.66 across the whole k dial — SCALE.md §SemDeDup;
+    * probes = 2 measured ≥ 0.9 there). The pair set is a strict
+    * superset of q_dedup_semantic's (probe 1 IS the argmin cell);
+    * exactly-once emission comes from the smallest-shared-cell
+    * predicate, not a distinct Exchange — PlanSpec pins the absence
+    * of a post-join aggregate. */
+  def qDedupSemanticMp(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    graft.api.GraftOps
+      .semanticNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        0.4, probes = 2)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+  }
+
   /** Top-3 orders per customer through the custom TopKPerGroup plan
     * node (graft.plans: logical node → strategy → partial/final
     * physical top-k) — same rows as the window row_number idiom, same

@@ -17,17 +17,22 @@ import org.apache.spark.sql.functions._
   * recall on the generated fixtures' planted twin layer (vec_id ≡ 1
   * mod 250, cos ≈ 0.88–0.91 — tools.GenData).
   *
-  * Usage: `runMain graft.tools.SemScaleBench [sfDir] [k] [audit]` —
-  * a third arg of `audit` skips the executed join and reports the
+  * Usage: `runMain graft.tools.SemScaleBench [sfDir] [k] [audit|p2|p3…]`
+  * — a third arg of `audit` skips the executed join and reports the
   * population-derived volume only (for geometries whose pair volume
   * the audit itself shows should not be executed — the
-  * DedupScaleAudit loose-τ precedent).
+  * DedupScaleAudit loose-τ precedent); `pN` runs the executed join
+  * with multi-probe blocking (probes = N, the recall dial — the
+  * population audit still describes the single-assignment partition,
+  * so the executed `pairs` count vs it shows the volume multiple).
   */
 object SemScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
     val k = args.lift(1).map(_.toInt).getOrElse(8)
     val auditOnly = args.lift(2).contains("audit")
+    val probes = args.lift(2).collect { case s if s.matches("p\\d+") => s.tail.toInt }
+      .getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-sem-scale")
@@ -65,7 +70,7 @@ object SemScaleBench {
     // executed: full pair generation + dot products at τ = 0.85
     val t0 = System.nanoTime()
     val pairs = graft.api.GraftOps
-      .semanticNearDups(emb, "vec_id", "embedding", 0.85, k, 2)
+      .semanticNearDups(emb, "vec_id", "embedding", 0.85, k, 2, probes)
       .localCheckpoint(true)
     val nPairs = pairs.count()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -76,7 +81,8 @@ object SemScaleBench {
     val nPlanted = planted.count()
     val hit = pairs.join(planted, Seq("id_a", "id_b"), "left_semi").count()
 
-    println(s"""{"metric":"sem_scale","sf_dir":"$sfDir","k":$k,"n":$n,"tau":0.85,""" +
+    println(s"""{"metric":"sem_scale","sf_dir":"$sfDir","k":$k,"probes":$probes,""" +
+      s""""n":$n,"tau":0.85,""" +
       s""""cells":$cells,"max_cell":$maxCell,"pair_volume":$pairVol,""" +
       s""""sec":${math.round(sec * 10000) / 10000.0},"pairs":$nPairs,""" +
       s""""planted":$nPlanted,"planted_hit":$hit}""")

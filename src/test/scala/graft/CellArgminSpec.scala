@@ -59,6 +59,42 @@ class CellArgminSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("cell_topp element 0 equals cell_argmin; elements are distinct and ordered") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val (cent, _) =
+      graft.api.GraftOps.kmeansModel(emb, "vec_id", "embedding", 5, 2)
+    val t = emb
+      .crossJoin(broadcast(graft.api.GraftOps.centroidArray(cent)))
+      .select(
+        expr("graft_cell_topp(embedding, __cs, 2)").as("top2"),
+        expr("graft_cell_argmin(embedding, __cs)").as("best"))
+    assert(t.filter(col("top2")(0) =!= col("best")).count() === 0)
+    assert(t.filter(size(col("top2")) =!= 2).count() === 0)
+    assert(t.filter(col("top2")(0) === col("top2")(1)).count() === 0)
+    // p >= live cells returns all of them, argmin first
+    val all = emb.limit(1)
+      .crossJoin(broadcast(graft.api.GraftOps.centroidArray(cent)))
+      .select(expr("graft_cell_topp(embedding, __cs, 16)").as("t"),
+        expr("graft_cell_argmin(embedding, __cs)").as("best")).first()
+    assert(all.getSeq[Int](0).size === 5)
+    assert(all.getSeq[Int](0).head === all.getInt(1))
+  }
+
+  test("multi-probe pairs are a strict superset of single-assignment pairs, emitted exactly once") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(p: Int) = graft.api.GraftOps
+      .semanticNearDups(emb, "vec_id", "embedding", 0.0, k = 5, probes = p)
+      .select(col("id_a"), col("id_b"))
+    val p1 = pairs(1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2rows = pairs(2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val p2 = p2rows.toSet
+    assert(p2rows.length === p2.size, "a pair was emitted more than once")
+    assert(p1.subsetOf(p2), "probes=2 must contain every probes=1 pair")
+    assert(p2.size > p1.size, "fixture boundary pairs should appear at probes=2")
+  }
+
   test("rounding at 6 dp is decisive: a 1e-7 separation is a tie, 1e-5 is not") {
     GraftFunctions.ensureRegistered(spark)
     // cell 9 is truly nearer by 1e-7 — invisible at 6 dp, so the tie

@@ -159,6 +159,23 @@ class PlanSpec extends SparkSpec {
       s"a distinct-style aggregate reappeared in the candidate path:\n$p")
   }
 
+  test("multi-probe SemDeDup exactly-once is a map-side predicate — no pair-keyed aggregate") {
+    // r10: probes=2 candidates are deduped by the smallest-shared-cell
+    // filter inside the cell join's stage (array_intersect over two
+    // ≤2-element probe arrays), never by a distinct Exchange. The
+    // kmeans build legitimately aggregates (centroid updates are keyed
+    // on __cell/__p), so pin specifically: no aggregate whose grouping
+    // keys include a vec-id column, and the intersect predicate exists.
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val p = planOf(queries.VectorOps.qDedupSemanticMp(spark, sf))
+    assert(p.contains("array_intersect"),
+      s"smallest-shared-cell predicate missing:\n$p")
+    val pairAggs = "(?:Hash|Sort|ObjectHash)Aggregate\\(keys=\\[[^\\]]*(?:vec_id|id_a|id_b)"
+      .r.findAllIn(p).size
+    assert(pairAggs == 0,
+      s"a distinct-style aggregate over vec-id pairs reappeared:\n$p")
+  }
+
   test("corpus-cleaning keys are pure projections — no Exchange before the presentation sort") {
     // repetition/pii/normalize must stream through the scan; the only
     // shuffle allowed is the final orderBy's range exchange
