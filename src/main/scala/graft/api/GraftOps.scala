@@ -439,33 +439,84 @@ object GraftOps {
     val prevCeiling = scala.util.Try(prevParts.toLong).getOrElse(Long.MaxValue)
     val loopParts = math.max(4L, math.min(prevCeiling,
       base.count() / 50000L + 1L)).toString
-    val e = base.unionAll(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
-    // Init already folds in one propagation round: every node starts at
-    // min(id, min(direct neighbors)) — for the clique-shaped components
-    // near-dup clustering produces, that IS the fixpoint and the loop
-    // only runs the confirming round. Costs the same single shuffle a
-    // plain distinct() init would.
     spark.conf.set(confKey, loopParts)
     try {
+      // Materialize the doubled edge list HASH-PARTITIONED on __src
+      // (r10): localCheckpoint's LogicalRDD carries the child plan's
+      // outputPartitioning, so every round's edge⋈label join sees a
+      // pre-distributed build side and only exchanges the label frame
+      // — without this the loop re-shuffled ALL 2·|E| edge rows per
+      // round (at the sf10 decade: 27 M rows × 10 rounds, measured
+      // ~2.8 s/round flat; with it the edge Exchange exists once,
+      // before the checkpoint). The repartition is planned AFTER the
+      // loopParts conf set so the join's required distribution
+      // matches the checkpoint's partition count exactly.
+      val e = base
+        .unionAll(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
+        .repartition(col("__src"))
+        .localCheckpoint(true)
+      // Init already folds in one propagation round: every node starts
+      // at min(id, min(direct neighbors)) — for the clique-shaped
+      // components near-dup clustering produces, that IS the fixpoint
+      // and the loop only runs the confirming round. Costs the same
+      // single shuffle a plain distinct() init would.
       var comp = e.groupBy(col("__src").as("id"))
         .agg(min(col("__dst")).as("__mn"))
         .select(col("id"), least(col("id"), col("__mn")).as("component"))
         .localCheckpoint(true)
+      // Frontier-delta propagation (r10): round r only OFFERS labels
+      // that CHANGED in round r−1. Safe for min-label folding — an
+      // unchanged neighbor's label was already offered the round it
+      // last changed and `least()` is idempotent, so re-offering it
+      // can never improve anything. This is what makes the long
+      // convergence tail cheap: the old loop's per-round cost was
+      // O(|E|) regardless of progress (the full edge⋈label join +
+      // 2·|E|-row partial agg every round — measured flat ~2.8 s/round
+      // at the sf10 decade even after the edge frame was
+      // pre-partitioned), while the frontier join's probe side decays
+      // with the changed counts (sf10: 500 k → 66 k → … → 130 → 0).
+      var frontier = comp
       var changed = 1L
       while (changed > 0) {
-        val cand = e.join(comp, col("__src") === col("id"))
+        val cand = e.join(frontier, col("__src") === col("id"))
           .groupBy(col("__dst")).agg(min(col("component")).as("__cand"))
         // carry the per-row changed flag inside the checkpointed frame:
         // the convergence check is then a scan of in-memory blocks, not
         // another join of two checkpoints
+        // Pointer-jump shortcut (r10): after the neighbor-min step,
+        // follow the stepped label one hop through the PREVIOUS
+        // round's label table — component := label_prev(component).
+        // Labels are node ids and only shrink (label(x) ≤ x is a loop
+        // invariant), so the jump stays inside the component and
+        // compresses long propagation chains: convergence drops from
+        // O(diameter) neighbor rounds (16 at the sf10 decade) to
+        // O(log diameter) fused rounds (9 measured,
+        // tools.CcRoundAudit). Jumping through `comp` — NOT the
+        // stepped frame — matters: comp is already checkpointed, so
+        // the round keeps ONE checkpoint and the jump adds one
+        // label-table-sized equi join (cheap next to the edge join);
+        // jumping through the stepped frame would either checkpoint
+        // twice per round (measured: the extra materialization eats
+        // the round savings) or recompute the edge join. The fixpoint
+        // is the unique CC labeling either way, so the declared key's
+        // recursive-CTE oracle is untouched.
         val next = comp.join(cand, col("id") === col("__dst"), "left")
+          .select(col("id"), col("component").as("__old"),
+            least(col("component"), coalesce(col("__cand"), col("component"))).as("__stp"))
+          .join(comp.select(col("id").as("__jid"), col("component").as("__jcomp")),
+            col("__stp") === col("__jid"), "left")
           .select(col("id"),
-            least(col("component"), coalesce(col("__cand"), col("component"))).as("component"),
-            (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
+            least(col("__stp"), coalesce(col("__jcomp"), col("__stp"))).as("component"),
+            (least(col("__stp"), coalesce(col("__jcomp"), col("__stp")))
+              < col("__old")).as("__changed"))
           .localCheckpoint(true)
         changed = next.filter(col("__changed")).count()
         onRound(changed)
         comp = next.select(col("id"), col("component"))
+        // jump-changed rows are __changed too, so they re-offer their
+        // (now shorter) label next round — the frontier stays complete
+        frontier = next.filter(col("__changed"))
+          .select(col("id"), col("component"))
       }
       comp
     } finally spark.conf.set(confKey, prevParts)
@@ -865,6 +916,12 @@ object GraftOps {
     val e = (if (directed) base
              else base.unionAll(
                base.select(col("__dst").as("__src"), col("__src").as("__dst"))))
+      // hash-partitioned on __src before the checkpoint (r10, the
+      // connectedComponents discipline): LogicalRDD keeps
+      // outputPartitioning, so each iteration's edge⋈rank join and
+      // the degree agg reuse the layout instead of re-exchanging the
+      // doubled edge list every round
+      .repartition(col("__src"))
       .localCheckpoint(true) // consumed once per iteration
     // node set = src ∪ dst so directed sinks (out-degree 0) are kept;
     // under the default symmetrization this is exactly the old
