@@ -171,7 +171,9 @@ object SparkEntry {
     // round-10: online IVF-cell assignment (stream-static model join)
     "q_stream_assign"      -> StreamOps.qStreamAssign _,
     // round-10: multi-probe SemDeDup (top-2 cell blocking, CellTopP)
-    "q_dedup_semantic_mp"  -> VectorOps.qDedupSemanticMp _
+    "q_dedup_semantic_mp"  -> VectorOps.qDedupSemanticMp _,
+    // round-10: ingestion-time near-dup detection (stream-static LSH)
+    "q_stream_neardup"     -> StreamOps.qStreamNeardup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

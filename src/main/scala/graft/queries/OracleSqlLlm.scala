@@ -375,6 +375,11 @@ object OracleSqlLlm {
     // batch oracle — same SQL as q_events_tumbling
     "q_stream_tumbling" -> OracleSql.seed("q_events_tumbling"),
 
+    // ingestion-time near-dup: every unordered pair surfaces exactly
+    // once, when its smaller member arrives from the stream — the
+    // streamed pair set IS the batch q_dedup_minhash pair set
+    "q_stream_neardup" -> dedup("q_dedup_minhash"),
+
     // online IVF-cell assignment: the streamed partition audit must
     // equal the batch quantizer build — same unrolled-Lloyd oracle as
     // q_kmeans_build (assignment is the build's own argmin metric)

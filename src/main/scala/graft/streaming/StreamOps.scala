@@ -215,6 +215,98 @@ object StreamOps {
       .orderBy(col("n_shared").desc, col("doc_id"))
   }
 
+  /** DECLARED streaming key (r10, t2-verified): INGESTION-TIME
+    * NEAR-DUP DETECTION — the streaming half of the MinHash+LSH
+    * dedup. The static side is the batch corpus's signature table
+    * (4 minhashes/doc, checkpointed once) with the same over-cap
+    * band-key guards as q_dedup_minhash; each ARRIVING document
+    * computes its own 4-minhash signature STATELESSLY (per-row
+    * `array_min(transform(shingles, …))` — no explode, no streaming
+    * aggregation) and probes the two band indexes with stateless
+    * stream-static equi joins. Exactly-once pair emission without
+    * any state store: a pair {a, b} surfaces only when its SMALLER
+    * member arrives (stream doc < static doc), and cross-band
+    * duplicates die on the same map-side band-1-keys-differ
+    * predicate (+ over-cap escape) as the batch key. This is how
+    * production ingestion rejects near-dups against an indexed
+    * corpus without re-running corpus×corpus dedup; the streamed
+    * pair set equals the batch one exactly, so the oracle IS
+    * q_dedup_minhash's SQL. */
+  def qStreamNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val sinkName = s"graft_stream_neardup_${runSeq.incrementAndGet()}"
+    val P = 2147483647L
+
+    // static: corpus signatures + over-cap band keys (tiny by the
+    // ≤ N/cap argument — they ride broadcasts)
+    val mh = graft.queries.DedupOps
+      .minhashSignatures(graft.Tables.documents(spark, sfDir))
+    def overCap(k1: String, k2: String) =
+      mh.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > graft.queries.DedupOps.MaxBandBucket)
+        .select(col(k1).as("big_k1"), col(k2).as("big_k2"))
+        .localCheckpoint(true)
+    val big1 = overCap("mh1", "mh2")
+    val big2 = overCap("mh3", "mh4")
+    def statCapped(big: DataFrame, k1: String, k2: String) = mh
+      .join(broadcast(big),
+        col(k1) === col("big_k1") && col(k2) === col("big_k2"), "left_anti")
+      .select(col("doc_id").as("b_doc"), col("mh1").as("b_mh1"),
+        col("mh2").as("b_mh2"), col("mh3").as("b_mh3"), col("mh4").as("b_mh4"))
+
+    // stream: per-row signature — the same shingle-hash min as the
+    // batch explode+groupBy spelling (same value set → same min;
+    // shingle-less docs yield null minhashes and can never equi-match,
+    // exactly like their absence from the batch signature table)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val hsExpr =
+      "transform(graft_word_shingles(text, 3), " +
+        "s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"
+    def mhExpr(a: Long, b: Long) =
+      s"array_min(transform(__hs, h -> (h * $a + $b) % $P))"
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("__hs", expr(hsExpr))
+      .select(col("doc_id").as("s_doc"),
+        expr(mhExpr(1, 7)).as("s_mh1"), expr(mhExpr(3, 11)).as("s_mh2"),
+        expr(mhExpr(5, 13)).as("s_mh3"), expr(mhExpr(7, 17)).as("s_mh4"))
+    def streamCapped(big: DataFrame, k1: String, k2: String) = stream
+      .join(broadcast(big),
+        col(k1) === col("big_k1") && col(k2) === col("big_k2"), "left_anti")
+
+    val pairCols = Seq(
+      col("s_doc").as("doc_a"), col("b_doc").as("doc_b"),
+      ((when(col("s_mh1") === col("b_mh1"), 1).otherwise(0) +
+        when(col("s_mh2") === col("b_mh2"), 1).otherwise(0) +
+        when(col("s_mh3") === col("b_mh3"), 1).otherwise(0) +
+        when(col("s_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
+    val band1 = streamCapped(big1, "s_mh1", "s_mh2")
+      .join(statCapped(big1, "mh1", "mh2"),
+        col("s_mh1") === col("b_mh1") && col("s_mh2") === col("b_mh2") &&
+        col("s_doc") < col("b_doc"))
+      .select(pairCols: _*)
+    val band2 = streamCapped(big2, "s_mh3", "s_mh4")
+      .join(statCapped(big2, "mh3", "mh4"),
+        col("s_mh3") === col("b_mh3") && col("s_mh4") === col("b_mh4") &&
+        col("s_doc") < col("b_doc"))
+      .join(broadcast(big1.withColumn("__b1cap", lit(true))),
+        col("s_mh1") === col("big_k1") && col("s_mh2") === col("big_k2"), "left")
+      .filter(col("s_mh1") =!= col("b_mh1") || col("s_mh2") =!= col("b_mh2") ||
+        coalesce(col("__b1cap"), lit(false)))
+      .select(pairCols: _*)
+
+    runToMemorySink(spark,
+      band1.unionAll(band2).filter(col("jacc_est") >= 0.5),
+      sinkName, "append", partitions = 4)
+      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
   /** DECLARED streaming key (r10, t2-verified): ONLINE IVF-CELL
     * ASSIGNMENT — the serving half of the k-means quantizer. The model
     * (k = 8, 2 Lloyd rounds — exactly q_kmeans_build's) is trained on

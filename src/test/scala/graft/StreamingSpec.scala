@@ -137,6 +137,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0, "fixture should produce at least one click→purchase pair")
   }
 
+  test("streamed ingestion near-dup pair set == the full batch MinHash pair set") {
+    // Pins the exactly-once argument — every unordered batch pair
+    // surfaces exactly once, when its smaller member arrives from the
+    // stream — as SET equality of the two declared keys (at this
+    // fixture the pair universe is far below the shared presentation
+    // limit, so the comparison covers the complete sets; a duplicate
+    // or missed emission would also shift the deterministic slice).
+    val streamedSet = StreamOps.qStreamNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchSet = queries.DedupOps.qDedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamedSet === batchSet)
+  }
+
   test("end-to-end file sink: stream → parquet with checkpoint, exactly-once readback") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("sink").toFile.getAbsolutePath
