@@ -233,9 +233,26 @@ object StreamOps {
     * pair set equals the batch one exactly, so the oracle IS
     * q_dedup_minhash's SQL. */
   def qStreamNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = s"graft_stream_neardup_${runSeq.incrementAndGet()}"
+    // Memory sink = the t2 harness shape: it materializes EVERY
+    // emitted pair on the driver heap, fine through sf1 (~10 k pairs)
+    // and exactly the thing a production deployment replaces with a
+    // file/queue sink — the sf10 replay (millions of pairs) OOMs the
+    // memory sink while the parquet-sink instrument
+    // (tools.StreamNeardupScale) replays it comfortably; SCALE.md
+    // §Ingestion near-dup records both.
+    runToMemorySink(spark, streamNeardupPairs(spark, sfDir),
+      sinkName, "append", partitions = 4)
+      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  /** The streaming near-dup pair frame (un-sunk): shared by the
+    * declared memory-sink key and the parquet-sink scale instrument. */
+  private[graft] def streamNeardupPairs(
+      spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
-    val sinkName = s"graft_stream_neardup_${runSeq.incrementAndGet()}"
     val P = 2147483647L
 
     // static: corpus signatures + over-cap band keys (tiny by the
@@ -300,11 +317,7 @@ object StreamOps {
         coalesce(col("__b1cap"), lit(false)))
       .select(pairCols: _*)
 
-    runToMemorySink(spark,
-      band1.unionAll(band2).filter(col("jacc_est") >= 0.5),
-      sinkName, "append", partitions = 4)
-      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
-      .limit(200)
+    band1.unionAll(band2).filter(col("jacc_est") >= 0.5)
   }
 
   /** DECLARED streaming key (r10, t2-verified): ONLINE IVF-CELL
