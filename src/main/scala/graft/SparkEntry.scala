@@ -173,7 +173,9 @@ object SparkEntry {
     // round-10: multi-probe SemDeDup (top-2 cell blocking, CellTopP)
     "q_dedup_semantic_mp"  -> VectorOps.qDedupSemanticMp _,
     // round-10: ingestion-time near-dup detection (stream-static LSH)
-    "q_stream_neardup"     -> StreamOps.qStreamNeardup _
+    "q_stream_neardup"     -> StreamOps.qStreamNeardup _,
+    // round-10: survivor selection (keep best copy per dup cluster)
+    "q_dedup_keep"         -> DedupOps.qDedupKeep _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

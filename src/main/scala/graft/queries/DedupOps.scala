@@ -174,6 +174,41 @@ object DedupOps {
       .orderBy(col("cluster"), col("doc_id"))
   }
 
+  /** DECLARED: survivor selection — the step AFTER clustering that a
+    * real dedup pipeline actually ships: per near-dup cluster, keep
+    * the single best copy (highest q_text_quality score
+    * `ttr·(1−stop_ratio)`, ties to the smaller doc_id) and count what
+    * gets dropped. One partial+final max(struct) aggregate over the
+    * cluster key — no window, no sort shuffle; the quality score is a
+    * per-row projection joined onto the cluster frame (hash join on
+    * doc_id). The oracle extends the q_dedup_clusters recursive CTE
+    * with the same score arithmetic and a rank-1 window — same
+    * fixpoint, same rounding, different (better) physical shape on
+    * the engine side. */
+  def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir, MaxBandBucket)
+    val cl = graft.api.GraftOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+    // exactly q_text_quality's score arithmetic (which hash-matches
+    // DuckDB): per-4dp-rounded ttr and stop ratio, product re-rounded
+    val q = Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), round(
+        round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4) *
+          (lit(1.0) -
+            round(expr("size(filter(t, w -> w IN ('the','a','of','and','to','in')))") /
+              size(col("t")).cast("double"), 4)), 4).as("score"))
+    cl.join(q, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("__nd"),
+          col("doc_id").as("__d"))).as("__w"),
+        count(lit(1)).as("n_dups"))
+      .select(col("cluster"), col("__w.__d").as("keep_doc"),
+        col("__w.score").as("keep_score"), col("n_dups"))
+      .orderBy(col("cluster"))
+  }
+
   /** SimHash: 8-bit signature from per-bit ±1 votes of token hashes;
     * clusters = docs sharing a signature (Hamming distance 0).
     *

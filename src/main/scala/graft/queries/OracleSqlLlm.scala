@@ -310,6 +310,53 @@ object OracleSqlLlm {
         |SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
         |ORDER BY cluster, doc_id""".stripMargin,
 
+    // survivor selection: the clusters CTE chain + the q_text_quality
+    // score arithmetic (same 4dp roundings) + a rank-1 window; the
+    // engine side computes the same survivor with a max(struct)
+    // partial+final aggregate instead of a window sort
+    "q_dedup_keep" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) y),
+        |mh AS (SELECT doc_id,
+        |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
+        |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
+        |  FROM hs GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      ((CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)+(CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
+        |      +(CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)+(CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END))/4.0 AS jacc_est
+        |    FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+        |     AND ((a.mh1=b.mh1 AND a.mh2=b.mh2) OR (a.mh3=b.mh3 AND a.mh4=b.mh4))) z
+        |  WHERE jacc_est >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) *
+        |    (1 - round(len(list_filter(t, w -> w IN ('the','a','of','and','to','in')))
+        |               / CAST(len(t) AS DOUBLE), 4)), 4) AS score
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+        |ranked AS (
+        |  SELECT cl.cluster, cl.doc_id, q.score,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |                       ORDER BY q.score DESC, cl.doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY cl.cluster) AS n_dups
+        |  FROM cl JOIN q USING (doc_id))
+        |SELECT cluster, doc_id AS keep_doc, score AS keep_score, n_dups
+        |FROM ranked WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(w),1,8)) AS BIGINT) AS h
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) y),

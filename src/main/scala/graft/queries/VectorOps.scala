@@ -303,7 +303,7 @@ object VectorOps {
     * probes = 2), recovering near-dup pairs that straddle a cell
     * boundary (the single-assignment recall ceiling: planted-twin
     * recall 0.50–0.66 across the whole k dial — SCALE.md §SemDeDup;
-    * probes = 2 measured ≥ 0.9 there). The pair set is a strict
+    * probes = 2 measured 0.87–0.96 there). The pair set is a strict
     * superset of q_dedup_semantic's (probe 1 IS the argmin cell);
     * exactly-once emission comes from the smallest-shared-cell
     * predicate, not a distinct Exchange — PlanSpec pins the absence
