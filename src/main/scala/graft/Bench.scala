@@ -106,13 +106,21 @@ object Bench {
     * and ~27 untouched keys carried a +0.3–0.5 s offset. The probes
     * measure the SAME fixed work, so disagreement = the box's
     * available CPU changed mid-run and per-key medians are not
-    * comparable. Bar placement: originally sized against a quiet
-    * start/end pair of 0.21/0.11 (1.9× of residual-JIT slope after
-    * two warmups); the r10 five-warmup fix converges both probes to
-    * steady state (measured quiet pairs now agree within ~1.4×), so
-    * the 2× bar carries real margin while staying well under r9's
-    * 3.4× contaminated reading. */
-  val CalDisagreeBar = 2.0
+    * comparable. Bar placement (corrected by the r10 review — the 2.0
+    * bar contradicted [[CalibrationFloorSec]]'s own floor physics):
+    * quiet SHORT-run pairs agree within ~1.3–1.8× (eleven r10
+    * calibration-stamped runs: 1.27–1.83), but a quiet LONG run pairs
+    * the fresh-JVM start value (~0.26 s — whole-JVM warmth, not load)
+    * with the deep steady state (0.09–0.12 s), a ratio up to ~2.9
+    * that a 2.0 bar would falsely flag, discarding exactly the
+    * full-inventory artifacts the guard exists to protect. 3.0 clears
+    * the quiet long-run ceiling and still catches r9's 3.4×
+    * contaminated reading — a thin margin, which is honest: by probes
+    * alone, a fresh quiet JVM (0.26) and r9's loaded start (0.271)
+    * are the same number, and only the ratio separates the cases at
+    * all. Runs between 2.9 and 3.4 are genuinely ambiguous; read
+    * loadavg/java_procs alongside. */
+  val CalDisagreeBar = 3.0
 
   /** The whole-file contamination verdict — one definition shared by
     * Bench and tools.KeyBench, pure so the r9 failure case is unit-

@@ -35,10 +35,15 @@ import org.apache.spark.sql.types._
   * per-candidate struct row, and the k-element array allocation per
   * row are gone.
   *
-  * The probe vector may be `array<float>` or `array<double>`
-  * (float→double widening is exact, so probing with the raw
-  * embedding column equals the `transform(…, cast)` spelling while
-  * skipping an interpreted per-row cast-transform); dimensions fold
+  * The probe vector may be any numeric array —
+  * `array<float|double|int|long>` (widening to double is exact for
+  * float/int and for longs below 2^53, so probing with the raw
+  * column equals the old `transform(…, cast)` spelling while
+  * skipping an interpreted per-row cast-transform; the long/int
+  * acceptance keeps [[graft.api.GraftOps.kmeans]]'s public contract,
+  * which always cast whatever numeric array it was given — the
+  * element accessor is chosen at plan time, [[NumDot]]-style);
+  * dimensions fold
   * left-to-right over `min(|v|, |c|)`, the [[NumDot]] convention.
   * Empty or all-null `cells` → null, as `array_min` of an empty
   * array. */
@@ -52,17 +57,18 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
     StructField("__cn", DoubleType))))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(StructType(Array(
+    case (ArrayType(FloatType | DoubleType | IntegerType | LongType, _),
+          ArrayType(StructType(Array(
       StructField(_, IntegerType, _, _),
       StructField(_, ArrayType(DoubleType, _), _, _),
       StructField(_, DoubleType, _, _))), _)) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"cell_argmin expects (array<float|double>, ${CellsType.simpleString}), " +
+      s"cell_argmin expects (array<float|double|int|long>, ${CellsType.simpleString}), " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  private val vecIsFloat =
-    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+  private val vecElem: DataType =
+    left.dataType match { case ArrayType(et, _) => et; case _ => DoubleType }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
@@ -82,8 +88,7 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
         var s = 0.0
         var j = 0
         while (j < m) {
-          s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) *
-            cv.getDouble(j)
+          s += VecAccess.get(vec, vecElem, j) * cv.getDouble(j)
           j += 1
         }
         val d = java.math.BigDecimal.valueOf(cn - 2.0 * s)
@@ -99,7 +104,7 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val vGet = if (vecIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val vGet = VecAccess.gen(a, vecElem)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val m = ctx.freshName("m"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val s = ctx.freshName("s")
@@ -169,8 +174,8 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     CellArgmin(left, right).checkInputDataTypes()
 
-  private val vecIsFloat =
-    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+  private val vecElem: DataType =
+    left.dataType match { case ArrayType(et, _) => et; case _ => DoubleType }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
@@ -189,8 +194,7 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
         var s = 0.0
         var j = 0
         while (j < m) {
-          s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) *
-            cv.getDouble(j)
+          s += VecAccess.get(vec, vecElem, j) * cv.getDouble(j)
           j += 1
         }
         val d = java.math.BigDecimal.valueOf(c.getDouble(2) - 2.0 * s)
@@ -214,7 +218,7 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val vGet = if (vecIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val vGet = VecAccess.gen(a, vecElem)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val m = ctx.freshName("m"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val s = ctx.freshName("s")
@@ -260,4 +264,21 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cell_topp"
+}
+
+/** Plan-time-typed element access for the probe-vector side of
+  * [[CellArgmin]]/[[CellTopP]] — the [[NumDot]] accessor pattern. */
+private[catalyst] object VecAccess {
+  def get(vec: ArrayData, et: DataType, j: Int): Double = et match {
+    case FloatType   => vec.getFloat(j).toDouble
+    case IntegerType => vec.getInt(j).toDouble
+    case LongType    => vec.getLong(j).toDouble
+    case _           => vec.getDouble(j)
+  }
+  def gen(arr: String, et: DataType): String = et match {
+    case FloatType   => s"(double) $arr.getFloat"
+    case IntegerType => s"(double) $arr.getInt"
+    case LongType    => s"(double) $arr.getLong"
+    case _           => s"$arr.getDouble"
+  }
 }

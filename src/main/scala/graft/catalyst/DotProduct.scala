@@ -242,6 +242,8 @@ object GraftFunctions {
       {
         case Seq(v, cs, p) if p.foldable =>
           CellTopP(v, cs, p.eval().asInstanceOf[Number].intValue())
+        case Seq(_, _, p) => throw new IllegalArgumentException(
+          s"graft_cell_topp expects a foldable p literal, got ${p.sql}")
         case exprs => throw new IllegalArgumentException(
           s"graft_cell_topp expects (vec, cells, p literal), got ${exprs.size} args")
       },

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators over `documents` (LLM-pipeline
@@ -25,8 +25,26 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Engine-neutral 32-bit token hash as a SQL fragment. */
-  private def hx(colName: String): String =
+  private[graft] def hx(colName: String): String =
     s"cast(conv(substring(md5($colName),1,8),16,10) as bigint)"
+
+  /** The MinHash permutation family — SINGLE-SOURCED (r10 review):
+    * the streaming ingestion key computes the same signatures per
+    * arriving row ([[graft.streaming.StreamOps.streamNeardupPairs]]),
+    * and its streamed-≡-batch oracle contract holds only while both
+    * sides hash identically. `mh_i = min((a·h + b) mod P)` over the
+    * shingle hashes; bands pair (mh1, mh2) and (mh3, mh4). */
+  private[graft] val MinhashP = 2147483647L
+  private[graft] val MinhashPerms = Seq((1L, 7L), (3L, 11L), (5L, 13L), (7L, 17L))
+
+  /** Signature-estimated Jaccard between two prefixed signature sides
+    * (`<pfx>mh1..mh4` columns) — shared by the batch band joins and
+    * the streaming probe. */
+  private[graft] def jaccEstCol(aPfx: String, bPfx: String): Column =
+    MinhashPerms.indices
+      .map(i => when(col(s"${aPfx}mh${i + 1}") === col(s"${bPfx}mh${i + 1}"), 1)
+        .otherwise(0))
+      .reduce(_ + _) / lit(4.0)
 
   /** Default band-bucket cap for [[qDedupMinhash]]: far above any
     * fixture bucket (max observed 20 of 5 000 docs at sf0.1) but a
@@ -86,12 +104,9 @@ object DedupOps {
       .select(col("doc_id"),
         explode(expr("graft_word_shingles(text, 3)")).as("s"))
     val hs = shingles.select(col("doc_id"), expr(hx("s")).as("h"))
-    val P = 2147483647L
-    hs.groupBy(col("doc_id")).agg(
-      min((col("h") * 1 + 7)  % P).as("mh1"),
-      min((col("h") * 3 + 11) % P).as("mh2"),
-      min((col("h") * 5 + 13) % P).as("mh3"),
-      min((col("h") * 7 + 17) % P).as("mh4"))
+    val mhAggs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh${i + 1}") }
+    hs.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
       .localCheckpoint(true)
   }
 
@@ -120,10 +135,7 @@ object DedupOps {
     val b2 = renamed(capped(big2, "mh3", "mh4"), "b_")
     val pairCols = Seq(
       col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
-      ((when(col("a_mh1") === col("b_mh1"), 1).otherwise(0) +
-        when(col("a_mh2") === col("b_mh2"), 1).otherwise(0) +
-        when(col("a_mh3") === col("b_mh3"), 1).otherwise(0) +
-        when(col("a_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
+      jaccEstCol("a_", "b_").as("jacc_est"))
     val band1 = a1.join(b1,
       col("a_mh1") === col("b_mh1") && col("a_mh2") === col("b_mh2") &&
       col("a_doc_id") < col("b_doc_id"))
@@ -167,12 +179,17 @@ object DedupOps {
     * uncapped on the fixtures — observed max bucket 20, 25× headroom)
     * or capped-out edges would silently
     * shrink clusters only on the engine side. */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir, MaxBandBucket)
-    graft.api.GraftOps.connectedComponents(pairs, "doc_a", "doc_b")
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterFrame(spark, dir).orderBy(col("cluster"), col("doc_id"))
+
+  /** (doc_id, cluster) for every doc in a MinHash candidate pair —
+    * shared by [[qDedupClusters]] and [[qDedupKeep]] (r10 review:
+    * single-sourced so the two keys cannot diverge on the pair set
+    * or the component labeling). */
+  private[graft] def clusterFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps
+      .connectedComponents(minhashPairs(spark, dir, MaxBandBucket), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component").as("cluster"))
-      .orderBy(col("cluster"), col("doc_id"))
-  }
 
   /** DECLARED: survivor selection — the step AFTER clustering that a
     * real dedup pipeline actually ships: per near-dup cluster, keep
@@ -186,19 +203,12 @@ object DedupOps {
     * fixpoint, same rounding, different (better) physical shape on
     * the engine side. */
   def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir, MaxBandBucket)
-    val cl = graft.api.GraftOps.connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("component").as("cluster"))
     // exactly q_text_quality's score arithmetic (which hash-matches
-    // DuckDB): per-4dp-rounded ttr and stop ratio, product re-rounded
+    // DuckDB) — single-sourced in TextOps.qualityScoreCol
     val q = Tables.documents(spark, dir)
       .withColumn("t", split(col("text"), " "))
-      .select(col("doc_id"), round(
-        round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4) *
-          (lit(1.0) -
-            round(expr("size(filter(t, w -> w IN ('the','a','of','and','to','in')))") /
-              size(col("t")).cast("double"), 4)), 4).as("score"))
-    cl.join(q, "doc_id")
+      .select(col("doc_id"), TextOps.qualityScoreCol(col("t")).as("score"))
+    clusterFrame(spark, dir).join(q, "doc_id")
       .groupBy(col("cluster"))
       .agg(
         max(struct(col("score"), (-col("doc_id")).as("__nd"),

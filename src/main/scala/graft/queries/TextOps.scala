@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,20 @@ object TextOps {
       .orderBy(col("doc_id"))
       .limit(300)
 
+  /** The composite-quality ingredients, single-sourced (r10 review:
+    * qDedupKeep's survivor rule re-spelled this arithmetic; a drift
+    * in either copy would break its oracle contract silently). `t` is
+    * the whitespace token array; both ratios round to 4 dp before the
+    * product re-rounds — the exact q_text_quality oracle arithmetic. */
+  private[graft] val QualityStopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[graft] def ttrCol(t: Column): Column =
+    round(size(array_distinct(t)) / size(t).cast("double"), 4)
+  private[graft] def stopRatioCol(t: Column): Column =
+    round(size(filter(t, w => w.isin(QualityStopwords.map(lit): _*))) /
+      size(t).cast("double"), 4)
+  private[graft] def qualityScoreCol(t: Column): Column =
+    round(ttrCol(t) * (lit(1.0) - stopRatioCol(t)), 4)
+
   /** Quality scoring: type-token ratio, stopword ratio, short-doc
     * flag, and a composite score. */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
@@ -94,9 +108,8 @@ object TextOps {
       .select(
         col("doc_id"),
         size(col("t")).as("n_tok"),
-        round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4).as("ttr"),
-        round(expr("size(filter(t, w -> w IN ('the','a','of','and','to','in')))") /
-          size(col("t")).cast("double"), 4).as("stop_ratio"),
+        ttrCol(col("t")).as("ttr"),
+        stopRatioCol(col("t")).as("stop_ratio"),
         (col("n_chars") < 100).as("short_flag"))
       .withColumn("score", round(col("ttr") * (lit(1.0) - col("stop_ratio")), 4))
       .orderBy(col("doc_id"))

@@ -242,19 +242,19 @@ object VectorOps {
     val e = Tables.embeddings(spark, dir)
     val (cent, assigned) =
       graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", 8, 2)
-    val centN = cent.withColumn("__cn", round(expr("graft_num_dot(__c, __c)"), 6))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").as(P))
-    val pa = probes.crossJoin(broadcast(centN))
+    // top-nprobe cells via the codegen'd CellTopP — the SAME 6-dp
+    // argmin metric and (distance, cell) tie order as the build
+    // (CellArgminSpec pins ≡ to the min-struct spelling, element 0 =
+    // the build's own argmin). r10 review: this replaced a second
+    // hand-spelling of the metric (crossJoin + window rank ≤ nprobe)
+    // that had to be kept bit-identical by hand — and drops that
+    // spelling's window shuffle over the probe side.
+    val probeCell = probes
+      .crossJoin(broadcast(graft.api.GraftOps.centroidArray(cent)))
       .select(col("vec_id"), col(P),
-        // same 6-dp argmin metric as the build; float×double num_dot is
-        // exact-equal to the build's double×double (float→double is exact)
-        round(col("__cn") - lit(2.0) * expr(s"graft_num_dot($P, __c)"), 6).as("d_c"),
-        col("__cell").as("cell"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d_c"), col("cell"))
-    val probeCell = pa.withColumn("rk", row_number().over(wA))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col(P), col("cell"))
+        explode(expr(s"graft_cell_topp($P, __cs, $nprobe)")).as("cell"))
     val targets = assigned
       .select(col("vec_id").as("neighbor"), col("cell"), col("embedding").as(T))
     // probe side is bounded (≤ 10·nprobe rows) but hides behind a

@@ -252,8 +252,8 @@ object StreamOps {
   private[graft] def streamNeardupPairs(
       spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    import graft.queries.DedupOps.{MinhashP, MinhashPerms, hx, jaccEstCol}
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
-    val P = 2147483647L
 
     // static: corpus signatures + over-cap band keys (tiny by the
     // ≤ N/cap argument — they ride broadcasts)
@@ -280,28 +280,24 @@ object StreamOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val hsExpr =
-      "transform(graft_word_shingles(text, 3), " +
-        "s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"
-    def mhExpr(a: Long, b: Long) =
-      s"array_min(transform(__hs, h -> (h * $a + $b) % $P))"
+    // the SAME permutation family as the batch signatures, imported
+    // from DedupOps so the two spellings cannot drift (r10 review)
+    val hsExpr = s"transform(graft_word_shingles(text, 3), s -> ${hx("s")})"
+    val mhCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(__hs, h -> (h * $a + $b) % $MinhashP))")
+        .as(s"s_mh${i + 1}") }
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
       .withColumn("__hs", expr(hsExpr))
-      .select(col("doc_id").as("s_doc"),
-        expr(mhExpr(1, 7)).as("s_mh1"), expr(mhExpr(3, 11)).as("s_mh2"),
-        expr(mhExpr(5, 13)).as("s_mh3"), expr(mhExpr(7, 17)).as("s_mh4"))
+      .select(col("doc_id").as("s_doc") +: mhCols: _*)
     def streamCapped(big: DataFrame, k1: String, k2: String) = stream
       .join(broadcast(big),
         col(k1) === col("big_k1") && col(k2) === col("big_k2"), "left_anti")
 
     val pairCols = Seq(
       col("s_doc").as("doc_a"), col("b_doc").as("doc_b"),
-      ((when(col("s_mh1") === col("b_mh1"), 1).otherwise(0) +
-        when(col("s_mh2") === col("b_mh2"), 1).otherwise(0) +
-        when(col("s_mh3") === col("b_mh3"), 1).otherwise(0) +
-        when(col("s_mh4") === col("b_mh4"), 1).otherwise(0)) / 4.0).as("jacc_est"))
+      jaccEstCol("s_", "b_").as("jacc_est"))
     val band1 = streamCapped(big1, "s_mh1", "s_mh2")
       .join(statCapped(big1, "mh1", "mh2"),
         col("s_mh1") === col("b_mh1") && col("s_mh2") === col("b_mh2") &&

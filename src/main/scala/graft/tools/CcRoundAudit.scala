@@ -24,6 +24,12 @@ object CcRoundAudit {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-cc-round-audit")
       .config("spark.sql.shuffle.partitions", "32")
+      // same scan protocol as Bench/KeyBench (r10 review): without it
+      // the single-file fixture scans at size/128 MB tasks and the
+      // corpus pass feeding the edge list runs parallelism-floored,
+      // making wall_sec incomparable to the other instruments'
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -95,6 +95,30 @@ class CellArgminSpec extends SparkSpec {
     assert(p2.size > p1.size, "fixture boundary pairs should appear at probes=2")
   }
 
+  test("integer and long probe vectors are accepted, matching the double spelling (r10 review)") {
+    // GraftOps.kmeans historically cast ANY numeric array to double;
+    // the CellArgmin rewrite briefly narrowed that to float/double —
+    // this pins the restored contract end to end through kmeans.
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(10, 0)), (2L, Seq(9, 1)), (3L, Seq(0, 10)), (4L, Seq(1, 9)))
+      .toDF("id", "vec")
+    val intCells = graft.api.GraftOps.kmeans(df, "id", "vec", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dblCells = graft.api.GraftOps.kmeans(
+      df.select(col("id"), expr("transform(vec, x -> cast(x as double))").as("vec")),
+      "id", "vec", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(intCells === dblCells)
+    assert(intCells.values.toSet.size === 2)
+    val longCells = graft.api.GraftOps.kmeans(
+      df.select(col("id"), expr("transform(vec, x -> cast(x as bigint))").as("vec")),
+      "id", "vec", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(longCells === dblCells)
+  }
+
   test("rounding at 6 dp is decisive: a 1e-7 separation is a tie, 1e-5 is not") {
     GraftFunctions.ensureRegistered(spark)
     // cell 9 is truly nearer by 1e-7 — invisible at 6 dp, so the tie

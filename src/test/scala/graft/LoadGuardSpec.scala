@@ -50,6 +50,17 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(!Bench.loadVerdict(0.26, 0.157))
   }
 
+  test("r10 review: a quiet LONG run pairing fresh-JVM start with deep steady state passes") {
+    // the floor scaladoc's own physics: start ~0.26 s (fresh JVM,
+    // whole-JVM warmth), end 0.09–0.12 s deep into a long run —
+    // ratio up to ~2.9. The old 2.0 bar false-flagged exactly the
+    // full-inventory artifacts the guard exists to protect; the 3.0
+    // bar clears them while r9's 3.4× contaminated pair still flags.
+    assert(!Bench.loadVerdict(0.26, 0.09))
+    assert(!Bench.loadVerdict(0.26, 0.12))
+    assert(Bench.loadVerdict(0.271, 0.080)) // r9 stays caught
+  }
+
   test("floor override scales the absolute bar") {
     // a slower box with floor 0.40: 0.45 agreeing probes are quiet
     assert(!Bench.loadVerdict(0.45, 0.44, 0.40))
