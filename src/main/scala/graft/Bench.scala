@@ -51,6 +51,20 @@ import org.apache.spark.sql.SparkSession
   * [[LoadFactorBar]]× the floor. A contaminated file is still a valid
   * ≤2×-bar check (the bar has huge margin) but must not be read for
   * round-over-round per-key regressions.
+  *
+  * KEY-level guard (r11, VERDICT r10 #1): the endpoint probes cannot
+  * see a MID-RUN load burst — r10's driver artifact carried
+  * q_text_tfidf at 8.5× its quiet value under clean probes. Three
+  * additions make each key's number self-describing: [[keyNoisy]]
+  * widens the noisy-rep trigger (≥, plus spread > ½·median for
+  * median > 1 s keys), [[suspectKeys]] cross-checks every median
+  * against the COMMITTED quiet reference (`bench_quiet_ref.json`,
+  * refreshed only at round close from a calibration-clean run) and
+  * lists >2×-quiet keys in `suspect_keys` on BOTH output lines, and
+  * a per-key 1-min loadavg sample (`key_loadavg`) localizes which
+  * keys a burst overlapped. `jvm_uptime_sec` at both probes
+  * additionally separates fresh-JVM warm-up ratio from genuine load
+  * ratio in the disagreement guard's ambiguous band (ADVICE r10).
   */
 object Bench {
 
@@ -131,6 +145,79 @@ object Bench {
                                  floor: Double = CalibrationFloorSec): Boolean =
     math.max(cal0, cal1) > LoadFactorBar * floor ||
     math.max(cal0, cal1) > CalDisagreeBar * math.min(cal0, cal1)
+
+  /** KEY-level noise verdict on one key's first measurement pass
+    * (r11, VERDICT r10 #1a). The r7 rule `spread > median` used strict
+    * `>` and a single trigger; r10's driver artifact shipped
+    * q_dedup_clusters at median 6.89 s with spread 6.74 s — 0.15 s
+    * under the bar — stamped clean. Two triggers now: spread ≥ median
+    * (the old rule, closed-boundary), OR, for keys slow enough that
+    * half their median is far beyond scheduler jitter (median > 1 s),
+    * spread > ½·median. The second trigger catches exactly the r10
+    * miss (6.74 > 3.45) without flagging fast keys whose honest
+    * jitter routinely spans half their ~0.1 s median. */
+  private[graft] def keyNoisy(median: Double, spread: Double): Boolean =
+    spread >= median || (median > 1.0 && spread > 0.5 * median)
+
+  /** KEY-level contamination cross-check against the committed
+    * quiet-box reference (r11, VERDICT r10 #1b). The run-level
+    * calibration probes sample only the run's ENDPOINTS — a mid-run
+    * load burst (r10: q_text_tfidf 8.00 s vs 0.94 s quiet, probes
+    * [0.193, 0.097] both clean) is invisible to them by construction.
+    * The committed quiet medians are the one per-key signal that CAN
+    * see it: flag every key whose median exceeds 2× its quiet value
+    * (the VERDICT rule) AND by more than 0.25 s absolute — the
+    * absolute floor keeps sub-0.1 s keys, whose honest scheduler
+    * jitter routinely doubles them, out of the list (r10's largest
+    * quiet-vs-driver delta on an untouched fast key was +0.07 s;
+    * the two real contaminations were +7.06 s and +4.56 s). */
+  private[graft] def suspectKeys(timings: collection.Map[String, Double],
+                                 quiet: collection.Map[String, Double]): Seq[String] =
+    timings.iterator.collect {
+      case (k, v) if quiet.get(k).exists(q => v > 2.0 * q && v - q > 0.25) => k
+    }.toSeq.sorted
+
+  /** Read the committed quiet reference — a past quiet-box
+    * bench_detail.json SNAPSHOT committed as `bench_quiet_ref.json`
+    * (env `GRAFT_QUIET_REF` overrides). A separate file because Bench
+    * overwrites bench_detail.json every run: the reference must be a
+    * file no run touches, refreshed only at round close from a
+    * calibration-clean run. Returns empty (disabling the cross-check,
+    * `suspect_keys: []`) when the file is missing, unparseable, or
+    * was taken at a DIFFERENT sf_dir or CPU count — cross-SF or
+    * cross-parallelism medians are not comparable and must not
+    * generate suspects (a 4-cpu demo run against the 32-cpu ref
+    * flagged half the fast keys as "suspects" that were really just
+    * running on an eighth of the cores). */
+  private[graft] def parseQuietRef(path: String, sfDir: String,
+                                   cpus: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val lines = try src.getLines().toList finally src.close()
+      val sfOk = lines.exists(l =>
+        l.contains("\"metric\":\"seed_total\"") &&
+        l.contains(s""""sf_dir":${jstr(sfDir)}""") &&
+        l.contains(s""""calibration_cpus":${cpus}"""))
+      if (!sfOk) Map.empty
+      else {
+        val detail = lines.find(_.contains("\"metric\":\"per_query\"")).getOrElse("")
+        val qm = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(detail).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([-0-9.]+)""".r.findAllMatchIn(qm)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** JVM uptime at probe time (r11, ADVICE r10): the calibration floor
+    * physics ([[CalibrationFloorSec]]) hinge on whether the start
+    * probe ran in a FRESH JVM (quiet ~0.26 s) or a warm one (quiet
+    * 0.09–0.15 s) — loadavg alone cannot separate warm-up ratio from
+    * genuine load ratio in the 2.9–3.4 ambiguous band. Recording
+    * uptime at both probes lets a consumer adjudicate: a start probe
+    * at uptime < ~60 s reading 0.26 s is fresh-JVM physics, the same
+    * number at uptime 600 s is load. */
+  private def jvmUptimeSec(): Double =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
 
   /** Fixed CPU-bound probe: hash-reduce 200 M longs, no I/O, no
     * shuffle — wall time tracks available CPU and nothing else.
@@ -248,12 +335,14 @@ object Bench {
     // Load guard (VERDICT r8 #1): calibrate FIRST and LAST so ambient
     // load at any point of the run is visible in the file it affects.
     val load0 = loadAvg(); val jvms0 = javaProcs()
+    val up0 = jvmUptimeSec()
     val cal0 = calibrate(spark)
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val noisy = scala.collection.mutable.ArrayBuffer[String]()
+    val keyLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup
@@ -263,13 +352,14 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         var runs = measure(Reps)
-        // Self-policing on noise (VERDICT r7 #2): a key whose max−min
-        // spread exceeds its own median was drowned by an ambient
-        // stall (GC, JIT, fixture cache churn) — its 3-rep median is
-        // not a number a regression claim may rest on. Re-measure at
-        // NoisyReps and flag the key in `noisy_keys` either way, so
-        // cross-round consumers see which figures were contested.
-        if (runs.last - runs.head > runs(runs.size / 2)) {
+        // Self-policing on noise (VERDICT r7 #2, triggers widened r11
+        // — [[keyNoisy]]): a key whose max−min spread rivals its own
+        // median was drowned by an ambient stall (GC, JIT, a load
+        // burst) — its 3-rep median is not a number a regression claim
+        // may rest on. Re-measure at NoisyReps and flag the key in
+        // `noisy_keys` either way, so cross-round consumers see which
+        // figures were contested.
+        if (keyNoisy(runs(runs.size / 2), runs.last - runs.head)) {
           noisy += name
           runs = measure(NoisyReps)
         }
@@ -279,12 +369,23 @@ object Bench {
         case t: Throwable =>
           errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(120)
       }
+      // Per-key load stamp (r11, VERDICT r10 #1c): one /proc/loadavg
+      // read per key. The endpoint probes cannot see a mid-run burst;
+      // this 1-min sample, taken right as the key's medians were
+      // measured, localizes WHICH keys a burst overlapped. Read it as
+      // diagnostic context, not a verdict — the bench's own 32-thread
+      // work legitimately drives loadavg up over a long run.
+      keyLoad(name) = loadAvg()
     }
     val (udfRewriteFired, udfPlanEqualsExpr) =
       try udfRewriteChecks(spark, sfDir) catch { case _: Throwable => (false, false) }
+    val up1 = jvmUptimeSec()
     val cal1 = calibrate(spark)
     val load1 = loadAvg(); val jvms1 = javaProcs()
     val contaminated = loadVerdict(cal0, cal1)
+    val quietRef = parseQuietRef(
+      sys.env.getOrElse("GRAFT_QUIET_REF", "bench_quiet_ref.json"), sfDir, cpusJson)
+    val suspects = suspectKeys(timings, quietRef)
     val allTotal = timings.values.sum
     // The seed map is BY CONSTRUCTION the same per-key medians the
     // per_query block reports — one measurement pass, one protocol
@@ -299,15 +400,16 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
 
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
+    val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is
     // actual timings — r8's tail sliced at the spread map and the
     // judge read spreads as a second, 10×-disagreeing timing pass.
     val detail =
-      s"""{"metric":"per_query","reps":$Reps,"noisy_reps":$NoisyReps,"noisy_keys":$noisyJson,$loadJson,"spread":${jmap(spreads)},"errors":$errs,"queries":${jmap(timings)}}"""
+      s"""{"metric":"per_query","reps":$Reps,"noisy_reps":$NoisyReps,"noisy_keys":$noisyJson,$loadJson,"key_loadavg":${jmap(keyLoad)},"spread":${jmap(spreads)},"errors":$errs,"queries":${jmap(timings)}}"""
     // "sf0.1" → 0.1; unknown layouts fall back to the raw dir string
     val sfJson = """sf(\d+(?:\.\d+)?)""".r.findFirstMatchIn(
       new java.io.File(sfDir).getName).map(_.group(1)).getOrElse(jstr(sfDir))

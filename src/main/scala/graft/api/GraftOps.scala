@@ -182,9 +182,22 @@ object GraftOps {
 
     var cent = c0.localCheckpoint(true)
     for (_ <- 1 to iters) cent = update(assign(cent))
+    // CellArgmin accepts array<float|double|int|long> natively; any
+    // other numeric element type (short/byte/decimal) keeps the
+    // pre-r10 accept-any-castable contract via an explicit cast pass
+    // (r11, ADVICE: the Lloyd rounds cast, so narrowing only the
+    // final assignment was an API regression).
+    val probeSql = df.select(expr(vecCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType, _) => vecCol
+      case _ => s"transform($vecCol, x -> cast(x as double))"
+    }
     val assigned = df
       .crossJoin(broadcast(centroidArray(cent)))
-      .withColumn("cell", cellColumn(vecCol))
+      .withColumn("cell", cellColumn(probeSql))
       .drop("__cs")
     (cent, assigned)
   }

@@ -33,7 +33,10 @@ import org.apache.spark.sql.types._
   * CellArgminSpec pins ≡ against the transform spelling plus the
   * tie and empty-model edges), but the lambda interpreter, the
   * per-candidate struct row, and the k-element array allocation per
-  * row are gone.
+  * row are gone. Non-finite distances (a NaN/Inf element in a dirty
+  * embedding) take [[Round6]]'s RoundBase-style pass-through and sort
+  * LAST, exactly as the old spelling's `round()` + min-struct order
+  * did — they never win the argmin and never crash the scan.
   *
   * The probe vector may be any numeric array —
   * `array<float|double|int|long>` (widening to double is exact for
@@ -91,9 +94,8 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
           s += VecAccess.get(vec, vecElem, j) * cv.getDouble(j)
           j += 1
         }
-        val d = java.math.BigDecimal.valueOf(cn - 2.0 * s)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (!found || d < bestD || (d == bestD && cell < bestCell)) {
+        val d = Round6.round6(cn - 2.0 * s)
+        if (!found || Round6.beats(d, cell, bestD, bestCell)) {
           found = true; bestD = d; bestCell = cell
         }
       }
@@ -125,9 +127,8 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
          |  for (int $j = 0; $j < $m; $j++) {
          |    $s += $vGet($j) * $cv.getDouble($j);
          |  }
-         |  double $d = java.math.BigDecimal.valueOf($c.getDouble(2) - 2.0d * $s)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
-         |  if (!$found || $d < $bestD || ($d == $bestD && $cell < $bestCell)) {
+         |  double $d = graft.catalyst.Round6.round6($c.getDouble(2) - 2.0d * $s);
+         |  if (!$found || graft.catalyst.Round6.beats($d, $cell, $bestD, $bestCell)) {
          |    $found = true; $bestD = $d; $bestCell = $cell;
          |  }
          |}
@@ -197,12 +198,11 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
           s += VecAccess.get(vec, vecElem, j) * cv.getDouble(j)
           j += 1
         }
-        val d = java.math.BigDecimal.valueOf(c.getDouble(2) - 2.0 * s)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        // insertion: find slot, shift the tail down
+        val d = Round6.round6(c.getDouble(2) - 2.0 * s)
+        // insertion: find slot, shift the tail down ([[Round6.beats]]
+        // supplies the NaN-total min-struct order)
         var pos = filled
-        while (pos > 0 && (d < topD(pos - 1) ||
-          (d == topD(pos - 1) && cell < topC(pos - 1)))) pos -= 1
+        while (pos > 0 && Round6.beats(d, cell, topD(pos - 1), topC(pos - 1))) pos -= 1
         if (pos < p) {
           var t = math.min(filled, p - 1)
           while (t > pos) { topD(t) = topD(t - 1); topC(t) = topC(t - 1); t -= 1 }
@@ -241,11 +241,10 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
          |  for (int $j = 0; $j < $m; $j++) {
          |    $s += $vGet($j) * $cv.getDouble($j);
          |  }
-         |  double $d = java.math.BigDecimal.valueOf($c.getDouble(2) - 2.0d * $s)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $d = graft.catalyst.Round6.round6($c.getDouble(2) - 2.0d * $s);
          |  int $pos = $filled;
-         |  while ($pos > 0 && ($d < $topD[$pos - 1] ||
-         |    ($d == $topD[$pos - 1] && $cell < $topC[$pos - 1]))) $pos--;
+         |  while ($pos > 0 && graft.catalyst.Round6.beats(
+         |      $d, $cell, $topD[$pos - 1], $topC[$pos - 1])) $pos--;
          |  if ($pos < $p) {
          |    for (int $t = java.lang.Math.min($filled, $p - 1); $t > $pos; $t--) {
          |      $topD[$t] = $topD[$t - 1]; $topC[$t] = $topC[$t - 1];
@@ -264,6 +263,38 @@ case class CellTopP(left: Expression, right: Expression, p: Int)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cell_topp"
+}
+
+/** The rounding step shared by [[CellArgmin]]/[[CellTopP]], with the
+  * guard Spark's own `RoundBase` has (r11, ADVICE): NaN and ±Infinity
+  * pass through unchanged — `java.math.BigDecimal.valueOf` throws
+  * `NumberFormatException` on them, and the pre-r10
+  * `array_min(transform(round(...)))` spelling propagated them
+  * (interpreted `round()` returns non-finite input as-is). Finite
+  * values take the exact interpreted-`round()` path, so results stay
+  * bit-identical to the transform spelling. Called from generated
+  * code via the object's static forwarder. */
+private[catalyst] object Round6 {
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Does candidate (d, cell) sort before (bestD, bestCell) under the
+    * min-struct order the old `array_min(transform(...))` spelling
+    * used? Spark's struct ordering is TOTAL: NaN is larger than every
+    * double and EQUAL to itself (so two NaN distances fall through to
+    * the cell-id tiebreak) — plain Java `<`/`==` get both wrong,
+    * which is why this lives here once instead of four hand-spelled
+    * comparison chains. Monomorphic static call; JIT inlines it in
+    * the generated k-loop. */
+  def beats(d: Double, cell: Int, bestD: Double, bestCell: Int): Boolean = {
+    val dn = java.lang.Double.isNaN(d)
+    val bn = java.lang.Double.isNaN(bestD)
+    if (dn != bn) bn
+    else if (dn) cell < bestCell
+    else d < bestD || (d == bestD && cell < bestCell)
+  }
 }
 
 /** Plan-time-typed element access for the probe-vector side of

@@ -257,9 +257,10 @@ object VectorOps {
         explode(expr(s"graft_cell_topp($P, __cs, $nprobe)")).as("cell"))
     val targets = assigned
       .select(col("vec_id").as("neighbor"), col("cell"), col("embedding").as(T))
-    // probe side is bounded (≤ 10·nprobe rows) but hides behind a
-    // window, so Catalyst has no stats to auto-broadcast it — hint it,
-    // keeping the corpus side shuffle-free
+    // probe side is bounded (≤ 10·nprobe rows) but hides behind the
+    // explode of the top-p cell array (a stats-destroying generator),
+    // so Catalyst can't auto-broadcast it — hint it, keeping the
+    // corpus side shuffle-free
     val pairs = broadcast(probeCell).join(targets, "cell")
       .filter(col("neighbor") =!= col("vec_id"))
       .select(col("vec_id"), col("neighbor"),

@@ -119,6 +119,50 @@ class CellArgminSpec extends SparkSpec {
     assert(longCells === dblCells)
   }
 
+  test("r11 ADVICE: NaN/Inf distances neither crash nor win — matching the old spelling on dirty data") {
+    // Pre-r11 the BigDecimal.valueOf path threw NumberFormatException
+    // on any non-finite distance (one NaN element in one embedding
+    // killed kmeans assignment); the old interpreted round() passed
+    // NaN/Inf through and min-struct order deprioritized them. Pin ≡
+    // on a dirty corpus: NaN probe elements, an all-NaN probe, a NaN
+    // centroid, and a -Inf distance (which SHOULD win, as before).
+    GraftFunctions.ensureRegistered(spark)
+    val dirty = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(double('NaN'), 1.0d)),
+        |  (2L, array(double('NaN'), double('NaN'))),
+        |  (3L, array(1.0d, 2.0d)),
+        |  (4L, array(double('Infinity'), 1.0d)),
+        |  (5L, array(-double('Infinity'), 1.0d))
+        |AS t(id, vec)""".stripMargin)
+    val cells =
+      """array(struct(1 AS __cell, array(0.5d, 0.5d) AS __c, 0.5d AS __cn),
+        |      struct(2 AS __cell, array(double('NaN'), 1.0d) AS __c, 1.0d AS __cn),
+        |      struct(3 AS __cell, array(1.0d, 1.0d) AS __c, 2.0d AS __cn))""".stripMargin
+    val scored = dirty
+      .withColumn("__cs", expr(cells))
+      .select(col("id"),
+        graft.api.GraftOps.cellColumn("vec").as("new_cell"),
+        oldSpelling("vec").as("old_cell"),
+        expr("graft_cell_topp(vec, __cs, 3)").as("top3"))
+      .collect().sortBy(_.getLong(0))
+    scored.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"id=${r.getLong(0)}: codegen ${r.getInt(1)} != interpreted ${r.getInt(2)}")
+      assert(r.getSeq[Int](3).head === r.getInt(1),
+        s"id=${r.getLong(0)}: topp head disagrees with argmin")
+      assert(r.getSeq[Int](3).size === 3)
+    }
+    // clean probe (row 3): the NaN-distance centroid (cell 2) never wins
+    assert(scored(2).getInt(1) !== 2)
+    // +Inf probe (row 4): cells 1 and 3 reach d = −Inf (cn − 2·(+Inf)),
+    // tie → smaller cell; the NaN distance (cell 2) is deprioritized
+    assert(scored(3).getInt(1) === 1)
+    // −Inf probe (row 5): finite cells read d = +Inf, still beating
+    // the NaN distance under the total order → tie on +Inf → cell 1
+    assert(scored(4).getInt(1) === 1)
+  }
+
   test("rounding at 6 dp is decisive: a 1e-7 separation is a tie, 1e-5 is not") {
     GraftFunctions.ensureRegistered(spark)
     // cell 9 is truly nearer by 1e-7 — invisible at 6 dp, so the tie

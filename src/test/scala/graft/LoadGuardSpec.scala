@@ -66,4 +66,70 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(!Bench.loadVerdict(0.45, 0.44, 0.40))
     assert(Bench.loadVerdict(0.65, 0.63, 0.40))
   }
+
+  // ---- r11: KEY-level guards (VERDICT r10 #1) — the mid-run-burst
+  // case the endpoint probes cannot see. The r10 driver artifact
+  // stamped clean (probes [0.193, 0.097]) while q_text_tfidf read
+  // 8.00 s vs 0.94 s quiet and q_dedup_clusters 6.89 s vs 2.33 s.
+
+  test("r10 miss: clusters spread 6.74 at median 6.89 now trips the noisy rule") {
+    // old rule: 6.74 > 6.89 false — missed by 0.15 s. New half-median
+    // trigger: median > 1 s and 6.74 > 3.45.
+    assert(Bench.keyNoisy(6.89, 6.74))
+  }
+
+  test("noisy boundary is closed: spread == median flags") {
+    assert(Bench.keyNoisy(0.30, 0.30))
+  }
+
+  test("fast keys with honest half-median jitter do NOT flag") {
+    // a 0.12 s key with 0.08 s spread: > half its median, but fast
+    // keys' scheduler jitter routinely spans that — only the
+    // spread >= median rule applies below 1 s
+    assert(!Bench.keyNoisy(0.12, 0.08))
+    assert(Bench.keyNoisy(0.12, 0.12))
+  }
+
+  test("slow key with tight spread does not flag") {
+    assert(!Bench.keyNoisy(6.89, 2.0))
+  }
+
+  test("r10 mid-run burst: tfidf and clusters land in suspect_keys, untouched keys do not") {
+    // the exact r10 driver-vs-quiet medians the endpoint probes
+    // stamped clean
+    val driver = Map(
+      "q_text_tfidf" -> 8.00, "q_dedup_clusters" -> 6.89,
+      "q_join_semi" -> 0.33, "q_agg_pricing" -> 0.24)
+    val quiet = Map(
+      "q_text_tfidf" -> 0.94, "q_dedup_clusters" -> 2.33,
+      "q_join_semi" -> 0.26, "q_agg_pricing" -> 0.24)
+    assert(Bench.suspectKeys(driver, quiet) ===
+      Seq("q_dedup_clusters", "q_text_tfidf"))
+  }
+
+  test("sub-0.1s keys doubling on jitter stay out of suspect_keys (absolute floor)") {
+    // 0.04 → 0.09 s is >2x but only +0.05 s — scheduler jitter, not load
+    assert(Bench.suspectKeys(Map("q_fast" -> 0.09), Map("q_fast" -> 0.04)).isEmpty)
+  }
+
+  test("keys absent from the quiet reference generate no suspects") {
+    assert(Bench.suspectKeys(Map("q_new" -> 9.0), Map.empty[String, Double]).isEmpty)
+  }
+
+  test("parseQuietRef reads this repo's committed reference format; rejects other SFs and cpu counts") {
+    val tmp = java.nio.file.Files.createTempFile("quietref", ".json")
+    val summary = """{"metric":"seed_total","value":3.89,"unit":"sec","sf":0.1,"sf_dir":"/root/testdata/sf0.1","calibration_cpus":32}"""
+    val detail = """{"metric":"per_query","reps":3,"spread":{"q_a":0.1},"queries":{"q_a":0.94,"q_b":2.33}}"""
+    java.nio.file.Files.write(tmp, (summary + "\n" + detail + "\n").getBytes("UTF-8"))
+    val ref = Bench.parseQuietRef(tmp.toString, "/root/testdata/sf0.1", "32")
+    assert(ref === Map("q_a" -> 0.94, "q_b" -> 2.33))
+    // a reference taken at a different SF must disable the cross-check
+    assert(Bench.parseQuietRef(tmp.toString, "/root/testdata/sf0.01", "32").isEmpty)
+    // ... as must one taken at a different core count (a 4-cpu run
+    // against the 32-cpu ref flagged keys that were just under-cored)
+    assert(Bench.parseQuietRef(tmp.toString, "/root/testdata/sf0.1", "4").isEmpty)
+    // missing file: empty, no throw
+    assert(Bench.parseQuietRef("/nonexistent/ref.json", "/root/testdata/sf0.1", "32").isEmpty)
+    java.nio.file.Files.delete(tmp)
+  }
 }
