@@ -387,33 +387,55 @@ object DedupOps {
 
   /** The containment core over any (doc_id, text) frame —
     * ContainmentSpec drives it with the planted embedded-duplicate
-    * geometry the fixture lacks. */
+    * geometry the fixture lacks.
+    *
+    * r11 rewrite (VERDICT r10 #3 — the last candidate-stream
+    * `.distinct()` in the dedup family): a pair colliding on several
+    * rare grams is now kept only where the join gram equals the
+    * SMALLEST shared rare gram — the same map-side exactly-once
+    * discipline as minhash's first-common-band
+    * ([[graft.api.GraftOps]]) and SemDeDup's smallest-shared-cell
+    * predicates, evaluated as a column comparison inside the block
+    * join's own stage. Two structural refinements make the predicate
+    * affordable:
+    *  - the predicate array `rgs` holds only SHARED-CAPABLE grams,
+    *    df ∈ [2, [[RareGramDf]]] — a df = 1 gram can never produce a
+    *    pair, so dropping it changes no candidate and keeps `rgs`
+    *    proportional to the doc's NEAR-DUP overlap mass, not its
+    *    length (a clean doc carries rgs ≈ ∅ and exits at the explode);
+    *  - `rgs` rides the SAME per-doc aggregate that already builds
+    *    the full gram set, and the exploded side then carries
+    *    (grams, n) straight into the block join — so the old shape's
+    *    pair-distinct Exchange AND its two join-back-by-doc Exchanges
+    *    all collapse into the one self-join. Exchanges: grams by df
+    *    key, corpus by doc_id, sides by gram — down from six.
+    * Exactly-once proof shape: rgs_a ∩ rgs_b IS the pair's shared
+    * rare-capable gram set (rare-ness is a global per-gram property),
+    * the join emits the pair once per element of it, and
+    * `gram = array_min(...)` holds for exactly one element.
+    *
+    * wordShingles dedups grams per doc, so size(array_intersect) is
+    * exactly the shared-distinct-gram count and n = size(grams). */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     val g = graft.api.GraftOps
       .wordShingles(docs, "doc_id", "text")
-      .localCheckpoint(true) // consumed by sets, rare AND blocking
-    // One corpus shuffle folds each doc's (distinct) gram set into a
-    // single array row; |A∩B| then evaluates per CANDIDATE pair via
-    // array_intersect. The previous shape joined the corpus-sized gram
-    // table twice per candidate + re-aggregated (doc_a, doc_b, gram) —
-    // three corpus-scale shuffles that dominated the sf1 bench
-    // (8.9 s → the candidate-join cost alone; BASELINE.md §sf1).
-    // wordShingles dedups grams per doc, so size(array_intersect) is
-    // exactly the shared-distinct-gram count and n = size(grams).
-    val sets = g.groupBy(col("doc_id"))
-      .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("n"))
-    val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= RareGramDf).select(col("gram"))
-    val blocked = g.join(rare, "gram")
-    val cand = blocked.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(blocked.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .localCheckpoint(true) // consumed by the df-count AND the flag join
+    val shareable = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, RareGramDf))
+      .select(col("gram"), lit(1).as("__r"))
+    // One corpus shuffle folds each doc's (distinct) gram set AND its
+    // shared-capable blocking subset into a single row.
+    val sets = g.join(shareable, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("n"),
+        collect_list(when(col("__r") === 1, col("gram"))).as("rgs"))
+    def side(s: String): DataFrame = sets.select(
+      col("doc_id").as(s"doc_$s"), col("grams").as(s"__g$s"),
+      col("n").as(s"n_$s"), col("rgs").as(s"rgs_$s"),
+      explode(col("rgs")).as("gram"))
+    side("a").join(side("b"), "gram")
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("__ga"),
-        col("n").as("n_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("__gb"),
-        col("n").as("n_b")), "doc_b")
+      .filter(col("gram") === array_min(array_intersect(col("rgs_a"), col("rgs_b"))))
       .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * 8)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),

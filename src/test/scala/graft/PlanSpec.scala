@@ -176,6 +176,24 @@ class PlanSpec extends SparkSpec {
       s"a distinct-style aggregate over vec-id pairs reappeared:\n$p")
   }
 
+  test("containment candidate dedup is a map-side predicate — no pair-keyed aggregate") {
+    // r11 (VERDICT r10 #3): the last candidate-stream `.distinct()` in
+    // the dedup family is gone — a pair colliding on several rare
+    // grams is kept only where the join gram equals the smallest
+    // shared rare-capable gram (array_min over the intersect of the
+    // two carried rgs arrays), inside the block join's stage. The
+    // per-doc gram-set fold and the df count legitimately aggregate
+    // (keyed on doc_id ALONE / gram), so pin specifically: no
+    // aggregate keyed on a doc-id PAIR, and the predicate exists.
+    val p = planOf(queries.DedupOps.qDedupContainment(spark, sf))
+    assert(p.contains("array_min(array_intersect"),
+      s"smallest-shared-gram predicate missing:\n$p")
+    val pairAggs = "(?:Hash|Sort|ObjectHash)Aggregate\\(keys=\\[[^\\]]*doc_a[^\\]]*doc_b"
+      .r.findAllIn(p).size
+    assert(pairAggs == 0,
+      s"a distinct-style aggregate over doc-id pairs reappeared:\n$p")
+  }
+
   test("corpus-cleaning keys are pure projections — no Exchange before the presentation sort") {
     // repetition/pii/normalize must stream through the scan; the only
     // shuffle allowed is the final orderBy's range exchange
