@@ -30,9 +30,25 @@ object TextOps {
       .orderBy(col("n").desc, col("word"))
       .limit(100)
 
+  /** Head-vocabulary size for [[qTextTfidf]]'s broadcast df split —
+    * the [[graft.api.GraftOps.unigramCrossEntropy]] convention: 1024
+    * words ≈ the Zipf mass at any corpus scale (the head's SHARE only
+    * grows with corpus size), a few tens of KB broadcast. */
+  private[graft] val TfidfHeadK = 1024
+
   /** TF-IDF: top-5 terms per language. tf = term count within the
     * language; df = docs containing the term; idf = ln(N/df). Ranked
-    * on the ROUNDED score so cross-engine ordering is stable. */
+    * on the ROUNDED score so cross-engine ordering is stable.
+    *
+    * r11 (VERDICT r10 #5): the tf⋈df join splits on the Zipf
+    * head/tail exactly like [[graft.api.GraftOps.unigramCrossEntropy]]
+    * — the top-[[TfidfHeadK]] words by df BROADCAST and resolve
+    * map-side on top of tf's own aggregate output (at corpus scale
+    * the head IS the Zipf mass: those words appear in every language
+    * partition, so they are precisely the hot join keys), and only
+    * tail-word tf rows reach the shuffle join against the tail df
+    * table. Same arithmetic on the same integers → hash-identical
+    * output; PlanSpec pins the broadcast. */
   def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     // explode ONCE into a per-(doc, word) base aggregate; both tf and
@@ -46,9 +62,19 @@ object TextOps {
       .groupBy(col("lang"), col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
     val tf = base.groupBy(col("lang"), col("word")).agg(sum(col("c")).as("tf"))
+    // NOT checkpointed (unlike unigramCrossEntropy's counts): dfw's
+    // two consumers AND tf all hang off base's one Exchange, which
+    // ReuseExchange dedups — a checkpoint here severs that reuse and
+    // re-runs the token explosion (measured: sf10 4.2 → 6.0 s).
     val dfw = base.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // deterministic head: ties broken on the word itself
+    val headDf = dfw.orderBy(col("df").desc, col("word").asc).limit(TfidfHeadK)
+    val probed = tf.join(broadcast(headDf), Seq("word"), "left")
+    val headHit = probed.filter(col("df").isNotNull)
+    val tailHit = probed.filter(col("df").isNull).drop("df")
+      .join(dfw, Seq("word")) // tail words only ever reach this shuffle
     val nd = d.agg(count(lit(1)).as("nd"))
-    val scored = tf.join(dfw, "word")
+    val scored = headHit.unionByName(tailHit)
       .crossJoin(broadcast(nd))
       .withColumn("tfidf",
         round(col("tf") * log(col("nd").cast("double") / col("df")), 4))

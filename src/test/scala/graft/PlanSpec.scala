@@ -176,6 +176,17 @@ class PlanSpec extends SparkSpec {
       s"a distinct-style aggregate over vec-id pairs reappeared:\n$p")
   }
 
+  test("tfidf resolves the Zipf head df by broadcast — only tail words reach the shuffle join") {
+    // r11 (VERDICT r10 #5): the head vocabulary (top-1024 by df) rides
+    // a BroadcastHashJoin LEFT OUTER on top of tf's aggregate output;
+    // the tail join legitimately shuffles. Pin the left-outer
+    // broadcast probe — the shape that keeps the Zipf-hot words out
+    // of the word-keyed Exchange at corpus scale.
+    val p = planOf(queries.TextOps.qTextTfidf(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"head-df broadcast probe missing:\n$p")
+  }
+
   test("containment candidate dedup is a map-side predicate — no pair-keyed aggregate") {
     // r11 (VERDICT r10 #3): the last candidate-stream `.distinct()` in
     // the dedup family is gone — a pair colliding on several rare
