@@ -164,6 +164,9 @@ object SparkEntry {
     "q_kmeans_build"       -> VectorOps.qKmeansBuild _,
     // round-10: unsupervised end-to-end IVF (kmeans cells → retrieval)
     "q_knn_ivf_kmeans"     -> VectorOps.qKnnIvfKmeans _,
+    // round-11: the fine-cell multi-probe point of the same dial —
+    // (64, 2, 16): same quarter-corpus scan, recall 0.47 → 0.80+
+    "q_knn_ivf_mp"         -> VectorOps.qKnnIvfMp _,
     // round-10: SemDeDup — kmeans cells as semantic dedup blocking
     "q_dedup_semantic"     -> VectorOps.qDedupSemantic _,
     // round-10: BM25 retrieval scoring (zero-shuffle two-pass shape)

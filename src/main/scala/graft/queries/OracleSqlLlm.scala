@@ -431,7 +431,7 @@ object OracleSqlLlm {
     // equal the batch quantizer build — same unrolled-Lloyd oracle as
     // q_kmeans_build (assignment is the build's own argmin metric)
     "q_stream_assign" ->
-      s"""$kmCtes
+      s"""${kmCtes()}
          |SELECT cell, count(*) AS n, min(vec_id) AS rep
          |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
 
@@ -545,20 +545,52 @@ object OracleSqlLlm {
        |GROUP BY cell""".stripMargin
 
   /** WITH-prefix ending at `af`, the final corpus (vec_id, ev, cell)
-    * assignment after the two unrolled Lloyd rounds (k = 8). */
-  private def kmCtes: String = {
+    * assignment after `iters` unrolled Lloyd rounds over `k` seeds.
+    * The final centroid CTE is always `c$iters` — probe-side
+    * consumers rank against [[kmFinalCentroids]]. r11: parameterized
+    * (was fixed k = 8, iters = 2; defaults produce the identical
+    * string) so q_knn_ivf_mp's fine-cell geometry (k = 64) comes from
+    * the SAME generator as the k = 8 family and the Lloyd fragments
+    * still cannot drift apart. */
+  private def kmCtes(k: Int = 8, iters: Int = 2): String = {
     val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
+    val rounds = (1 to iters).map(i =>
+      s"""a$i AS (${kmAssign(s"c${i - 1}")}),
+         |c$i AS (${kmUpdate(s"a$i")})""".stripMargin).mkString(",\n")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
        |         list_transform(ev, x -> round(x, 4)) AS cv
-       |  FROM v ORDER BY $h, vec_id LIMIT 8),
-       |a1 AS (${kmAssign("c0")}),
-       |c1 AS (${kmUpdate("a1")}),
-       |a2 AS (${kmAssign("c1")}),
-       |c2 AS (${kmUpdate("a2")}),
-       |af AS (${kmAssign("c2")})""".stripMargin
+       |  FROM v ORDER BY $h, vec_id LIMIT $k),
+       |$rounds,
+       |af AS (${kmAssign(s"c$iters")})""".stripMargin
   }
+
+  /** Name of the final-centroid CTE [[kmCtes]] emits for `iters`. */
+  private def kmFinalCentroids(iters: Int = 2): String = s"c$iters"
+
+  /** The unsupervised IVF retrieval SQL at any (k, iters, nprobe)
+    * geometry — probe cells ranked by the build's own argmin metric
+    * over the final centroids, top-3 per probe over the probed cells'
+    * members. */
+  private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int): String =
+    s"""${kmCtes(k, iters)},
+       |pc AS (
+       |  SELECT vec_id, ev, cell FROM (
+       |    SELECT v.vec_id, v.ev, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(round(list_dot_product(c.cv, c.cv), 6)
+       |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
+       |    FROM v CROSS JOIN ${kmFinalCentroids(iters)} c
+       |    WHERE v.vec_id < 10) x WHERE rk <= $nprobe),
+       |pairs AS (
+       |  SELECT p.vec_id, t.vec_id AS neighbor,
+       |    round(CAST(list_dot_product(p.ev, t.ev) AS DOUBLE), 4) AS cos
+       |  FROM pc p JOIN af t ON t.cell = p.cell AND t.vec_id <> p.vec_id)
+       |SELECT vec_id, neighbor, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) z
+       |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin
 
   val vector: Map[String, String] = Map(
     // Three formulations, one semantics — same oracle as q_cosine_topk.
@@ -613,36 +645,24 @@ object OracleSqlLlm {
     // by the shared kmCtes builder below so this key and
     // q_knn_ivf_kmeans cannot drift apart)
     "q_kmeans_build" ->
-      s"""$kmCtes
+      s"""${kmCtes()}
          |SELECT cell, count(*) AS n, min(vec_id) AS rep
          |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
 
     // unsupervised end-to-end IVF: the SAME unrolled Lloyd build, then
-    // probes rank cells by the build's own argmin metric (nprobe=2)
-    // and search only their cells' members — mirrors
-    // VectorOps.qKnnIvfKmeans exactly
-    "q_knn_ivf_kmeans" ->
-      s"""$kmCtes,
-         |pc AS (
-         |  SELECT vec_id, ev, cell FROM (
-         |    SELECT v.vec_id, v.ev, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        round(round(list_dot_product(c.cv, c.cv), 6)
-         |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
-         |    FROM v CROSS JOIN c2 c WHERE v.vec_id < 10) x WHERE rk <= 2),
-         |pairs AS (
-         |  SELECT p.vec_id, t.vec_id AS neighbor,
-         |    round(CAST(list_dot_product(p.ev, t.ev) AS DOUBLE), 4) AS cos
-         |  FROM pc p JOIN af t ON t.cell = p.cell AND t.vec_id <> p.vec_id)
-         |SELECT vec_id, neighbor, cos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                               ORDER BY cos DESC, neighbor) AS rk FROM pairs) z
-         |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin,
+    // probes rank cells by the build's own argmin metric and search
+    // only their cells' members — mirrors VectorOps.qKnnIvfKmeansGeo
+    // exactly. One generator, two declared geometries (r11): the
+    // coarse (8, 2, 2) key and the fine-cell multi-probe (64, 2, 16)
+    // key — SAME quarter-corpus scan fraction, recall 0.47 → 0.80 at
+    // the driver SF (tools.AnnDialBench; SCALE.md §ANN dial).
+    "q_knn_ivf_kmeans" -> ivfKmeansSql(8, 2, 2),
+    "q_knn_ivf_mp" -> ivfKmeansSql(64, 2, 16),
 
     // SemDeDup: same unrolled Lloyd build, candidates = within-cell
     // pairs, same τ/rounding as q_dedup_embedding
     "q_dedup_semantic" ->
-      s"""$kmCtes,
+      s"""${kmCtes()},
          |pairs AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(CAST(list_dot_product(a.ev, b.ev) AS DOUBLE), 4) AS cos
@@ -657,7 +677,7 @@ object OracleSqlLlm {
     // intersect — DISTINCT here plays the role of the Spark side's
     // smallest-shared-cell exactly-once predicate (same SET)
     "q_dedup_semantic_mp" ->
-      s"""$kmCtes,
+      s"""${kmCtes()},
          |a2c AS (
          |  SELECT vec_id, ev, cell FROM (
          |    SELECT v.vec_id, v.ev, c.cell,

@@ -236,12 +236,37 @@ object VectorOps {
   def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     qKnnIvfKmeansProbed(spark, dir, 2)
 
+  /** DECLARED: the fine-cell multi-probe point of the unsupervised
+    * IVF dial — (k = 64, iters = 2, nprobe = 16). SAME quarter-corpus
+    * scan fraction as the coarse (8, 2, 2) key, but recall climbs
+    * with cell refinement at constant cost: measured against
+    * brute-force top-3 (tools.AnnDialBench, SCALE.md §ANN dial)
+    * 0.47 → 0.80 at sf0.01, 0.50 → 0.90 at sf1. This is the
+    * production law the sweep established: hold nprobe/k (the cost),
+    * grow BOTH (the resolution) — the multi-probe analogue of
+    * SemDeDup's k-dial. Execution shape is unchanged from
+    * [[qKnnIvfKmeans]]: broadcast model row, zero-shuffle assignment,
+    * one equi join on the cell key; only the broadcast grows (k·d
+    * doubles) and the probe side fans out 16 ways (still ≤ 160 rows
+    * before the hint). */
+  def qKnnIvfMp(spark: SparkSession, dir: String): DataFrame =
+    qKnnIvfKmeansGeo(spark, dir, k = 64, iters = 2, nprobe = 16)
+
   private[graft] def qKnnIvfKmeansProbed(
-      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    qKnnIvfKmeansGeo(spark, dir, k = 8, iters = 2, nprobe = nprobe)
+
+  /** The fully-dialed unsupervised IVF: (k cells, Lloyd iters, probe
+    * count) — tools.AnnDialBench sweeps this grid to put the measured
+    * recall-vs-wall curve behind the declared geometry (VERDICT r10
+    * #2); the declared key pins one point of it. */
+  private[graft] def qKnnIvfKmeansGeo(
+      spark: SparkSession, dir: String,
+      k: Int, iters: Int, nprobe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val (cent, assigned) =
-      graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", 8, 2)
+      graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", k, iters)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").as(P))
     // top-nprobe cells via the codegen'd CellTopP — the SAME 6-dp
