@@ -177,6 +177,23 @@ object Bench {
       case (k, v) if quiet.get(k).exists(q => v > 2.0 * q && v - q > 0.25) => k
     }.toSeq.sorted
 
+  /** Which suspects get the self-heal re-measure pass (r12, VERDICT
+    * r11 #5). The r11 driver artifact FLAGGED its 10 contaminated
+    * keys (a sibling Verify JVM overlapped the run) but then only
+    * deferred to the quiet reference — the honest number for this
+    * box/tree was never taken. When the run-level calibration is
+    * clean — i.e. the burst has passed by run end — every suspect is
+    * re-measured once (warm + [[Reps]], same protocol) in its own
+    * pass AFTER the end probe, bracketed by a dedicated post-retry
+    * probe so the retried medians carry their own load certificate;
+    * both numbers ship (`queries` keeps the contested median,
+    * `suspect_retry` the retried one). A CONTAMINATED run retries
+    * nothing: the box is still loaded, so a retry would just measure
+    * the same load twice and lend false confidence. */
+  private[graft] def retryKeys(suspects: Seq[String],
+                               contaminated: Boolean): Seq[String] =
+    if (contaminated) Seq.empty else suspects
+
   /** Read the committed quiet reference — a past quiet-box
     * bench_detail.json SNAPSHOT committed as `bench_quiet_ref.json`
     * (env `GRAFT_QUIET_REF` overrides). A separate file because Bench
@@ -194,10 +211,16 @@ object Bench {
     try {
       val src = scala.io.Source.fromFile(path)
       val lines = try src.getLines().toList finally src.close()
+      // cpu match is TERMINATED (ADVICE r11): a bare substring let
+      // cpus=3 accept a ref recorded at 32 cores (3 is a prefix of
+      // 32) — exactly the cross-parallelism case this gate exists to
+      // reject. A `,` (mid-line field) or `}` (line-final field)
+      // always follows the value, for quoted and numeric spellings.
       val sfOk = lines.exists(l =>
         l.contains("\"metric\":\"seed_total\"") &&
         l.contains(s""""sf_dir":${jstr(sfDir)}""") &&
-        l.contains(s""""calibration_cpus":${cpus}"""))
+        (l.contains(s""""calibration_cpus":$cpus,""") ||
+         l.contains(s""""calibration_cpus":$cpus}""")))
       if (!sfOk) Map.empty
       else {
         val detail = lines.find(_.contains("\"metric\":\"per_query\"")).getOrElse("")
@@ -386,6 +409,29 @@ object Bench {
     val quietRef = parseQuietRef(
       sys.env.getOrElse("GRAFT_QUIET_REF", "bench_quiet_ref.json"), sfDir, cpusJson)
     val suspects = suspectKeys(timings, quietRef)
+    // Self-heal pass (r12, VERDICT r11 #5 — see [[retryKeys]]): a
+    // clean-calibration run with suspects re-measures just those keys
+    // once, after the end probe, and a dedicated post-retry probe
+    // certifies the retry window itself was quiet. `queries` keeps
+    // the contested medians; `suspect_retry` carries the retried
+    // ones, so the artifact self-heals instead of deferring to the
+    // quiet ref.
+    val suspectRetry = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val toRetry = retryKeys(suspects, contaminated)
+    toRetry.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try {
+          fn(spark, sfDir).count() // warmup — identical protocol to the main pass
+          val runs = Seq.fill(Reps) {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          suspectRetry(name) = runs(runs.size / 2)
+        } catch { case _: Throwable => () }
+      }
+    }
+    val retryCal = if (toRetry.nonEmpty) calibrate(spark) else -1.0
     val allTotal = timings.values.sum
     // The seed map is BY CONSTRUCTION the same per-key medians the
     // per_query block reports — one measurement pass, one protocol
@@ -402,7 +448,7 @@ object Bench {
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"suspect_retry":${jmap(suspectRetry)},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is

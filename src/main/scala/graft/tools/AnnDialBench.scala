@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   * (bits, bands), and reports for each point: top-3 recall of the 10
   * fixture probes against the brute-force ground truth, the scan
   * fraction nprobe/k (the cost model's x-axis), and the measured
-  * end-to-end wall (kmeans build + search; a SERVING deployment
-  * amortizes the build, so wall is also split).
+  * wall SPLIT into `build_sec` (the eager Lloyd rounds —
+  * kmeansModel localCheckpoints each centroid update, so training
+  * completes inside the construction call; a SERVING deployment
+  * pays this once) and `search_sec` (executing the returned plan:
+  * corpus assignment map stage + probe join + top-k — the per-query
+  * serving cost in this measurement shape). `wall_sec` stays as
+  * their sum for continuity with the r11 rows (ADVICE r11: the old
+  * single wall silently attributed build cost to serving).
   *
   * Usage: `runMain graft.tools.AnnDialBench [sfDir] [kList] [itList]
   * [npList]` (comma-separated lists; defaults k=8,16,32 it=2,4
@@ -59,17 +65,21 @@ object AnnDialBench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
     for (k <- ks; it <- its; np <- nps if np <= k) {
-      // build timed separately: a serving deployment pays it once
+      // build = the eager Lloyd rounds inside the construction call
+      // (each update localCheckpoints); search = executing the plan
       val tb0 = System.nanoTime()
       val q = graft.queries.VectorOps.qKnnIvfKmeansGeo(spark, sfDir, k, it, np)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val ts0 = System.nanoTime()
       val found = q.select(col("vec_id"), col("neighbor"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val wall = (System.nanoTime() - tb0) / 1e9
+      val tSearch = (System.nanoTime() - ts0) / 1e9
       val recall = (found & gt).size.toDouble / gt.size
       println(s"""{"metric":"ann_dial","sf_dir":"$sfDir","n":$n,""" +
         s""""k":$k,"iters":$it,"nprobe":$np,""" +
         s""""scan_frac":${fmt(np.toDouble / k)},""" +
-        s""""recall":${fmt(recall)},"wall_sec":${fmt(wall)}}""")
+        s""""recall":${fmt(recall)},"build_sec":${fmt(tBuild)},""" +
+        s""""search_sec":${fmt(tSearch)},"wall_sec":${fmt(tBuild + tSearch)}}""")
     }
     spark.stop()
   }

@@ -116,6 +116,29 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(Bench.suspectKeys(Map("q_new" -> 9.0), Map.empty[String, Double]).isEmpty)
   }
 
+  test("r11 driver shape: sibling-JVM suspects under clean calibration get the self-heal retry") {
+    // the r11 artifact: probes clean at both endpoints, but a
+    // concurrent sf10 Verify JVM inflated 10 keys past 2x their quiet
+    // medians (q_fn_string2 9.05x, q_kmeans_build 4.47x,
+    // q_decontam_bloom 3.56x). The guard flagged them but the round
+    // shipped no honest number — VERDICT r11 #5. Now: every suspect
+    // of a clean-calibration run is re-measured.
+    val driver = Map(
+      "q_fn_string2" -> 1.81, "q_kmeans_build" -> 4.02,
+      "q_decontam_bloom" -> 1.14, "q_agg_pricing" -> 0.24)
+    val quiet = Map(
+      "q_fn_string2" -> 0.20, "q_kmeans_build" -> 0.90,
+      "q_decontam_bloom" -> 0.32, "q_agg_pricing" -> 0.24)
+    val suspects = Bench.suspectKeys(driver, quiet)
+    assert(suspects === Seq("q_decontam_bloom", "q_fn_string2", "q_kmeans_build"))
+    assert(Bench.retryKeys(suspects, contaminated = false) === suspects)
+  }
+
+  test("a contaminated run retries nothing: the box is still loaded") {
+    assert(Bench.retryKeys(Seq("q_a", "q_b"), contaminated = true).isEmpty)
+    assert(Bench.retryKeys(Nil, contaminated = false).isEmpty)
+  }
+
   test("parseQuietRef reads this repo's committed reference format; rejects other SFs and cpu counts") {
     val tmp = java.nio.file.Files.createTempFile("quietref", ".json")
     val summary = """{"metric":"seed_total","value":3.89,"unit":"sec","sf":0.1,"sf_dir":"/root/testdata/sf0.1","calibration_cpus":32}"""
@@ -128,6 +151,9 @@ class LoadGuardSpec extends AnyFunSuite {
     // ... as must one taken at a different core count (a 4-cpu run
     // against the 32-cpu ref flagged keys that were just under-cored)
     assert(Bench.parseQuietRef(tmp.toString, "/root/testdata/sf0.1", "4").isEmpty)
+    // ADVICE r11: cpus=3 is a string PREFIX of the ref's 32 — the
+    // unterminated contains() accepted it; the terminated match must not
+    assert(Bench.parseQuietRef(tmp.toString, "/root/testdata/sf0.1", "3").isEmpty)
     // missing file: empty, no throw
     assert(Bench.parseQuietRef("/nonexistent/ref.json", "/root/testdata/sf0.1", "32").isEmpty)
     java.nio.file.Files.delete(tmp)
