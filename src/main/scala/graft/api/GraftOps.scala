@@ -297,11 +297,54 @@ object GraftOps {
     * FirstBandMatch discipline adapted to unordered cell sets).
     * Candidate volume is bounded by p× the exploded corpus joining
     * the same cells — in practice 2–3× probes=1 — and the scoring
-    * pass cost is unchanged (top-p falls out of the same k-loop). */
+    * pass cost is unchanged (top-p falls out of the same k-loop).
+    *
+    * Parallelism (r12 — the sf10 finding): a self-join on the cell
+    * key alone has at most k reducers, and each carries n_c²/2 pairs
+    * of CPU — COMPUTE skew that AQE's skew-join split never sees
+    * (the 200 k-vector sf10 partitions are ~7 MB, far under the
+    * 256 MB size threshold, yet hold ~20 min of dot products each:
+    * the declared k = 8 keys ran 2 straggler tasks for an hour).
+    * The fix is the classic triangle-blocked self-join: each vector
+    * is salted into one of [[PairGridBlocks]] groups by id hash, the
+    * block list (ga ≤ gb) is broadcast, side A replicates to blocks
+    * where ga = its group, side B to gb = its group, and the join
+    * key becomes (cell, ga, gb) — k·g(g+1)/2 reducers whose pair
+    * work is cells × blocks, with total candidate volume UNCHANGED.
+    * A pair lands in exactly one block (the (min, max) of its two
+    * group ids); within the diagonal blocks the usual id_a < id_b
+    * dedup applies, and off-diagonal emissions are normalized to
+    * (least, greatest) — the output SET is identical to the plain
+    * self-join's, and the exactly-once cell predicate composes
+    * unchanged. Replication cost: ~(g+1)/2× each side's (id, vec)
+    * rows through the one shuffle the join needed anyway. */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, k: Int = 8,
                        iters: Int = 2, probes: Int = 1): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
+    val ss = df.sparkSession
+    val g = PairGridBlocks
+    // broadcast triangle of block ids: (ga, gb) with ga <= gb
+    val blocks = ss.range(g.toLong * g)
+      .select((col("id") / g).cast("int").as("__ga"),
+        pmod(col("id"), lit(g)).cast("int").as("__gb"))
+      .filter(col("__ga") <= col("__gb"))
+    // one block per unordered pair; diagonal blocks still need the
+    // id order filter, off-diagonal pairs arrive in arbitrary id
+    // order and are normalized on output
+    def blockedPairs(aSide: DataFrame, bSide: DataFrame,
+                     joinKeys: Seq[String], extra: Column): DataFrame =
+      aSide.join(broadcast(blocks), col("__g") === col("__ga"))
+        .drop("__g")
+        .join(bSide.join(broadcast(blocks), col("__g") === col("__gb"))
+          .drop("__g"), joinKeys ++ Seq("__ga", "__gb"))
+        .filter(col("__ga") < col("__gb") || col("id_a") < col("id_b"))
+        .filter(extra)
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
+        .filter(col("cos") >= threshold)
     // The assignment frame feeds BOTH sides of the self-join; without
     // the lineage cut each side would re-run the O(k·d)/row scoring
     // pass. (Unlike the MinHash candidate probe, losing scan stats
@@ -310,13 +353,12 @@ object GraftOps {
     if (probes == 1) {
       val assigned = kmeansModel(df, idCol, vecCol, k, iters)._2
         .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint(true)
-      val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-      val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-      a.join(b, "cell")
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
-        .filter(col("cos") >= threshold)
+        .withColumn("__g", pmod(hash(col(idCol)), lit(g)).cast("int"))
+      val a = assigned.select(col("cell"), col("__g"),
+        col(idCol).as("id_a"), col(vecCol).as("__va"))
+      val b = assigned.select(col("cell"), col("__g"),
+        col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      blockedPairs(a, b, Seq("cell"), lit(true))
     } else {
       val (cent, _) = kmeansModel(df, idCol, vecCol, k, iters)
       val assigned = df
@@ -324,19 +366,22 @@ object GraftOps {
         .select(col(idCol), col(vecCol),
           expr(s"graft_cell_topp($vecCol, __cs, $probes)").as("__cells"))
         .localCheckpoint(true)
+        .withColumn("__g", pmod(hash(col(idCol)), lit(g)).cast("int"))
       def side(suffix: String) = assigned.select(
-        explode(col("__cells")).as("cell"),
+        explode(col("__cells")).as("cell"), col("__g"),
         col(idCol).as(s"id_$suffix"), col(vecCol).as(s"__v$suffix"),
         col("__cells").as(s"__c$suffix"))
-      side("a").join(side("b"), "cell")
-        .filter(col("id_a") < col("id_b"))
-        .filter(col("cell") ===
-          array_min(array_intersect(col("__ca"), col("__cb"))))
-        .select(col("id_a"), col("id_b"),
-          round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
-        .filter(col("cos") >= threshold)
+      blockedPairs(side("a"), side("b"), Seq("cell"),
+        col("cell") === array_min(array_intersect(col("__ca"), col("__cb"))))
     }
   }
+
+  /** Grid size of [[semanticNearDups]]'s triangle-blocked self-join:
+    * within-cell pair enumeration fans out over g(g+1)/2 = 36 blocks
+    * per cell (k = 8 declared geometry ⇒ 288 reducers over 32
+    * cores), at ~(g+1)/2 ≈ 4.5× row replication through the join
+    * shuffle. g = 1 degenerates to the plain per-cell self-join. */
+  val PairGridBlocks = 8
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,

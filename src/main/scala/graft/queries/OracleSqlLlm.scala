@@ -253,95 +253,107 @@ object OracleSqlLlm {
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
   )
 
+  /** Shared MinHash prologue + CAP-AWARE candidate CTEs for the three
+    * minhash-family keys (pairs / clusters / keep) — r12. The pre-r12
+    * spelling joined the signature table against itself on
+    * `band1-match OR band2-match` with NO bucket cap, which diverged
+    * from the engine in two ways the sf10 spot-sweep exposed
+    * (VERDICT r11 #1's "investigate before re-declaring" finding):
+    *  - semantically: the engine drops band buckets over
+    *    [[DedupOps.MaxBandBucket]] from candidate generation (its
+    *    declared skew guard); the oracle kept them, so the two sides
+    *    agreed only while no fixture bucket exceeded the cap — true
+    *    at sf ≤ 1 (max observed 20), FALSE at sf10 (99 over-cap
+    *    buckets, max 860). The oracle now models the full declared
+    *    semantics, cap included, so it matches at EVERY fixture SF;
+    *  - operationally: DuckDB cannot hash-join an OR of two band
+    *    equalities — it planned a blockwise nested loop, quadratic in
+    *    corpus size (hours at sf10's 500 k docs). The capped rewrite
+    *    is two equi joins + a distinct union (the same dedup the
+    *    engine does map-side via its first-common-band predicate —
+    *    spelled SELECT DISTINCT over UNION ALL because under `WITH
+    *    RECURSIVE` DuckDB 1.0 gives any CTE whose body is a
+    *    top-level UNION the recursive anchor/step treatment, which
+    *    does NOT dedup across the two branches),
+    *    and the jacc estimate re-derives from one join-back per side
+    *    (doc_id is unique in mh, so values are unchanged).
+    * `WITH RECURSIVE` up front: inert for the pairs key, required by
+    * the reach() closure clusters/keep append. */
+  private def mhPairCtes: String =
+    s"""WITH RECURSIVE
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+       |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
+       |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
+       |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) y),
+       |mh AS (SELECT doc_id,
+       |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
+       |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
+       |  FROM hs GROUP BY doc_id),
+       |big1 AS (SELECT mh1, mh2 FROM mh GROUP BY mh1, mh2
+       |         HAVING count(*) > ${DedupOps.MaxBandBucket}),
+       |big2 AS (SELECT mh3, mh4 FROM mh GROUP BY mh3, mh4
+       |         HAVING count(*) > ${DedupOps.MaxBandBucket}),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM mh a JOIN mh b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2
+       |                       AND a.doc_id < b.doc_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM big1 g
+       |                      WHERE g.mh1 = a.mh1 AND g.mh2 = a.mh2)
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |    FROM mh a JOIN mh b ON a.mh3 = b.mh3 AND a.mh4 = b.mh4
+       |                       AND a.doc_id < b.doc_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM big2 g
+       |                      WHERE g.mh3 = a.mh3 AND g.mh4 = a.mh4)) u),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jacc_est FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      ((CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)+(CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
+       |      +(CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)+(CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END))/4.0 AS jacc_est
+       |    FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+       |                JOIN mh b ON b.doc_id = c.doc_b) z
+       |  WHERE jacc_est >= 0.5)""".stripMargin
+
+  /** The clusters CTE chain shared by q_dedup_clusters / q_dedup_keep:
+    * connected components of the capped pair graph by transitive
+    * closure + min over the reachable set. */
+  private def mhClusterCtes: String =
+    s"""$mhPairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)""".stripMargin
+
   val dedup: Map[String, String] = Map(
     "q_dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
-        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
-        |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
-        |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) y),
-        |mh AS (SELECT doc_id,
-        |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
-        |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
-        |  FROM hs GROUP BY doc_id)
-        |SELECT doc_a, doc_b, jacc_est FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    ((CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)+(CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
-        |    +(CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)+(CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END))/4.0 AS jacc_est
-        |  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
-        |   AND ((a.mh1=b.mh1 AND a.mh2=b.mh2) OR (a.mh3=b.mh3 AND a.mh4=b.mh4))) z
-        |WHERE jacc_est >= 0.5 ORDER BY jacc_est DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+      s"""$mhPairCtes
+         |SELECT doc_a, doc_b, jacc_est FROM pairs
+         |ORDER BY jacc_est DESC, doc_a, doc_b LIMIT 200""".stripMargin,
 
-    // connected components of the same candidate graph (no limit), by
-    // transitive closure + min over reachable set — the recursive-CTE
-    // twin of the engine's iterative min-label propagation fixpoint.
-    // NOTE: this oracle is UNCAPPED while the engine applies the
-    // MaxBandBucket skew cap; equality requires the cap to exceed the
-    // largest band bucket of every fixture (MinhashCapSpec pins this —
-    // observed max 20 vs cap 500).
+    // connected components of the same (capped) candidate graph, no
+    // limit, by transitive closure + min over reachable set — the
+    // recursive-CTE twin of the engine's iterative min-label
+    // propagation fixpoint. Cap-aware since r12 (see [[mhPairCtes]]);
+    // MinhashCapSpec separately pins that capped ≡ uncapped wherever
+    // no bucket exceeds the cap.
     "q_dedup_clusters" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
-        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
-        |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
-        |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) y),
-        |mh AS (SELECT doc_id,
-        |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
-        |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
-        |  FROM hs GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      ((CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)+(CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
-        |      +(CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)+(CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END))/4.0 AS jacc_est
-        |    FROM mh a JOIN mh b ON a.doc_id < b.doc_id
-        |     AND ((a.mh1=b.mh1 AND a.mh2=b.mh2) OR (a.mh3=b.mh3 AND a.mh4=b.mh4))) z
-        |  WHERE jacc_est >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src)
-        |SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
-        |ORDER BY cluster, doc_id""".stripMargin,
+      s"""$mhClusterCtes
+         |SELECT doc_id, cluster FROM cl
+         |ORDER BY cluster, doc_id""".stripMargin,
 
     // survivor selection: the clusters CTE chain + the q_text_quality
     // score arithmetic (same 4dp roundings) + a rank-1 window; the
     // engine side computes the same survivor with a max(struct)
     // partial+final aggregate instead of a window sort
     "q_dedup_keep" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
-        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
-        |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
-        |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) y),
-        |mh AS (SELECT doc_id,
-        |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
-        |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
-        |  FROM hs GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      ((CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)+(CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
-        |      +(CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)+(CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END))/4.0 AS jacc_est
-        |    FROM mh a JOIN mh b ON a.doc_id < b.doc_id
-        |     AND ((a.mh1=b.mh1 AND a.mh2=b.mh2) OR (a.mh3=b.mh3 AND a.mh4=b.mh4))) z
-        |  WHERE jacc_est >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
-        |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+      s"""$mhClusterCtes,
         |q AS (
         |  SELECT doc_id, round(
         |    round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) *
