@@ -332,6 +332,17 @@ object GraftOps {
     // one block per unordered pair; diagonal blocks still need the
     // id order filter, off-diagonal pairs arrive in arbitrary id
     // order and are normalized on output
+    // Per-pair cost discipline (r12, measured by thread dump at sf10:
+    // the hot frames were FloatingDecimal/BigDecimal under codegen):
+    // Spark's round(double, 4) goes through BigDecimal.valueOf —
+    // i.e. Double.toString + a BigDecimal allocation PER CANDIDATE
+    // PAIR, ~µs-class against the ~30 ns dot product it follows. The
+    // raw-double prefilter below is strictly looser than the declared
+    // `round(cos, 4) >= threshold` (any x that rounds up to the
+    // threshold satisfies x >= threshold − 5e-5 > threshold − 1e-3),
+    // so the exact round + filter run only on the ~0.1% survivors:
+    // identical output set, three orders of magnitude fewer
+    // BigDecimal constructions.
     def blockedPairs(aSide: DataFrame, bSide: DataFrame,
                      joinKeys: Seq[String], extra: Column): DataFrame =
       aSide.join(broadcast(blocks), col("__g") === col("__ga"))
@@ -340,10 +351,12 @@ object GraftOps {
           .drop("__g"), joinKeys ++ Seq("__ga", "__gb"))
         .filter(col("__ga") < col("__gb") || col("id_a") < col("id_b"))
         .filter(extra)
+        .withColumn("__raw", expr("graft_dot_product(__va, __vb)"))
+        .filter(col("__raw") >= threshold - 1e-3)
         .select(
           least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"),
-          round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
+          round(col("__raw"), 4).as("cos"))
         .filter(col("cos") >= threshold)
     // The assignment frame feeds BOTH sides of the self-join; without
     // the lineage cut each side would re-run the O(k·d)/row scoring
@@ -371,8 +384,17 @@ object GraftOps {
         explode(col("__cells")).as("cell"), col("__g"),
         col(idCol).as(s"id_$suffix"), col(vecCol).as(s"__v$suffix"),
         col("__cells").as(s"__c$suffix"))
+      // smallest-shared-cell, allocation-free (r12): array_intersect
+      // builds an OpenHashSet per evaluation — per candidate pair,
+      // billions of times at corpus scale, for two arrays of <= p
+      // elements. least(ca[i] if contained in cb) is the same min
+      // over the shared set (CellTopP elements are distinct; least
+      // ignores the null terms), evaluated as p array_contains loops
+      // inside the join stage's codegen with zero allocation.
+      val smallestShared = least((0 until probes).map(i =>
+        when(array_contains(col("__cb"), col("__ca")(i)), col("__ca")(i))): _*)
       blockedPairs(side("a"), side("b"), Seq("cell"),
-        col("cell") === array_min(array_intersect(col("__ca"), col("__cb"))))
+        col("cell") === smallestShared)
     }
   }
 

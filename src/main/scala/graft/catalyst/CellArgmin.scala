@@ -167,7 +167,12 @@ case class CellArgmin(left: Expression, right: Expression) extends BinaryExpress
 case class CellTopP(left: Expression, right: Expression, p: Int)
     extends BinaryExpression {
 
-  require(p >= 1 && p <= 16, s"cell_topp p must be in [1,16], got $p")
+  // Upper bound raised 16 → 64 (r12): the sf10 ANN dial sweeps the
+  // fixed-fraction diagonal (k, np) = (128, 32) and (256, 64) — the
+  // "hold nprobe/k, grow both" law needs np beyond 16 at the third
+  // decade. The insertion window stays O(k·(d+p)) per row; at d = 64
+  // and p = 64 that is a bounded 2× over the dot-product pass itself.
+  require(p >= 1 && p <= 64, s"cell_topp p must be in [1,64], got $p")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true

@@ -161,14 +161,17 @@ class PlanSpec extends SparkSpec {
 
   test("multi-probe SemDeDup exactly-once is a map-side predicate — no pair-keyed aggregate") {
     // r10: probes=2 candidates are deduped by the smallest-shared-cell
-    // filter inside the cell join's stage (array_intersect over two
-    // ≤2-element probe arrays), never by a distinct Exchange. The
-    // kmeans build legitimately aggregates (centroid updates are keyed
-    // on __cell/__p), so pin specifically: no aggregate whose grouping
-    // keys include a vec-id column, and the intersect predicate exists.
+    // filter inside the cell join's stage, never by a distinct
+    // Exchange. The kmeans build legitimately aggregates (centroid
+    // updates are keyed on __cell/__p), so pin specifically: no
+    // aggregate whose grouping keys include a vec-id column, and the
+    // predicate exists — spelled with array_contains since r12 (the
+    // array_intersect spelling allocated an OpenHashSet per candidate
+    // pair; least(when(array_contains(...))) is the same min over the
+    // shared set with zero allocation).
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
     val p = planOf(queries.VectorOps.qDedupSemanticMp(spark, sf))
-    assert(p.contains("array_intersect"),
+    assert(p.contains("array_contains"),
       s"smallest-shared-cell predicate missing:\n$p")
     val pairAggs = "(?:Hash|Sort|ObjectHash)Aggregate\\(keys=\\[[^\\]]*(?:vec_id|id_a|id_b)"
       .r.findAllIn(p).size
