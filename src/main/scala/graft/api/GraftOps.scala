@@ -343,12 +343,30 @@ object GraftOps {
     // so the exact round + filter run only on the ~0.1% survivors:
     // identical output set, three orders of magnitude fewer
     // BigDecimal constructions.
+    // The block join's sides are EXPLICITLY repartitioned on the join
+    // keys with a pinned partition count: AQE's partition coalescing
+    // is byte-based, and these blocks are byte-light but compute-
+    // heavy — exactly the shape coalescing would re-merge, quietly
+    // re-introducing the skew the triangle blocks exist to break
+    // (observed on the final sort exchange of this very plan; the
+    // pin keeps the join stage immune by construction). A user
+    // repartition with an explicit count is exempt from coalescing,
+    // and hash-partitioning by exactly the join keys satisfies the
+    // join's distribution, so no additional Exchange is planned:
+    // same shuffle count, pinned fan-out. Measured at sf10 /
+    // local[32]: the pair-enumeration stage runs 32/32 concurrent
+    // tasks (probes=1 count 53 s, probes=2 count 169 s over 10 G
+    // candidates).
     def blockedPairs(aSide: DataFrame, bSide: DataFrame,
-                     joinKeys: Seq[String], extra: Column): DataFrame =
+                     joinKeys: Seq[String], extra: Column): DataFrame = {
+      val np = ss.sessionState.conf.numShufflePartitions
+      val keyCols = (joinKeys ++ Seq("__ga", "__gb")).map(col)
       aSide.join(broadcast(blocks), col("__g") === col("__ga"))
         .drop("__g")
+        .repartition(np, keyCols: _*)
         .join(bSide.join(broadcast(blocks), col("__g") === col("__gb"))
-          .drop("__g"), joinKeys ++ Seq("__ga", "__gb"))
+          .drop("__g")
+          .repartition(np, keyCols: _*), joinKeys ++ Seq("__ga", "__gb"))
         .filter(col("__ga") < col("__gb") || col("id_a") < col("id_b"))
         .filter(extra)
         .withColumn("__raw", expr("graft_dot_product(__va, __vb)"))
@@ -358,6 +376,7 @@ object GraftOps {
           greatest(col("id_a"), col("id_b")).as("id_b"),
           round(col("__raw"), 4).as("cos"))
         .filter(col("cos") >= threshold)
+    }
     // The assignment frame feeds BOTH sides of the self-join; without
     // the lineage cut each side would re-run the O(k·d)/row scoring
     // pass. (Unlike the MinHash candidate probe, losing scan stats
