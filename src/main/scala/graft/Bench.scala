@@ -416,19 +416,38 @@ object Bench {
     // the contested medians; `suspect_retry` carries the retried
     // ones, so the artifact self-heals instead of deferring to the
     // quiet ref.
+    // Identical protocol to the main pass (r12 review: the first cut
+    // shipped a bare 3-rep median — no spread, no noisy escalation —
+    // so a retry overlapping its own GC stall or burst would have
+    // shipped a noise-drowned figure with no noise certificate):
+    // warmup, Reps, keyNoisy check with NoisyReps escalation, spread
+    // recorded alongside the median. A retry that throws is recorded
+    // in `retry_errors` — silence would make 'retried and failed'
+    // indistinguishable from 'never retried'.
     val suspectRetry = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val suspectRetrySpread = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val retryErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val toRetry = retryKeys(suspects, contaminated)
     toRetry.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
-          fn(spark, sfDir).count() // warmup — identical protocol to the main pass
-          val runs = Seq.fill(Reps) {
+          fn(spark, sfDir).count() // warmup
+          def measure(reps: Int): Seq[Double] = Seq.fill(reps) {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }.sorted
+          var runs = measure(Reps)
+          if (keyNoisy(runs(runs.size / 2), runs.last - runs.head)) {
+            runs = measure(NoisyReps)
+          }
           suspectRetry(name) = runs(runs.size / 2)
-        } catch { case _: Throwable => () }
+          suspectRetrySpread(name) = runs.last - runs.head
+        } catch {
+          case t: Throwable =>
+            retryErrors(name) =
+              Option(t.getMessage).getOrElse(t.getClass.getName).take(120)
+        }
       }
     }
     val retryCal = if (toRetry.nonEmpty) calibrate(spark) else -1.0
@@ -448,7 +467,7 @@ object Bench {
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"suspect_retry":${jmap(suspectRetry)},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is

@@ -409,9 +409,18 @@ object GraftOps {
       // elements. least(ca[i] if contained in cb) is the same min
       // over the shared set (CellTopP elements are distinct; least
       // ignores the null terms), evaluated as p array_contains loops
-      // inside the join stage's codegen with zero allocation.
+      // inside the join stage's codegen with zero allocation. Each
+      // term guards on size(__ca) > i first (r12 review): CellTopP
+      // returns FEWER than p cells when Lloyd rounds kill cells (a
+      // duplicate-heavy corpus can collapse to one live centroid —
+      // kmeansModel documents vanishing cells), and an unguarded
+      // __ca[i] is GetArrayItem out-of-bounds = a runtime throw
+      // under Spark 4's default ANSI mode, where the old
+      // array_intersect spelling returned correct results.
+      // CellArgminSpec pins the collapsed-corpus case.
       val smallestShared = least((0 until probes).map(i =>
-        when(array_contains(col("__cb"), col("__ca")(i)), col("__ca")(i))): _*)
+        when(size(col("__ca")) > i &&
+             array_contains(col("__cb"), col("__ca")(i)), col("__ca")(i))): _*)
       blockedPairs(side("a"), side("b"), Seq("cell"),
         col("cell") === smallestShared)
     }

@@ -172,13 +172,17 @@ object DedupOps {
     * (keep cluster rep, drop the rest). Iterative min-label
     * propagation via GraftOps.connectedComponents (Pregel-style
     * driver loop, O(diameter) rounds — the oracle computes the same
-    * fixpoint with a recursive CTE). The engine side passes the
-    * MaxBandBucket skew cap to minhashPairs while the DuckDB oracle
-    * is uncapped: the cap MUST stay above the largest band bucket of
-    * every fixture the key runs on (MinhashCapSpec asserts capped ≡
-    * uncapped on the fixtures — observed max bucket 20, 25× headroom)
-    * or capped-out edges would silently
-    * shrink clusters only on the engine side. */
+    * fixpoint with a recursive CTE). The DuckDB oracle is CAP-AWARE
+    * since r12 (OracleSqlLlm.mhPairCtes mirrors the MaxBandBucket
+    * guard with HAVING + NOT EXISTS), so engine and oracle agree at
+    * EVERY fixture SF — including sf10, where 99 band buckets exceed
+    * the cap organically and the pre-r12 uncapped oracle diverged.
+    * MinhashCapSpec still pins capped ≡ uncapped wherever no bucket
+    * exceeds the cap (observed max 20 at the driver SFs). Note the
+    * closure-CTE oracle is intractable at sf10 regardless (141 k-doc
+    * giant component); CORRECTNESS_sf10_spot.json verifies this key
+    * there by an independent union-find (see the artifact's `method`
+    * field). */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterFrame(spark, dir).orderBy(col("cluster"), col("doc_id"))
 
@@ -416,19 +420,36 @@ object DedupOps {
     *
     * wordShingles dedups grams per doc, so size(array_intersect) is
     * exactly the shared-distinct-gram count and n = size(grams). */
-  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val g = graft.api.GraftOps
-      .wordShingles(docs, "doc_id", "text")
-      .localCheckpoint(true) // consumed by the df-count AND the flag join
-    val shareable = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+  /** The raw shingle explosion of [[containmentPairs]] — NOT yet
+    * materialized; the key localCheckpoints it, and
+    * tools.ContainmentDecomp times that materialization separately
+    * (r12 review: the instrument had re-spelled these frames, so a
+    * pipeline change would have silently decoupled what it times
+    * from what the key executes). */
+  private[graft] def containmentGrams(docs: DataFrame): DataFrame =
+    graft.api.GraftOps.wordShingles(docs, "doc_id", "text")
+
+  /** The two aggregate stages of [[containmentPairs]] over the
+    * (checkpointed) gram table: the shared-capable df table
+    * (gram, df ∈ [2, RareGramDf]) and the one-corpus-shuffle
+    * per-doc fold of (grams, n, rgs). Single-sourced with the
+    * declared key; the instrument consumes the same frames. */
+  private[graft] def containmentStages(g: DataFrame): (DataFrame, DataFrame) = {
+    val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, RareGramDf))
-      .select(col("gram"), lit(1).as("__r"))
     // One corpus shuffle folds each doc's (distinct) gram set AND its
     // shared-capable blocking subset into a single row.
-    val sets = g.join(shareable, Seq("gram"), "left")
+    val sets = g.join(dfs.select(col("gram"), lit(1).as("__r")), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("n"),
         collect_list(when(col("__r") === 1, col("gram"))).as("rgs"))
+    (dfs, sets)
+  }
+
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    // checkpointed: consumed by the df-count AND the flag join
+    val g = containmentGrams(docs).localCheckpoint(true)
+    val (_, sets) = containmentStages(g)
     def side(s: String): DataFrame = sets.select(
       col("doc_id").as(s"doc_$s"), col("grams").as(s"__g$s"),
       col("n").as(s"n_$s"), col("rgs").as(s"rgs_$s"),

@@ -77,19 +77,16 @@ object ContainmentDecomp {
     // warm the scan path once so stage walls aren't first-touch noise
     docs.count()
 
-    val gramsLazy = graft.api.GraftOps.wordShingles(docs, "doc_id", "text")
+    // the SAME frames the declared key executes (r12 review:
+    // single-sourced via DedupOps.containmentGrams/containmentStages
+    // so a pipeline change cannot decouple instrument from key)
+    val gramsLazy = graft.queries.DedupOps.containmentGrams(docs)
     val (nGrams, tScan) = timed(gramsLazy.count())
     val (g, tCkpt) = timed(gramsLazy.localCheckpoint(true))
-    val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, graft.queries.DedupOps.RareGramDf))
+    val (dfs, sets) = graft.queries.DedupOps.containmentStages(g)
     val (candUncapped, tDf) = timed(
       dfs.agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
         .collect()(0).getLong(0))
-    val shareable = dfs.select(col("gram"), lit(1).as("__r"))
-    val sets = g.join(shareable, Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("n"),
-        collect_list(when(col("__r") === 1, col("gram"))).as("rgs"))
     val (rgsMass, tFold) = timed(
       sets.agg(coalesce(sum(size(col("rgs"))), lit(0L)))
         .collect()(0).getLong(0))

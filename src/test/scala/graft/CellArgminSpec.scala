@@ -95,6 +95,23 @@ class CellArgminSpec extends SparkSpec {
     assert(p2.size > p1.size, "fixture boundary pairs should appear at probes=2")
   }
 
+  test("r12 review: a corpus collapsing to fewer live cells than probes does not throw under ANSI") {
+    // Identical vectors make every Lloyd-round assignment tie to cell
+    // 0, so the post-update model holds ONE live centroid while
+    // probes = 2 — CellTopP then returns a 1-element array, and the
+    // allocation-free smallest-shared predicate must size-guard its
+    // __ca[1] access or GetArrayItem throws under Spark 4's default
+    // ANSI mode (the pre-guard spelling crashed exactly here; the
+    // old array_intersect spelling had returned all 6 pairs).
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = (1L to 4L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val pairs = graft.api.GraftOps
+      .semanticNearDups(df, "id", "vec", 0.5, k = 2, probes = 2)
+      .collect()
+    assert(pairs.length === 6, "4 identical vectors form C(4,2)=6 pairs at cos 1.0")
+  }
+
   test("integer and long probe vectors are accepted, matching the double spelling (r10 review)") {
     // GraftOps.kmeans historically cast ANY numeric array to double;
     // the CellArgmin rewrite briefly narrowed that to float/double —
