@@ -178,7 +178,9 @@ object SparkEntry {
     // round-10: ingestion-time near-dup detection (stream-static LSH)
     "q_stream_neardup"     -> StreamOps.qStreamNeardup _,
     // round-10: survivor selection (keep best copy per dup cluster)
-    "q_dedup_keep"         -> DedupOps.qDedupKeep _
+    "q_dedup_keep"         -> DedupOps.qDedupKeep _,
+    // round-13: production-geometry embedding near-dup (12×24, τ=0.85)
+    "q_dedup_embedding_scaled" -> VectorOps.qDedupEmbeddingScaled _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -64,13 +64,20 @@ object EmbLsh {
   def sparkKeysExpr: String = "graft_emb_lsh_keys(embedding)"
 
   /** DuckDB list literal mirroring [[sparkKeysExpr]] exactly (same
-    * weights, same rounding, same band offsets). */
-  def duckKeysSql: String = {
-    val keys = (0 until Bands).map { band =>
-      val bits = (0 until Bits).map { j =>
-        s"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), [${lits(band * Bits + j)}]), 6) > 0 THEN ${1 << j} ELSE 0 END)"
+    * weights, same rounding, same band offsets). Parameterized on the
+    * geometry (r13) so the production-dial key
+    * (q_dedup_embedding_scaled: 12 bits × 24 bands) is generated from
+    * the SAME plane source as the default loose-τ key — any
+    * (bits, bands) pair the Spark expression accepts has a
+    * bit-identical oracle spelling. */
+  def duckKeysSql: String = duckKeysSql(Bits, Bands)
+
+  def duckKeysSql(bits: Int, bands: Int): String = {
+    val keys = (0 until bands).map { band =>
+      val terms = (0 until bits).map { j =>
+        s"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), [${lits(band * bits + j)}]), 6) > 0 THEN ${1 << j} ELSE 0 END)"
       }
-      s"(${band * (1 << Bits)} + ${bits.mkString(" + ")})"
+      s"(${band * (1 << bits)} + ${terms.mkString(" + ")})"
     }
     s"[${keys.mkString(",")}]"
   }

@@ -626,6 +626,32 @@ object OracleSqlLlm {
         |SELECT vec_a, vec_b, cos FROM scored
         |WHERE cos >= 0.4 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
 
+    // production-geometry near-dup (r13): 12 bits × 24 bands, τ=0.85,
+    // over the corpus augmented with one deterministic twin per vector
+    // (dim 0 negated — exact float sign flip, cos = 1 − 2·x₀²; the
+    // isotropic fixtures have ZERO native pairs at cos ≥ 0.85, so the
+    // augmentation is what makes the answer non-vacuous). Same plane
+    // stream as q_dedup_embedding via duckKeysSql(12, 24).
+    "q_dedup_embedding_scaled" ->
+      s"""WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, [-embedding[1]] || embedding[2:64] AS embedding
+        |  FROM embeddings),
+        |keyed AS (
+        |  SELECT vec_id, unnest(${EmbLsh.duckKeysSql(12, 24)}) AS k FROM aug),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    round(CAST(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+        |          CAST(eb.embedding AS DOUBLE[])) AS DOUBLE),4) AS cos
+        |  FROM cand JOIN aug ea ON ea.vec_id = cand.vec_a
+        |            JOIN aug eb ON eb.vec_id = cand.vec_b)
+        |SELECT vec_a, vec_b, cos FROM scored
+        |WHERE cos >= 0.85 ORDER BY cos DESC, vec_a, vec_b""".stripMargin,
+
     "q_knn_bucketed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

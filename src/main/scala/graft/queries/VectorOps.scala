@@ -96,6 +96,42 @@ object VectorOps {
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
 
+  /** Production-geometry embedding near-dup (r13, VERDICT r12 #1): the
+    * classic-LSH dial a 100 TB deployment would run — 12 bits × 24
+    * bands, τ = 0.85 (per-band collision 0.823¹² ≈ 0.10 at the τ
+    * boundary → recall 1−(1−0.10)²⁴ ≈ 0.91; random pairs collide on
+    * 24/2¹² ≈ 0.6% of bands) — as an oracle-verified key.
+    *
+    * The driver fixtures are near-isotropic 64-dim unit vectors: NO
+    * pair sits at cos ≥ 0.85 (measured: zero at every driver SF), so
+    * the plain corpus would hash-match on an EMPTY answer and verify
+    * nothing. The key therefore augments the corpus in-query with one
+    * deterministic perturbed twin per vector — dimension 0 negated,
+    * id offset +10 M — an exact float operation both engines spell
+    * identically (no arithmetic, just sign flip). A twin pair's
+    * cosine is 1 − 2·x₀² (unit vectors), i.e. cos ∈ [0.85, 1] exactly
+    * when |x₀| ≤ √0.075 ≈ 0.274 — ~97% of an isotropic corpus — so
+    * the answer is ≈N planted pairs whose DISCOVERY exercises the
+    * full production path: 288-hyperplane signature, OR-of-bands
+    * banding, FirstBandMatch exactly-once candidate emission, and
+    * the τ = 0.85 verification. The hash-match then proves recall
+    * parity pair-for-pair against DuckDB's exhaustive replay of the
+    * same geometry (EmbLsh.duckKeysSql(12, 24) — same splitmix64
+    * plane stream). Twins past the |x₀| boundary fall below τ in BOTH
+    * engines by the same rounded-to-4 cosine, so the boundary itself
+    * is part of what the hash pins. */
+  def qDedupEmbeddingScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("concat(array(-element_at(embedding, 1)), slice(embedding, 2, 63))")
+        .as("embedding"))
+    graft.api.GraftOps
+      .embeddingNearDups(e.unionAll(twins), "vec_id", "embedding", 0.85,
+        bits = 12, bands = 24)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+  }
+
   /** Sign-bucket expression: 2-bit LSH code from the two projections.
     * Projections are rounded to 6 decimals before the sign test so a
     * value near 0 cannot round to opposite signs across engines

@@ -90,6 +90,34 @@ class EmbLshScaleSpec extends SparkSpec {
       s"wide-band recall collapsed: $hit/${plantedPairs.size}")
   }
 
+  /** The DECLARED production-dial key (r13): q_dedup_embedding_scaled
+    * augments the fixture with a dim-0-negated twin per vector
+    * (cos = 1 − 2·x₀² on unit vectors). On the isotropic driver
+    * fixture every answer pair must BE a twin pair (no native pair
+    * reaches 0.85), its cosine must satisfy the analytic identity,
+    * and the LSH must recover ≥ 90% of the twins whose true cosine
+    * clears τ — the recall the oracle hash pins pair-for-pair. */
+  test("declared scaled key: twin-pair identity, cos = 1 − 2·x₀², recall ≥ 0.90") {
+    val out = graft.queries.VectorOps
+      .qDedupEmbeddingScaled(spark, sf).collect()
+    val x0 = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("cast(element_at(embedding, 1) as double)").as("x0"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty, "scaled key returned an empty frame on the fixture")
+    out.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(b == a + 10000000L, s"non-twin pair in answer: ($a, $b)")
+      val expect = BigDecimal(1.0 - 2.0 * x0(a) * x0(a))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(c - expect) <= 2e-4,
+        s"cos deviates from 1−2·x₀²: got $c expected ~$expect for vec $a")
+      assert(c >= 0.85 && c <= 1.0, s"cos out of τ band: $c")
+    }
+    val eligible = x0.values.count(v => 1.0 - 2.0 * v * v >= 0.85)
+    assert(out.length >= math.ceil(eligible * 0.90).toInt,
+      s"recall collapsed: found ${out.length} of $eligible eligible twins")
+  }
+
   test("wide geometry cuts band-join fan-out ≥ 20× vs the declared narrow geometry") {
     val narrow = fanOut(graft.queries.EmbLsh.Bits, graft.queries.EmbLsh.Bands)
     val wide = fanOut(12, 24)
