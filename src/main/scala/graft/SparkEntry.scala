@@ -180,7 +180,9 @@ object SparkEntry {
     // round-10: survivor selection (keep best copy per dup cluster)
     "q_dedup_keep"         -> DedupOps.qDedupKeep _,
     // round-13: production-geometry embedding near-dup (12×24, τ=0.85)
-    "q_dedup_embedding_scaled" -> VectorOps.qDedupEmbeddingScaled _
+    "q_dedup_embedding_scaled" -> VectorOps.qDedupEmbeddingScaled _,
+    // round-13: high-recall half-scan IVF point (128, 2, 64)
+    "q_knn_ivf_hr"         -> VectorOps.qKnnIvfHr _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

