@@ -901,6 +901,20 @@ object GraftOps {
       explode(expr(s"graft_word_shingles(`$textCol`, $n)")).as(out))
   }
 
+  /** [[wordShingles]] with the grams already reduced to their distinct
+    * md5-32 hashes (8-byte longs) — the corpus-pass representation for
+    * operators whose downstream is pure SET algebra over grams
+    * (containment: df counts, per-doc folds, intersections). Takes
+    * string mass out of every shuffle the fold pays; see
+    * [[graft.catalyst.WordShingleHashes]] for the exact cross-engine
+    * hash/dedup rule the DuckDB oracles mirror. */
+  def wordShingleHashes(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, out: String = "gram"): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(df.sparkSession)
+    widened(df, idCol).select(col(idCol),
+      explode(expr(s"graft_word_shingle_hashes(`$textCol`, $n)")).as(out))
+  }
+
   /** Rows of `left` that PASS the bloom prefilter built from `right`'s
     * distinct keys — a SUPERSET of the true matches (bloom error is
     * one-sided: no false negatives, ~0.02% false positives at the

@@ -226,6 +226,18 @@ object GraftFunctions {
       },
       "scala_udf")
 
+    // hashed-gram variant: distinct md5-32 longs (containment's fold)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingle_hashes",
+      {
+        case Seq(e) => WordShingleHashes(e)
+        case Seq(e, w) if w.foldable =>
+          WordShingleHashes(e, w.eval().asInstanceOf[Number].intValue())
+        case exprs => throw new IllegalArgumentException(
+          s"graft_word_shingle_hashes expects (text) or (text, n literal), got ${exprs.size} args")
+      },
+      "scala_udf")
+
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash",
       (exprs: Seq[Expression]) => SimHash(exprs.head),

@@ -425,9 +425,21 @@ object DedupOps {
     * tools.ContainmentDecomp times that materialization separately
     * (r12 review: the instrument had re-spelled these frames, so a
     * pipeline change would have silently decoupled what it times
-    * from what the key executes). */
+    * from what the key executes).
+    *
+    * r13 (VERDICT r12 #2): grams are folded as their distinct md5-32
+    * HASHES, not strings — the decomposition measured the O(total
+    * grams) corpus passes (26.5 M gram rows at sf10, ~25-byte gram
+    * strings through a checkpoint, a df group-by and the per-doc
+    * collect) as the owner of the key's third decade, with the
+    * candidate machinery at thousandths of the mass. Containment's
+    * downstream is pure set algebra over grams — df counts, set
+    * sizes, intersections — so the 8-byte engine-neutral hash
+    * (minhash's md5-int64 seam) carries the full semantics; the
+    * oracle hashes the same way and a 32-bit within-doc collision
+    * collapses identically on both engines (WordShingleHashes). */
   private[graft] def containmentGrams(docs: DataFrame): DataFrame =
-    graft.api.GraftOps.wordShingles(docs, "doc_id", "text")
+    graft.api.GraftOps.wordShingleHashes(docs, "doc_id", "text")
 
   /** The two aggregate stages of [[containmentPairs]] over the
     * (checkpointed) gram table: the shared-capable df table

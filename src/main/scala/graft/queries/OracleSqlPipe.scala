@@ -118,11 +118,17 @@ object OracleSqlPipe {
         |ORDER BY n_fetches DESC, canonical LIMIT 300""".stripMargin,
 
     // asymmetric containment with rare-gram blocking; keep rule is the
-    // exact integer cross-product, only the reported ratio divides
+    // exact integer cross-product, only the reported ratio divides.
+    // r13: grams fold as distinct md5-32 hashes (WordShingleHashes) —
+    // hash the per-doc DISTINCT gram strings, then list_distinct the
+    // hash VALUES so a within-doc 32-bit collision collapses
+    // identically on both engines
     "q_dedup_containment" ->
       """WITH g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |         list_distinct(list_transform(range(1, len(t)-1),
+        |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))),
+        |         s -> CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT)))) AS gram
         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) x),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
         |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 5),

@@ -58,12 +58,18 @@ object ContainmentDecomp {
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
 
     val base = graft.Tables.documents(spark, sfDir)
+    // dupFrac is REALIZED as pmod(doc_id, round(1/dupFrac)) == 0 —
+    // i.e. rounded to 1/round(1/dupFrac) (0.3 → 1/3; anything > 0.5
+    // rounds to duplicating every doc). The realized count is emitted
+    // (ADVICE r12): dup_docs / realized_dup_frac, derived from the
+    // actual doc counts, are the numbers to read, not the request.
     val docs = if (dupFrac <= 0.0) base else {
       val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
       base.unionAll(
         base.filter(pmod(col("doc_id"), lit(math.round(1.0 / dupFrac))) === 0)
           .withColumn("doc_id", col("doc_id") + lit(maxId + 1)))
     }
+    val nBase = base.count()
     val nDocs = docs.count()
 
     def timed[A](f: => A): (A, Double) = {
@@ -82,6 +88,11 @@ object ContainmentDecomp {
     // so a pipeline change cannot decouple instrument from key)
     val gramsLazy = graft.queries.DedupOps.containmentGrams(docs)
     val (nGrams, tScan) = timed(gramsLazy.count())
+    // checkpoint_sec RE-RUNS the shingle scan (count() above does not
+    // cache gramsLazy), so it is scan + materialization; the emitted
+    // materialize_est_sec = checkpoint − scan is the materialization
+    // estimate (ADVICE r12 — the stage table should not double-count
+    // the scan into the checkpoint row).
     val (g, tCkpt) = timed(gramsLazy.localCheckpoint(true))
     val (dfs, sets) = graft.queries.DedupOps.containmentStages(g)
     val (candUncapped, tDf) = timed(
@@ -94,10 +105,13 @@ object ContainmentDecomp {
       graft.queries.DedupOps.containmentPairs(docs).count())
 
     println(s"""{"metric":"containment_decomp","label":"$label",""" +
-      s""""dup_frac":$dupFrac,"docs":$nDocs,"grams":$nGrams,""" +
+      s""""dup_frac":$dupFrac,"dup_docs":${nDocs - nBase},""" +
+      s""""realized_dup_frac":${fmt((nDocs - nBase).toDouble / nBase)},""" +
+      s""""docs":$nDocs,"grams":$nGrams,""" +
       s""""rgs_mass":$rgsMass,"cand_pairs_uncapped":$candUncapped,""" +
       s""""pairs_out":$nPairs,""" +
       s""""shingle_scan_sec":${fmt(tScan)},"checkpoint_sec":${fmt(tCkpt)},""" +
+      s""""materialize_est_sec":${fmt(math.max(0.0, tCkpt - tScan))},""" +
       s""""df_filter_sec":${fmt(tDf)},"doc_fold_sec":${fmt(tFold)},""" +
       s""""e2e_sec":${fmt(tE2e)}}""")
     spark.stop()

@@ -54,6 +54,41 @@ class ShinglesSpec extends SparkSpec {
     }
   }
 
+  test("graft_word_shingle_hashes ≡ md5-32 of graft_word_shingles, deduped by value (both eval paths)") {
+    // r13: containment's fold rides this seam. The SQL spelling on the
+    // right is the Spark half of the cross-engine contract
+    // (conv(substring(md5(s),1,8),16,10) — DuckDB spells the same
+    // value CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT)).
+    GraftFunctions.ensureRegistered(spark)
+    import scala.jdk.CollectionConverters._
+    var sc = org.scalacheck.rng.Seed(20260814L)
+    val docs = (0 until 200).map { _ =>
+      val s = docGen.pureApply(Gen.Parameters.default, sc, retries = 1000)
+      sc = sc.next
+      s
+    }
+    val df = spark.createDataset(docs)(org.apache.spark.sql.Encoders.STRING).toDF("text")
+    Seq(2, 3).foreach { n =>
+      val rows = df.select(
+        expr(s"graft_word_shingle_hashes(text, $n)").as("fast"),
+        expr(s"array_distinct(transform(graft_word_shingles(text, $n), " +
+          "s -> cast(conv(substring(md5(s),1,8),16,10) as bigint)))").as("slow"))
+        .collectAsList().asScala
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n diverged: fast=${r.getSeq[Long](0)} slow=${r.getSeq[Long](1)}")
+      }
+      // interpreted path must agree with the codegen'd one
+      val interp = docs.map(d => Option(d).map { s =>
+        graft.catalyst.WordShingles.computeHashes(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+          .toLongArray().toSeq
+      })
+      val fast = rows.map(r => Option(r.getSeq[Long](0)))
+      assert(interp == fast.toList, s"n=$n: interpreted != codegen")
+    }
+  }
+
   test("null text yields null; sub-shingle docs yield an EMPTY array, never partial grams") {
     GraftFunctions.ensureRegistered(spark)
     val df = spark.sql(
