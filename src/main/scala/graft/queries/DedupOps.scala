@@ -189,10 +189,21 @@ object DedupOps {
   /** (doc_id, cluster) for every doc in a MinHash candidate pair —
     * shared by [[qDedupClusters]] and [[qDedupKeep]] (r10 review:
     * single-sourced so the two keys cannot diverge on the pair set
-    * or the component labeling). */
+    * or the component labeling).
+    *
+    * r13 (VERDICT r12 #4): dispatches on measured edge count —
+    * propagation below 1 M edges, large-star/small-star above.
+    * Near-dup candidate graphs are quasi-cliques, so at the third
+    * decade the edge frame collapses 13.55 M → 220 k in ONE
+    * large-star iteration and the loop converges in 4 iterations
+    * where label propagation paid 5 mega-cluster flood rounds of
+    * ~90 k changing labels over the full edge frame (CcRoundAudit
+    * paired runs: 24.73 → 19.92 s audit wall at sf10; prop keeps the
+    * small decades, 3.82 vs 4.66 s at sf0.1; both reach the identical
+    * 38 865-cluster fixpoint, so the oracle is untouched). */
   private[graft] def clusterFrame(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps
-      .connectedComponents(minhashPairs(spark, dir, MaxBandBucket), "doc_a", "doc_b")
+      .connectedComponentsAdaptive(minhashPairs(spark, dir, MaxBandBucket), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component").as("cluster"))
 
   /** DECLARED: survivor selection — the step AFTER clustering that a

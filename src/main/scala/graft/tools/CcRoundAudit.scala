@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * declared key already runs. Prints one JSON line:
   * edges, rounds, changed-per-round, clusters, wall seconds.
   *
-  * Usage: `runMain graft.tools.CcRoundAudit <sfDir> [label]`
+  * Usage: `runMain graft.tools.CcRoundAudit <sfDir> [label] [algo]`
+  * where algo ∈ {prop (default), stars}. For `stars` the per-round
+  * scalars are the edge counts after each LS+SS iteration (the stars
+  * loop's own convergence scalar), not changed-label counts.
   */
 object CcRoundAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
     val label = args.lift(1).getOrElse(new java.io.File(sfDir).getName)
+    val algo = args.lift(2).getOrElse("prop")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-cc-round-audit")
@@ -41,11 +45,14 @@ object CcRoundAudit {
     val nEdges = pairs.count()
     val rounds = scala.collection.mutable.ArrayBuffer[Long]()
     val t0 = System.nanoTime()
-    val comp = graft.api.GraftOps
-      .connectedComponents(pairs, "doc_a", "doc_b", rounds += _)
+    val comp =
+      if (algo == "stars")
+        graft.api.GraftOps.connectedComponentsStars(pairs, "doc_a", "doc_b", rounds += _)
+      else
+        graft.api.GraftOps.connectedComponents(pairs, "doc_a", "doc_b", rounds += _)
     val nClusters = comp.select(col("component")).distinct().count()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"cc_rounds","label":"$label","edges":$nEdges,""" +
+    println(s"""{"metric":"cc_rounds","label":"$label-$algo","edges":$nEdges,""" +
       s""""rounds":${rounds.size},"changed_per_round":[${rounds.mkString(",")}],""" +
       s""""clusters":$nClusters,"wall_sec":${math.round(wall * 100) / 100.0}}""")
     spark.stop()

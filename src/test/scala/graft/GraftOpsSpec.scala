@@ -101,6 +101,28 @@ class GraftOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponentsStars ≡ propagation on chains, cliques, stars, and a random graph") {
+    import spark.implicits._
+    // the structured shapes that stress each algorithm differently:
+    // long chains (diameter — propagation's worst case), a dense
+    // clique (star rewriting's one-round collapse), pre-made stars,
+    // self-loops, plus a seeded random graph
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val clique = (for (i <- 100L to 115L; j <- (i + 1) to 115L) yield (i, j)).toSeq
+    val star = (201L to 210L).map(i => (200L, i))
+    val selfloop = Seq((300L, 300L))
+    val rnd = new scala.util.Random(20260814L)
+    val random = (0 until 200).map(_ => (400L + rnd.nextInt(80), 400L + rnd.nextInt(80)))
+    val edges = (chain ++ clique ++ star ++ selfloop ++ random).toDF("s", "d")
+    val prop = GraftOps.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = GraftOps.connectedComponentsStars(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars === prop)
+    // spot the invariants the equivalence rests on
+    assert(stars(30L) === 1L && stars(115L) === 100L && stars(300L) === 300L)
+  }
+
   test("topKPerGroup API bounds rows per group") {
     val o = Tables.orders(spark, sf)
     val top = GraftOps.topKPerGroup(o, Seq("o_custkey"), "o_totalprice", desc = true, 2)
