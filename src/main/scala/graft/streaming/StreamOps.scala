@@ -56,11 +56,12 @@ object StreamOps {
     * clicks from the preceding hour. Both sides carry watermarks and
     * the join has a time-range constraint, so state on each side is
     * bounded (Spark evicts rows older than watermark + interval). */
-  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      watermark: String = "10 minutes"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-      col("event_id").as("click_id")).withWatermark("c_ts", "10 minutes")
+      col("event_id").as("click_id")).withWatermark("c_ts", watermark)
     val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-      col("event_id").as("purchase_id")).withWatermark("p_ts", "10 minutes")
+      col("event_id").as("purchase_id")).withWatermark("p_ts", watermark)
     p.join(c,
       col("p_user") === col("c_user") &&
       col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
