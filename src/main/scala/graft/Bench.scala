@@ -426,6 +426,11 @@ object Bench {
     // indistinguishable from 'never retried'.
     val suspectRetry = scala.collection.mutable.LinkedHashMap[String, Double]()
     val suspectRetrySpread = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // ADVICE r12: which retries escalated to NoisyReps — the retry
+    // pass's analogue of the main pass's noisy_keys, so a consumer
+    // can see a retry median was noise-contested without re-deriving
+    // keyNoisy from suspect_retry_spread
+    val retryNoisy = scala.collection.mutable.ArrayBuffer[String]()
     val retryErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val toRetry = retryKeys(suspects, contaminated)
     toRetry.foreach { name =>
@@ -439,6 +444,7 @@ object Bench {
           }.sorted
           var runs = measure(Reps)
           if (keyNoisy(runs(runs.size / 2), runs.last - runs.head)) {
+            retryNoisy += name
             runs = measure(NoisyReps)
           }
           suspectRetry(name) = runs(runs.size / 2)
@@ -467,7 +473,7 @@ object Bench {
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_noisy_keys":${retryNoisy.map(jstr).mkString("[", ",", "]")},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is
