@@ -106,6 +106,7 @@ object SparkEntry {
     "q_text_repetition"    -> TextOps.qTextRepetition _,
     "q_pii_scrub"          -> ScrubOps.qPiiScrub _,
     "q_text_normalize"     -> ScrubOps.qTextNormalize _,
+    "q_scrub_boilerplate"  -> ScrubOps.qScrubBoilerplate _,
     "q_sample_stratified"  -> TextOps.qSampleStratified _,
     "q_stream_join"        -> StreamOps.qStreamJoin _,
     "q_pack_shards"        -> PipelineOps.qPackShards _,

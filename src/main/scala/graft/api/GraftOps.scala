@@ -818,6 +818,57 @@ object GraftOps {
       .drop("__bucket", "__cnt", "__w", "__tw")
   }
 
+  /** Cross-document boilerplate removal (the MassiveText/RefinedWeb
+    * "repeated passage" scrub): chunk every doc into fixed,
+    * non-overlapping `width`-token passages at aligned offsets, count
+    * how many DISTINCT docs contain each passage, strip every passage
+    * appearing in ≥ `minDocs` docs, and reassemble the survivors in
+    * document order. Complements the dedup family: dedup drops whole
+    * (near-)duplicate DOCS; this drops duplicated SPANS (headers,
+    * footers, license blocks) from docs that are otherwise kept.
+    * Alignment-sensitive by design — unaligned embedded copies are
+    * [[containmentPairs]]' job.
+    *
+    * Scale shape: two passes over the corpus (chunk generation is
+    * recomputed rather than cached — at 100 TB a cache is the bigger
+    * cost and the passes partition independently). Pass 1 aggregates
+    * doc-distinct counts BY 8-BYTE md5-32 HASH, never shuffling
+    * passage strings (the r13 containment lesson: the hash column is
+    * ~20× narrower than the text; collisions merge counts identically
+    * in any engine that mirrors the hash). Pass 2 left-joins chunks
+    * to the over-threshold set — Zipf-small in practice, so AQE
+    * downgrades it to a broadcast join organically — then one per-doc
+    * agg rebuilds `clean_text` with an ordered struct sort; no window,
+    * no global sort, nothing collects. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        width: Int = 10, minDocs: Int = 2): DataFrame = {
+    val chunks = widened(df, idCol)
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), col("t"),
+        explode(expr(s"sequence(1, size(t), $width)")).as("s"))
+      .select(col(idCol), col("s").as("chunk_start"),
+        expr(s"array_join(slice(t, s, $width), ' ')").as("chunk"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(chunk),1,8),16,10) as bigint)"))
+    val bp = chunks.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1).as("bp"))
+    chunks.join(bp, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // struct sort keys on chunk_start (unique per doc →
+        // deterministic); removed passages become null elements that
+        // concat_ws skips, so an all-boilerplate doc yields "" —
+        // matching the oracle's coalesce(string_agg…, '')
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(chunk_start, " +
+            "CASE WHEN bp IS NULL THEN chunk END AS ck))), x -> x.ck)"))
+          .as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** PII scrub of a text column: digit masking, identifier extraction,
     * and a stable irreversible md5 surrogate (pseudonymization). */
   def piiScrub(df: DataFrame, textCol: String): DataFrame =

@@ -214,6 +214,32 @@ object OracleSqlLlm {
         |      FROM part) x
         |ORDER BY p_partkey LIMIT 300""".stripMargin,
 
+    // Boilerplate scrub twin of GraftOps.removeBoilerplate: aligned
+    // 10-token passages, doc-distinct counts BY md5-32 HASH (the
+    // engine never shuffles passage strings; mirroring the hash keeps
+    // collision behaviour identical), string_agg skips the NULLed
+    // removed passages exactly as concat_ws does, and coalesce('')
+    // matches concat_ws's empty result for an all-boilerplate doc.
+    "q_scrub_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |c AS (SELECT doc_id, s AS chunk_start,
+        |             array_to_string(t[s:s+9], ' ') AS chunk
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t)+1, 10)) AS s
+        |            FROM d) e),
+        |hs AS (SELECT doc_id, chunk_start, chunk,
+        |              CAST(concat('0x', substring(md5(chunk),1,8)) AS BIGINT) AS h
+        |       FROM c),
+        |bp AS (SELECT h, 1 AS bp FROM hs GROUP BY h
+        |       HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN bp IS NULL THEN chunk END,
+        |                      ' ' ORDER BY chunk_start), '') AS clean_text,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN bp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM hs LEFT JOIN bp USING(h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // 1-indexed twin of TextOps.qTextRepetition: same run-start /
     // difference arithmetic, same exact-integer verdict; DuckDB's
     // out-of-range t[0] is NULL so '<>' filters it, i=1 admitted by

@@ -67,4 +67,19 @@ object ScrubOps {
       .orderBy(col("p_partkey"))
       .limit(300)
   }
+
+  /** Cross-document boilerplate removal over the documents corpus —
+    * [[graft.api.GraftOps.removeBoilerplate]] at width 10 / minDocs 2:
+    * every aligned 10-token passage shared by ≥2 distinct docs is
+    * stripped and the survivors reassembled in document order. On the
+    * planted fixture the exact-dup pairs scrub to empty and the
+    * 60-char shared-prefix groups lose their first passage, so the
+    * removal path is exercised at every SF (minDocs 2 — a production
+    * run tunes it upward; the machinery is threshold-independent).
+    * The presentation sort is the only global exchange beyond the
+    * op's own two (hash-count agg + per-doc rebuild). */
+  def qScrubBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.removeBoilerplate(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 }
