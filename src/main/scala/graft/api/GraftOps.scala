@@ -448,21 +448,28 @@ object GraftOps {
     // enumeration; at real scale the scan is already wide and this
     // shuffle stays linear in N.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Vectors ride INTO the band self-join (r13, the SemDeDup payload
+    // lesson): the original shape enumerated narrow (id_a, id_b)
+    // candidates and re-joined the corpus twice to attach vectors for
+    // scoring — linear in PAIRS, which is the quadratic term of an
+    // under-bitted geometry (at sf10 the ~1 G-pair stream carried
+    // 0.5 KB vector rows through two shuffles: a ~500 GB spill that
+    // filled the disk). Carrying (sig, vec) through the band join is
+    // linear in N·bands instead, and the joined pair rows stream
+    // straight through first-band-match → dot → τ inside the join
+    // stage — no candidate row is ever materialized or shuffled.
     val keyed = df.repartition(n, col(idCol))
       .select(col(idCol),
-        expr(s"graft_emb_lsh_keys($vecCol, $bits, $bands)").as("__sig"))
+        expr(s"graft_emb_lsh_keys($vecCol, $bits, $bands)").as("__sig"),
+        col(vecCol).as("__v"))
       .localCheckpoint(true)
     val a = keyed.select(col(idCol).as("id_a"), col("__sig").as("__sa"),
-      explode(col("__sig")).as("__k"))
+      col("__v").as("__va"), explode(col("__sig")).as("__k"))
     val b = keyed.select(col(idCol).as("id_b"), col("__sig").as("__sb"),
-      explode(col("__sig")).as("__k"))
-    val cand = a.join(b, "__k")
+      col("__v").as("__vb"), explode(col("__sig")).as("__k"))
+    a.join(b, "__k")
       .filter(col("id_a") < col("id_b"))
       .filter(expr("graft_first_band_match(__sa, __sb)") === col("__k"))
-      .select(col("id_a"), col("id_b"))
-    val ea = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val eb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    cand.join(ea, "id_a").join(eb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(expr("graft_dot_product(__va, __vb)"), 4).as("cos"))
       .filter(col("cos") >= threshold)
