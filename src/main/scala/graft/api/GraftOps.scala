@@ -876,6 +876,53 @@ object GraftOps {
         sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Unaligned repeated-span detection — the ExactSubstr dedup of
+    * Lee et al. 2021 (arXiv:2107.06499): every maximal token span
+    * covered by `width`-token windows that appear in ≥ `minDocs`
+    * DISTINCT docs, at ANY offset. Complements [[removeBoilerplate]]
+    * (alignment-sensitive chunks) and [[containmentPairs]] (whole-doc
+    * embedded copies): this finds the copy wherever it starts, span
+    * by span. Overlapping or abutting duplicated windows merge into
+    * one reported span (gaps-and-islands per doc).
+    *
+    * Scale shape: stride-1 windows explode to ~tokens rows/doc, but
+    * the Generate+Project fuse in whole-stage codegen so only
+    * (id, start, 8-byte hash) ever materializes; the df count is one
+    * hash agg BY HASH (strings never shuffle); the shared-window set
+    * is small so its semi join broadcasts under AQE, PRESERVING the
+    * widened doc_id partitioning — the islands window then sorts
+    * partition-locally with no further exchange. */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  width: Int = 20, minDocs: Int = 2): DataFrame = {
+    val wins = widened(df, idCol)
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      // sub-width docs yield no windows (and guard the descending-
+      // sequence trap: sequence(1, negative) counts DOWN)
+      .filter(size(col("t")) >= width)
+      .select(col(idCol), col("t"),
+        explode(expr(s"sequence(1, size(t) - $width + 1)")).as("s"))
+      .select(col(idCol), col("s"), expr(
+        s"cast(conv(substring(md5(array_join(slice(t, s, $width), ' '))" +
+          ",1,8),16,10) as bigint)").as("h"))
+    val shared = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    wins.join(shared, Seq("h"), "left_semi")
+      // NULL lag on the first row falls to otherwise(0) — same CASE
+      // shape the oracle evaluates
+      .withColumn("brk",
+        when(col("s") > lag(col("s"), 1).over(w) + width, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) - min(col("s")) + width).as("span_toks"),
+        count(lit(1)).as("n_windows"))
+      .drop("isl")
+  }
+
   /** PII scrub of a text column: digit masking, identifier extraction,
     * and a stable irreversible md5 surrogate (pseudonymization). */
   def piiScrub(df: DataFrame, textCol: String): DataFrame =

@@ -400,6 +400,19 @@ object DedupOps {
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(spark, dir))
 
+  /** Unaligned repeated-span detection over the documents corpus —
+    * [[graft.api.GraftOps.sharedSpans]] at width 20 / minDocs 2: the
+    * ExactSubstr flavour of dedup (Lee et al. 2021). On the planted
+    * fixture the exact-dup pairs report one full-doc span and the
+    * embedded-dup victims' copied tails are found at their UNALIGNED
+    * offsets (invisible to the aligned q_scrub_boilerplate chunks by
+    * construction); the 60-char shared prefixes (~12 tokens) sit
+    * under the 20-token width — the deliberate negative control. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.sharedSpans(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** The containment core over any (doc_id, text) frame —
     * ContainmentSpec drives it with the planted embedded-duplicate
     * geometry the fixture lacks.

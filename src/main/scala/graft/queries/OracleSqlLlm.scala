@@ -214,6 +214,36 @@ object OracleSqlLlm {
         |      FROM part) x
         |ORDER BY p_partkey LIMIT 300""".stripMargin,
 
+    // ExactSubstr twin of GraftOps.sharedSpans: stride-1 20-token
+    // windows hashed md5-32 (the engine's cross-engine collision rule),
+    // doc-distinct df >= 2, overlapping/abutting duplicated windows
+    // merged per doc by the same lag/sum gaps-and-islands CASE (NULL
+    // lag on a doc's first window falls to ELSE 0 in both engines).
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+        |           FROM documents WHERE len(string_split(text,' ')) >= 20),
+        |w AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substring(md5(
+        |          array_to_string(t[s:s+19], ' ')),1,8)) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-20+2)) AS s
+        |            FROM d) e),
+        |shared AS (SELECT h FROM w GROUP BY h
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, s FROM w SEMI JOIN shared USING(h)),
+        |b AS (SELECT doc_id, s,
+        |        CASE WHEN s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+        |                      + 20 THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |i AS (SELECT doc_id, s,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |                       ROWS UNBOUNDED PRECEDING) AS isl
+        |      FROM b)
+        |SELECT doc_id, min(s) AS span_start,
+        |  max(s) - min(s) + 20 AS span_toks,
+        |  count(*) AS n_windows
+        |FROM i GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     // Boilerplate scrub twin of GraftOps.removeBoilerplate: aligned
     // 10-token passages, doc-distinct counts BY md5-32 HASH (the
     // engine never shuffles passage strings; mirroring the hash keeps
