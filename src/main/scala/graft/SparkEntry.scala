@@ -107,7 +107,9 @@ object SparkEntry {
     "q_pii_scrub"          -> ScrubOps.qPiiScrub _,
     "q_text_normalize"     -> ScrubOps.qTextNormalize _,
     "q_scrub_boilerplate"  -> ScrubOps.qScrubBoilerplate _,
+    "q_scrub_substring"    -> ScrubOps.qScrubSubstring _,
     "q_dedup_substring"    -> DedupOps.qDedupSubstring _,
+    "q_quality_linear"     -> TextOps.qQualityLinear _,
     "q_sample_stratified"  -> TextOps.qSampleStratified _,
     "q_stream_join"        -> StreamOps.qStreamJoin _,
     "q_pack_shards"        -> PipelineOps.qPackShards _,

@@ -923,6 +923,72 @@ object GraftOps {
       .drop("isl")
   }
 
+  /** Removal companion of [[sharedSpans]] — the scrub step of
+    * ExactSubstr dedup (Lee et al. 2021 REMOVE the duplicated
+    * substrings, not the documents): every token position covered by
+    * a ≥ `minDocs`-doc shared span is cut, the survivors rebuild the
+    * text in place. Sub-width and span-free docs pass through
+    * untouched (the spans join is a left join; a missing span list
+    * coalesces to empty so the position filter keeps everything).
+    *
+    * Scale shape: [[sharedSpans]]' linear-in-tokens stages plus one
+    * broadcast-sized spans join back to the corpus (the span list is
+    * the duplicated-ISLAND set — smaller than the shared-window set)
+    * and a per-row higher-order rebuild: positions × spans is
+    * per-doc-bounded (spans per doc ≤ tokens/width), no shuffle
+    * after the join. */
+  def scrubSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                       width: Int = 20, minDocs: Int = 2): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, width, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("a"),
+        (col("span_start") + col("span_toks") - lit(1)).as("b"))).as("sp"))
+    widened(df, idCol)
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .join(spans, Seq(idCol), "left")
+      // span-free docs: NULL exists() would make the filter drop every
+      // position — coalesce to a typed empty list first
+      .withColumn("sp",
+        coalesce(col("sp"), expr("cast(array() as array<struct<a:int,b:int>>)")))
+      .withColumn("keep", expr(
+        "filter(sequence(1, size(t)), p -> " +
+          "NOT exists(sp, x -> p >= x.a AND p <= x.b))"))
+      .select(col(idCol),
+        expr("array_join(transform(keep, p -> element_at(t, p)), ' ')")
+          .as("clean_text"),
+        size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(col("keep"))).as("n_removed"))
+  }
+
+  /** Hashed-feature linear quality scorer — the corpus-filter shape of
+    * fastText/CCNet-style classifiers: tokens hash into `dim` buckets
+    * (hashing trick, vocab-free), a broadcast (bucket, weight) model
+    * row set scores each doc as sigmoid(mean token weight). Weights
+    * here are a deterministic function of the bucket id (md5-derived,
+    * uniform in [-1, 1]) so the operator is oracle-verifiable without
+    * an external model artifact; a trained model drops in as the same
+    * broadcast table. The join side is ≤ dim rows — ALWAYS broadcast
+    * at any corpus scale; the groupBy partial-aggregates map-side. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1024): DataFrame = {
+    val weights = df.sparkSession.range(dim.toLong).select(
+      col("id").as("bucket"),
+      expr("(cast(conv(substring(md5(cast(id as string)),1,8),16,10) as bigint)" +
+        " % 2001 - 1000) / 1000.0").as("w"))
+    widened(df, idCol)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), expr(
+        s"cast(conv(substring(md5(tok),1,8),16,10) as bigint) % $dim")
+        .as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("sw"))
+      .select(col(idCol),
+        round(expr("1.0 / (1.0 + exp(-(sw / n_tok)))"), 4).as("score"),
+        col("n_tok"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+
   /** PII scrub of a text column: digit masking, identifier extraction,
     * and a stable irreversible md5 surrogate (pseudonymization). */
   def piiScrub(df: DataFrame, textCol: String): DataFrame =

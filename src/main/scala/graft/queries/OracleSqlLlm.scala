@@ -244,6 +244,72 @@ object OracleSqlLlm {
         |FROM i GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    // Removal twin of GraftOps.scrubSharedSpans: the q_dedup_substring
+    // span chain (same hash, same islands merge), spans listed per doc
+    // as (a, b) structs, then every token position covered by a span
+    // is cut via the same nested-lambda position filter the engine
+    // evaluates (exists ↔ len(list_filter) = 0); span-free and
+    // sub-width docs coalesce to an empty span list and pass through.
+    "q_scrub_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 20),
+        |w AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substring(md5(
+        |          array_to_string(t[s:s+19], ' ')),1,8)) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-20+2)) AS s
+        |            FROM dd) e),
+        |shared AS (SELECT h FROM w GROUP BY h
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, s FROM w SEMI JOIN shared USING(h)),
+        |b AS (SELECT doc_id, s,
+        |        CASE WHEN s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+        |                      + 20 THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |i AS (SELECT doc_id, s,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |                       ROWS UNBOUNDED PRECEDING) AS isl
+        |      FROM b),
+        |spans AS (SELECT doc_id, min(s) AS a,
+        |        min(s) + (max(s) - min(s) + 20) - 1 AS bb
+        |      FROM i GROUP BY doc_id, isl),
+        |sp AS (SELECT doc_id, list(struct_pack(a := a, b := bb)) AS sps
+        |       FROM spans GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.t, coalesce(sp.sps, []) AS sps
+        |      FROM d LEFT JOIN sp USING (doc_id)),
+        |k AS (SELECT doc_id, t,
+        |        list_filter(range(1, len(t)+1),
+        |          p -> len(list_filter(sps, x -> p >= x.a AND p <= x.b)) = 0)
+        |          AS keep
+        |      FROM j)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(keep, p -> t[p]), ' '), '')
+        |    AS clean_text,
+        |  len(t) AS n_tokens, len(t) - len(keep) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Hashed-linear scorer twin of GraftOps.hashedLinearScore: tokens
+    // hash md5-32 mod 1024, the weight of bucket b is a deterministic
+    // md5 derivation uniform in [-1, 1] (mirrored bit-for-bit), score
+    // = sigmoid(mean token weight) rounded AFTER the transcendental —
+    // the double sum's order sensitivity (~1e-13) is far under the
+    // 4-decimal boundary.
+    "q_quality_linear" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(tok),1,8)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |        FROM documents) e),
+        |wt AS (SELECT bucket,
+        |    (CAST(concat('0x', substring(md5(CAST(bucket AS VARCHAR)),1,8))
+        |        AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+        |  FROM (SELECT unnest(range(0, 1024)) AS bucket) b),
+        |sc AS (SELECT doc_id, count(*) AS n_tok, sum(w) AS sw
+        |       FROM toks JOIN wt USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-(sw / n_tok))), 4) AS score,
+        |  n_tok, round(1.0 / (1.0 + exp(-(sw / n_tok))), 4) >= 0.5 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     // Boilerplate scrub twin of GraftOps.removeBoilerplate: aligned
     // 10-token passages, doc-distinct counts BY md5-32 HASH (the
     // engine never shuffles passage strings; mirroring the hash keeps

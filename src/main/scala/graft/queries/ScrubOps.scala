@@ -82,4 +82,16 @@ object ScrubOps {
     graft.api.GraftOps.removeBoilerplate(
         Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** ExactSubstr REMOVAL over the documents corpus —
+    * [[graft.api.GraftOps.scrubSharedSpans]] at width 20 / minDocs 2:
+    * the scrub step completing q_dedup_substring's detection (Lee et
+    * al. 2021 cut the duplicated substrings in place). Exact-dup
+    * pairs are rewritten to empty, embedded-dup victims lose the
+    * copied tail at its unaligned offset, sub-width docs and the
+    * 12-token shared prefixes pass through untouched. */
+  def qScrubSubstring(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.scrubSharedSpans(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 }

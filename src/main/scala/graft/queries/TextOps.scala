@@ -506,4 +506,16 @@ object TextOps {
         expr("(10000 * n) div top_n").as("share_bp"))
       .orderBy(col("rnk"))
   }
+
+  /** Hashed-feature linear quality scoring over the documents corpus —
+    * [[graft.api.GraftOps.hashedLinearScore]] at dim 1024: the
+    * fastText/CCNet-style corpus-filter shape (hashing-trick features,
+    * broadcast weight table, sigmoid of the mean token weight, a keep
+    * flag at 0.5). Complements q_text_quality's hand-built ratio
+    * heuristics with the model-application machinery a production
+    * quality/toxicity filter runs. */
+  def qQualityLinear(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.hashedLinearScore(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 }

@@ -43,13 +43,24 @@ object KeyBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
 
+    // Default consumer = count(), the Bench/driver contract. But a
+    // count-shaped plan lets Catalyst prune payload expressions and
+    // even ELIMINATE unique-key outer joins (q_scrub_substring's count
+    // plan is scan→agg — the whole span pipeline drops out). Set
+    // GRAFT_BENCH_CONSUME=hash to force every output column through
+    // xxhash64 when quoting an operator's real materialization cost.
+    val consume: org.apache.spark.sql.DataFrame => Unit =
+      if (sys.env.get("GRAFT_BENCH_CONSUME").contains("hash"))
+        df => { df.selectExpr("xxhash64(struct(*)) AS h")
+          .selectExpr("bit_xor(h)").collect(); () }
+      else df => { df.count(); () }
     val cal0 = graft.Bench.calibrationProbe(spark)
     val timings = args.tail.toSeq.map { key =>
       val fn = graft.SparkEntry.queries(key)
-      fn(spark, sfDir).count() // warmup
+      consume(fn(spark, sfDir)) // warmup
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        consume(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }.sorted
       key -> (reps(1), reps.last - reps.head)
