@@ -971,10 +971,15 @@ object GraftOps {
     * at any corpus scale; the groupBy partial-aggregates map-side. */
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
                         dim: Int = 1024): DataFrame = {
+    // Weights stay INTEGER (h % 2001 - 1000, i.e. the [-1, 1] grid
+    // ×1000) through the per-doc sum so the aggregation is exact and
+    // order-independent — at 500 k docs the double-sum spelling flipped
+    // 18 round-4 boundaries against the oracle (sf10, r13). The single
+    // /1000.0 and the sigmoid run once per doc on the exact integers.
     val weights = df.sparkSession.range(dim.toLong).select(
       col("id").as("bucket"),
-      expr("(cast(conv(substring(md5(cast(id as string)),1,8),16,10) as bigint)" +
-        " % 2001 - 1000) / 1000.0").as("w"))
+      expr("cast(conv(substring(md5(cast(id as string)),1,8),16,10) as bigint)" +
+        " % 2001 - 1000").as("wi"))
     widened(df, idCol)
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .select(col(idCol), expr(
@@ -982,9 +987,10 @@ object GraftOps {
         .as("bucket"))
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("sw"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wi")).as("swi"))
       .select(col(idCol),
-        round(expr("1.0 / (1.0 + exp(-(sw / n_tok)))"), 4).as("score"),
+        round(expr("1.0 / (1.0 + exp(-(swi / (1000.0 * n_tok))))"), 4)
+          .as("score"),
         col("n_tok"))
       .withColumn("keep", col("score") >= 0.5)
   }

@@ -289,10 +289,11 @@ object OracleSqlLlm {
 
     // Hashed-linear scorer twin of GraftOps.hashedLinearScore: tokens
     // hash md5-32 mod 1024, the weight of bucket b is a deterministic
-    // md5 derivation uniform in [-1, 1] (mirrored bit-for-bit), score
-    // = sigmoid(mean token weight) rounded AFTER the transcendental —
-    // the double sum's order sensitivity (~1e-13) is far under the
-    // 4-decimal boundary.
+    // md5 derivation on the INTEGER [-1000, 1000] grid (mirrored
+    // bit-for-bit). The per-doc sum stays bigint — exact and
+    // order-free; the r13 sf10 sweep caught the double-sum spelling
+    // flipping 18 round-4 boundaries across 500 k docs. One /1000.0 +
+    // sigmoid per doc AFTER the exact sum.
     "q_quality_linear" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -301,13 +302,15 @@ object OracleSqlLlm {
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |        FROM documents) e),
         |wt AS (SELECT bucket,
-        |    (CAST(concat('0x', substring(md5(CAST(bucket AS VARCHAR)),1,8))
-        |        AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+        |    CAST(concat('0x', substring(md5(CAST(bucket AS VARCHAR)),1,8))
+        |        AS BIGINT) % 2001 - 1000 AS wi
         |  FROM (SELECT unnest(range(0, 1024)) AS bucket) b),
-        |sc AS (SELECT doc_id, count(*) AS n_tok, sum(w) AS sw
+        |sc AS (SELECT doc_id, count(*) AS n_tok, sum(wi) AS swi
         |       FROM toks JOIN wt USING (bucket) GROUP BY doc_id)
-        |SELECT doc_id, round(1.0 / (1.0 + exp(-(sw / n_tok))), 4) AS score,
-        |  n_tok, round(1.0 / (1.0 + exp(-(sw / n_tok))), 4) >= 0.5 AS keep
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(swi / (1000.0 * n_tok)))), 4) AS score,
+        |  n_tok,
+        |  round(1.0 / (1.0 + exp(-(swi / (1000.0 * n_tok)))), 4) >= 0.5 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // Boilerplate scrub twin of GraftOps.removeBoilerplate: aligned
