@@ -111,6 +111,7 @@ object SparkEntry {
     "q_dedup_substring"    -> DedupOps.qDedupSubstring _,
     "q_quality_linear"     -> TextOps.qQualityLinear _,
     "q_sample_stratified"  -> TextOps.qSampleStratified _,
+    "q_sample_importance"  -> TextOps.qSampleImportance _,
     "q_stream_join"        -> StreamOps.qStreamJoin _,
     "q_pack_shards"        -> PipelineOps.qPackShards _,
     "q_sketch_cms"         -> PipelineOps.qSketchCms _,

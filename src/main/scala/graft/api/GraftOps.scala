@@ -995,6 +995,75 @@ object GraftOps {
       .withColumn("keep", col("score") >= 0.5)
   }
 
+  /** Per-document DSIR importance scores (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): how
+    * target-like each document's hashed-unigram distribution is,
+    * log w(d) = Σ_tok [ln p̂(b) − ln q̂(b)] over the doc's hashed
+    * buckets, with p̂ fit on the `targetExpr` subset and q̂ on the
+    * whole corpus (Laplace-smoothed bag-of-buckets).
+    *
+    * Scale shape: ONE corpus pass fits BOTH distributions (the target
+    * count is a conditional agg of the same token stream; the shuffle
+    * carries ≤ `dim` keys after map-side partials), then the dim-row
+    * log-ratio model BROADCASTS to the scoring pass, whose per-doc
+    * agg partial-aggregates map-side. Two corpus scans total, no
+    * corpus-sized shuffle beyond the per-doc collapse. Log-ratios are
+    * snapped to a 1e-6 grid at the model side (dim rows, ONE ln each,
+    * single-ln spelling — the bigint cross-products are exact under
+    * 2^53) so the per-doc accumulation is an exact bigint sum,
+    * order-free across engines (the r13 quality-linear sf10 lesson
+    * applied at birth). */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       targetExpr: Column, dim: Int = 1024): DataFrame = {
+    val toks = widened(df, idCol)
+      .select(col(idCol), targetExpr.as("__tgt"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), col("__tgt"), expr(
+        s"cast(conv(substring(md5(tok),1,8),16,10) as bigint) % $dim")
+        .as("bucket"))
+    val counts = toks.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cq"),
+      sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("cp"))
+    val totals = counts.agg(sum(col("cq")).as("tq"), sum(col("cp")).as("tp"))
+    // never-seen buckets still get a (smoothed) log-ratio row
+    val model = df.sparkSession.range(dim.toLong)
+      .select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cq", "cp"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), expr(
+        s"cast(round(1000000.0 * ln(((cp + 1) * (tq + $dim)) / " +
+          s"(cast((cq + 1) * (tp + $dim) as double)))) as bigint)").as("lri"))
+    toks
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lri")).as("swi"))
+      .select(col(idCol), col("swi"),
+        // swi/1e6 is an EXACT 6-decimal, so ~1% of docs sit on the
+        // round-4 half boundary where Spark (shortest-decimal HALF_UP)
+        // and DuckDB (binary-double) disagree — round in integer space
+        expr("(case when swi < 0 then -1 else 1 end) * " +
+          "((abs(swi) + 50) div 100) / 1e4").as("logw"))
+  }
+
+  /** DSIR selection over [[importanceScores]]: gumbel-top-k — the
+    * paper's sampling-without-replacement ∝ softmax(log w), made
+    * deterministic (and oracle-expressible) by deriving the Gumbel(0,1)
+    * noise from md5(doc id): g = −ln(−ln(u)), u ∈ (0,1) on the md5
+    * 1e-6 grid. The global top-k is a TakeOrderedAndProject —
+    * per-partition heads only, no global sort at any corpus size. */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+                         targetExpr: Column, dim: Int = 1024,
+                         k: Int = 100): DataFrame =
+    importanceScores(df, idCol, textCol, targetExpr, dim)
+      .select(col(idCol), col("logw"),
+        round(expr(
+          "swi / 1e6 - ln(-ln(" +
+            s"(cast(conv(substring(md5(cast($idCol as string)),1,8),16,10)" +
+            " as bigint) % 1000000 + 0.5) / 1e6))"), 4).as("gscore"))
+      .orderBy(col("gscore").desc, col(idCol))
+      .limit(k)
+
   /** PII scrub of a text column: digit masking, identifier extraction,
     * and a stable irreversible md5 surrogate (pseudonymization). */
   def piiScrub(df: DataFrame, textCol: String): DataFrame =

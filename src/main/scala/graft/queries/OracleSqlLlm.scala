@@ -313,6 +313,46 @@ object OracleSqlLlm {
         |  round(1.0 / (1.0 + exp(-(swi / (1000.0 * n_tok)))), 4) >= 0.5 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // DSIR importance-resampling twin of GraftOps.importanceResample:
+    // hashed-unigram bucket distributions for target (lang='en') and
+    // raw corpus fit in one pass, Laplace-smoothed log-ratios snapped
+    // to the 1e-6 integer grid at the model side (single-ln spelling;
+    // the bigint cross-products are exact under 2^53) so the per-doc
+    // sum is an exact bigint — order-free across engines. Selection is
+    // gumbel-top-100 with md5-derived noise, ordered on the ROUNDED
+    // gscore + doc_id so the cutoff is a total order both engines agree
+    // on. logw rounds to 4 dp in INTEGER space ((|swi|+50)//100): the
+    // exact 6-decimal swi/1e6 sits on the round-4 half boundary for
+    // ~1% of docs, where Spark (shortest-decimal HALF_UP) and DuckDB
+    // (binary double) disagree — caught at sf0.01, doc 305.
+    "q_sample_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(concat('0x', substring(md5(tok),1,8)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+        |               unnest(string_split(text,' ')) AS tok
+        |        FROM documents) e),
+        |cnt AS (SELECT bucket, count(*) AS cq,
+        |               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cp
+        |        FROM toks GROUP BY bucket),
+        |tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM cnt),
+        |model AS (SELECT b.bucket,
+        |    CAST(round(1000000.0 * ln(((coalesce(cp,0) + 1) * (tq + 1024)) /
+        |      CAST((coalesce(cq,0) + 1) * (tp + 1024) AS DOUBLE)))
+        |      AS BIGINT) AS lri
+        |  FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+        |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot),
+        |sc AS (SELECT doc_id, sum(lri) AS swi
+        |       FROM toks JOIN model USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id,
+        |  (CASE WHEN swi < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(swi) + 50) // 100) / 10000.0 AS logw,
+        |  round(swi / 1000000.0 - ln(-ln(
+        |    (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,8))
+        |       AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 4) AS gscore
+        |FROM sc ORDER BY gscore DESC, doc_id LIMIT 100""".stripMargin,
+
     // Boilerplate scrub twin of GraftOps.removeBoilerplate: aligned
     // 10-token passages, doc-distinct counts BY md5-32 HASH (the
     // engine never shuffles passage strings; mirroring the hash keeps

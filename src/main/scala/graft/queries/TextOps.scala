@@ -518,4 +518,13 @@ object TextOps {
     graft.api.GraftOps.hashedLinearScore(
         Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** DSIR importance resampling toward the English subset: fit hashed
+    * bag-of-bucket models on target (lang='en') and raw corpus, score
+    * log w per doc, select gumbel-top-100. */
+  def qSampleImportance(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.importanceResample(
+        Tables.documents(spark, dir), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy(col("gscore").desc, col("doc_id"))
 }
