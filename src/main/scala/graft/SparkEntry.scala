@@ -182,6 +182,7 @@ object SparkEntry {
     "q_dedup_semantic_mp"  -> VectorOps.qDedupSemanticMp _,
     // round-10: ingestion-time near-dup detection (stream-static LSH)
     "q_stream_neardup"     -> StreamOps.qStreamNeardup _,
+    "q_stream_quality"     -> StreamOps.qStreamQuality _,
     // round-10: survivor selection (keep best copy per dup cluster)
     "q_dedup_keep"         -> DedupOps.qDedupKeep _,
     // round-13: production-geometry embedding near-dup (12×24, τ=0.85)

@@ -604,6 +604,11 @@ object OracleSqlLlm {
     // streamed pair set IS the batch q_dedup_minhash pair set
     "q_stream_neardup" -> dedup("q_dedup_minhash"),
 
+    // ingestion-time quality filter: the per-row fused dot product is
+    // the SAME exact bigint sum as the batch broadcast-join spelling,
+    // so the streamed scores ARE the batch q_quality_linear rows
+    "q_stream_quality" -> text("q_quality_linear"),
+
     // online IVF-cell assignment: the streamed partition audit must
     // equal the batch quantizer build — same unrolled-Lloyd oracle as
     // q_kmeans_build (assignment is the build's own argmin metric)

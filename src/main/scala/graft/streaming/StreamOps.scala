@@ -216,6 +216,48 @@ object StreamOps {
       .orderBy(col("n_shared").desc, col("doc_id"))
   }
 
+  /** DECLARED streaming key (r13, t2-verified): INGESTION-TIME
+    * QUALITY FILTERING — the streaming half of q_quality_linear.
+    * Each arriving document scores STATELESSLY per row: the hashed
+    * linear model's integer weight is a deterministic expression of
+    * the token, so the whole dot product fuses into one SQL
+    * `aggregate` lambda — no join, no shuffle, no state store, and
+    * APPEND mode (which would reject any stateful aggregation at
+    * analysis time — running at all is the statelessness proof).
+    * A trained model swaps the fused expression for a stream-static
+    * broadcast join against the (bucket, weight) table: equally
+    * stateless, same plan shape as qStreamAssign's model broadcast.
+    * The per-doc sum is the SAME exact bigint as the batch key's, so
+    * the oracle IS q_quality_linear's SQL. */
+  def qStreamQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sinkName = s"graft_stream_quality_${runSeq.incrementAndGet()}"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    // wi(tok) = md5-grid integer weight of tok's bucket — the same
+    // [-1000, 1000] grid hashedLinearScore broadcasts as a table
+    val wi = "cast(conv(substring(md5(cast(" +
+      "(cast(conv(substring(md5(t),1,8),16,10) as bigint) % 1024)" +
+      " as string)),1,8),16,10) as bigint) % 2001 - 1000"
+    val scored = stream.select(
+      col("doc_id"),
+      expr(s"aggregate(transform(split(text, ' '), t -> $wi), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)").as("swi"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("doc_id"),
+        round(expr("1.0 / (1.0 + exp(-(swi / (1000.0 * n_tok))))"), 4)
+          .as("score"),
+        col("n_tok"))
+      .withColumn("keep", col("score") >= 0.5)
+    runToMemorySink(spark, scored, sinkName, "append", partitions = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** DECLARED streaming key (r10, t2-verified): INGESTION-TIME
     * NEAR-DUP DETECTION — the streaming half of the MinHash+LSH
     * dedup. The static side is the batch corpus's signature table

@@ -151,6 +151,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamedSet === batchSet)
   }
 
+  test("streamed quality scores == the batch hashed-linear key, row for row") {
+    // The fused per-row lambda and the batch broadcast-join spelling
+    // must accumulate the SAME exact bigint — any drift (a different
+    // hash spelling, a double sneaking into the sum) breaks equality.
+    // Append mode itself pins statelessness: a stateful aggregation
+    // would be rejected at analysis time.
+    val streamed = StreamOps.qStreamQuality(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3))).toSet
+    val batch = queries.TextOps.qQualityLinear(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("end-to-end file sink: stream → parquet with checkpoint, exactly-once readback") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("sink").toFile.getAbsolutePath
