@@ -1115,6 +1115,59 @@ object GraftOps {
     prefixSum(df, idCol, tokCol)
       .withColumn("shard", expr(s"(cum - $tokCol) div $budget"))
 
+  /** Grouped prefix sum WITHOUT a per-group global sort: the grouped
+    * generalization of [[prefixSum]]. A plain
+    * `Window.partitionBy(grp).orderBy(ord)` puts each group in ONE
+    * partition — a 30 TB source becomes a single-task sort at corpus
+    * scale. Instead: range-partition on the COMPOSITE (grp, ord) key
+    * (a giant group spans many partitions, ranges globally ordered),
+    * cumsum per (partition, grp) locally in parallel, then add the
+    * per-(partition, grp) exclusive offsets — a partitions×groups-row
+    * frame that BROADCASTS. `ordCol` must be unique within a group
+    * (same ROWS-frame determinism argument as [[prefixSum]]); callers
+    * pass a composite tiebreak if not. */
+  def groupedPrefixSum(df: DataFrame, grpCol: String, ordCol: String,
+                       valCol: String, out: String = "cum"): DataFrame = {
+    val parted = df.repartitionByRange(col(grpCol), col(ordCol))
+    val local = parted.withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum",
+        sum(col(valCol)).over(Window.partitionBy(col("__pid"), col(grpCol))
+          .orderBy(col(ordCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy(col("__pid"), col(grpCol))
+      .agg(max(col("__lcum")).as("__pt"))
+      .withColumn("__off",
+        coalesce(sum(col("__pt")).over(
+          Window.partitionBy(col(grpCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(grpCol), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid", grpCol))
+      .withColumn(out, col("__lcum") + col("__off"))
+      .drop("__pid", "__lcum", "__off")
+  }
+
+  /** Data mixing (the Pile/Dolma-style step): give each source a
+    * token budget and keep, per source, a deterministic hash-shuffled
+    * prefix of documents until the budget fills — the greedy keep rule
+    * is [[packShards]]'s (a doc STARTING under budget is kept, so the
+    * realized mixture can overshoot by at most one doc per source).
+    * The per-source running total is a [[groupedPrefixSum]] over the
+    * md5 shuffle order — no per-source global sort, no driver-side
+    * bookkeeping; budgets arrive as any ≤#sources-row broadcastable
+    * frame (budgetCol joins on grpCol). Returns the kept rows with
+    * their running totals. */
+  def mixSources(df: DataFrame, idCol: String, grpCol: String,
+                 tokCol: String, budgets: DataFrame,
+                 budgetCol: String = "budget"): DataFrame = {
+    val ordered = df.withColumn("__h",
+      concat(md5(col(idCol).cast("string")),
+        lpad(col(idCol).cast("string"), 20, "0")))
+    groupedPrefixSum(ordered, grpCol, "__h", tokCol)
+      .join(broadcast(budgets), Seq(grpCol))
+      .filter(col("cum") - col(tokCol) < col(budgetCol))
+      .drop("__h")
+  }
+
   /** Count-min-sketch counter table over a token column: one row per
     * (hash row, bucket) — plain relational algebra (merge = sum),
     * deterministic via the fixed md5 bucket hash. Counters are

@@ -243,6 +243,18 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHash(exprs.head),
       "scala_udf")
 
+    // per-doc hashed-linear accumulator: 1-arg form = dim 1024
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_swi",
+      {
+        case Seq(e) => HashedLinearSwi(e)
+        case Seq(e, d) if d.foldable =>
+          HashedLinearSwi(e, d.eval().asInstanceOf[Number].intValue())
+        case exprs => throw new IllegalArgumentException(
+          s"graft_hashed_swi expects (text) or (text, dim literal), got ${exprs.size} args")
+      },
+      "scala_udf")
+
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cell_argmin",
       (exprs: Seq[Expression]) => CellArgmin(exprs(0), exprs(1)),

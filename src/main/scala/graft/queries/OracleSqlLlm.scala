@@ -144,6 +144,29 @@ object OracleSqlLlm {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // data-mixing twin of GraftOps.mixSources: one window per source
+    // is FINE here (DuckDB, small SFs) — the engine side replaces it
+    // with the grouped two-pass prefix sum so a giant source never
+    // becomes a single-task sort; both accumulate integer token
+    // counts over the same md5∥doc_id shuffle order, so the keep rule
+    // is exact on both sides
+    "q_mix_sources" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    concat(md5(CAST(doc_id AS VARCHAR)),
+        |           lpad(CAST(doc_id AS VARCHAR), 20, '0')) AS h
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t),
+        |b AS (SELECT *, CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+        |        THEN 4000 ELSE 2000 END AS budget FROM c)
+        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM b WHERE cum - n_tok < budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // same fixed bucket hash on both sides — the depth rows are the 4
     // disjoint 8-hex-char slices of one md5; a CMS is deterministic
     // relational algebra, unlike randomized sketches

@@ -37,6 +37,26 @@ object PipelineOps {
       .orderBy(col("shard"))
   }
 
+  /** Data mixing: per-source token budgets (even-indexed sources get
+    * 2× the odd ones — a deterministic stand-in for the tuned mixture
+    * weights a real run supplies), filled from a deterministic md5
+    * shuffle order via GraftOps.mixSources. Emits the per-source
+    * realized mixture. */
+  def qMixSources(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val budgets = d.select(col("source")).distinct()
+      .withColumn("budget",
+        when(expr("cast(substring(source, 4) as int) % 2 = 0"), lit(4000L))
+          .otherwise(lit(2000L)))
+    graft.api.GraftOps.mixSources(d, "doc_id", "source", "n_tok", budgets)
+      .groupBy(col("source"))
+      .agg(max(col("budget")).as("budget"), count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Count-min sketch depth (independent hash rows) and width
     * (counters per row). Width 16 on a ~31-token vocabulary forces
     * collisions, so the fixture actually exercises the min-over-rows

@@ -239,15 +239,15 @@ object StreamOps {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-    // wi(tok) = md5-grid integer weight of tok's bucket — the same
-    // [-1000, 1000] grid hashedLinearScore broadcasts as a table
-    val wi = "cast(conv(substring(md5(cast(" +
-      "(cast(conv(substring(md5(t),1,8),16,10) as bigint) % 1024)" +
-      " as string)),1,8),16,10) as bigint) % 2001 - 1000"
+    // one codegen'd expression per row: the interpreted SQL lambda
+    // spelling (two md5s per token through the higher-order-function
+    // path) measured 41 s at sf10 vs 11.9 s for graft_hashed_swi
+    // (the rest is replay + sink floor, SCALE.md §stream quality) —
+    // QualityLinearSpec pins expression ≡ lambda on both eval paths
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
     val scored = stream.select(
       col("doc_id"),
-      expr(s"aggregate(transform(split(text, ' '), t -> $wi), " +
-        "cast(0 as bigint), (acc, x) -> acc + x)").as("swi"),
+      expr("graft_hashed_swi(text)").as("swi"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
       .select(col("doc_id"),
         round(expr("1.0 / (1.0 + exp(-(swi / (1000.0 * n_tok))))"), 4)

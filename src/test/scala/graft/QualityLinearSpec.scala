@@ -65,4 +65,27 @@ class QualityLinearSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(1L) > 0.6 && out(2L) < 0.4)
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
+
+  test("graft_hashed_swi ≡ the SQL lambda spelling AND the batch join sum (both eval paths)") {
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    // per-token integer weight, spelled as the interpreted SQL lambda
+    val wi = "cast(conv(substring(md5(cast(" +
+      "(cast(conv(substring(md5(t),1,8),16,10) as bigint) % 1024)" +
+      " as string)),1,8),16,10) as bigint) % 2001 - 1000"
+    val rows = docs.select(
+      col("doc_id"), col("text"),
+      expr("graft_hashed_swi(text)").as("fast"),
+      expr(s"aggregate(transform(split(text, ' '), t -> $wi), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)").as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"doc ${r.getLong(0)}: expression ${r.getLong(2)} != lambda ${r.getLong(3)}"))
+    // interpreted path must agree with the codegen'd one
+    rows.take(200).foreach { r =>
+      val interp = graft.catalyst.HashedLinearSwi.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)), 1024)
+      assert(interp == r.getLong(2), s"doc ${r.getLong(0)}: interpreted != codegen")
+    }
+  }
 }
