@@ -115,6 +115,7 @@ object SparkEntry {
     "q_stream_join"        -> StreamOps.qStreamJoin _,
     "q_pack_shards"        -> PipelineOps.qPackShards _,
     "q_mix_sources"        -> PipelineOps.qMixSources _,
+    "q_pack_sequences"     -> PipelineOps.qPackSequences _,
     "q_sketch_cms"         -> PipelineOps.qSketchCms _,
     "q_bucket_join"        -> Layout.qBucketJoin _,
     "q_skew_salted"        -> Aggs.qSkewSalted _,

@@ -1168,6 +1168,32 @@ object GraftOps {
       .drop("__h")
   }
 
+  /** Fixed-length training-sequence packing (the GPT-style loader
+    * shape): the corpus token stream — documents concatenated in
+    * `idCol` order — is cut every `budget` tokens, documents SPLITTING
+    * across sequence boundaries (contrast [[packShards]], which keeps
+    * documents whole). Each document's global token range
+    * [cum − n_tok, cum) is computed by the two-pass [[prefixSum]] (no
+    * global window), then the doc explodes into one row per sequence
+    * it touches — ≤ n_tok/budget + 1 spans, bounded per doc — with
+    * exact integer span arithmetic. Returns the (sequence, doc) span
+    * manifest a loader needs: where in the sequence each doc fragment
+    * sits and how many tokens it contributes. */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+                    budget: Long): DataFrame =
+    prefixSum(df, idCol, tokCol)
+      .withColumn("__st", col("cum") - col(tokCol))
+      .select(col(idCol), col(tokCol), col("__st"), col("cum"),
+        explode(expr(s"sequence(__st div $budget, (cum - 1) div $budget)"))
+          .as("seq_id"))
+      .withColumn("span_toks",
+        least(col("cum"), (col("seq_id") + 1) * budget) -
+          greatest(col("__st"), col("seq_id") * budget))
+      .withColumn("span_start",
+        greatest(col("__st"), col("seq_id") * budget) -
+          col("seq_id") * budget)
+      .drop("__st", "cum")
+
   /** Count-min-sketch counter table over a token column: one row per
     * (hash row, bucket) — plain relational algebra (merge = sum),
     * deterministic via the fixed md5 bucket hash. Counters are

@@ -144,6 +144,28 @@ object OracleSqlLlm {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // sequence-packing twin of GraftOps.packSequences: the single
+    // global window is FINE in DuckDB at fixture scale — the engine
+    // side is the two-pass prefix sum; span arithmetic is integer on
+    // both sides. range() is end-exclusive, hence the (cum-1)//B + 1.
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t),
+        |s AS (SELECT doc_id, cum - n_tok AS st, cum,
+        |        unnest(range(CAST((cum - n_tok) // 256 AS BIGINT),
+        |                     CAST((cum - 1) // 256 + 1 AS BIGINT)))
+        |          AS seq_id
+        |      FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(cum, (seq_id + 1) * 256) -
+        |           greatest(st, seq_id * 256)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
     // data-mixing twin of GraftOps.mixSources: one window per source
     // is FINE here (DuckDB, small SFs) — the engine side replaces it
     // with the grouped two-pass prefix sum so a giant source never

@@ -37,6 +37,19 @@ object PipelineOps {
       .orderBy(col("shard"))
   }
 
+  /** Sequence packing at a 256-token context: the per-sequence doc
+    * manifest summary. Every sequence is exactly full except the
+    * last (PackSequencesSpec pins it). */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    graft.api.GraftOps.packSequences(d, "doc_id", "n_tok", 256L)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("span_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
   /** Data mixing: per-source token budgets (even-indexed sources get
     * 2× the odd ones — a deterministic stand-in for the tuned mixture
     * weights a real run supplies), filled from a deterministic md5

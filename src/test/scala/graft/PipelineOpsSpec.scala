@@ -35,6 +35,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: every sequence exactly full except the last; spans conserve tokens") {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val spans = graft.api.GraftOps.packSequences(d, "doc_id", "n_tok", 256L).cache()
+    // per-sequence totals: exactly 256 everywhere but the last cut
+    val seqs = spans.groupBy("seq_id").agg(sum("span_toks").as("n"))
+      .orderBy("seq_id").collect()
+    assert(seqs.length > 1, "fixture should need multiple sequences")
+    seqs.dropRight(1).foreach(r =>
+      assert(r.getLong(1) == 256L, s"seq ${r.getLong(0)} not full: ${r.getLong(1)}"))
+    assert(seqs.last.getLong(1) <= 256L)
+    // conservation: each doc's spans sum back to its token count
+    val bad = spans.groupBy("doc_id").agg(sum("span_toks").as("got"))
+      .join(d, "doc_id").filter(col("got") =!= col("n_tok"))
+    assert(bad.count() == 0, "doc spans must conserve token counts")
+    // span geometry: offsets within [0, 256), lengths positive
+    assert(spans.filter(col("span_start") < 0 || col("span_start") >= 256 ||
+      col("span_toks") <= 0).count() == 0)
+    spans.unpersist()
+  }
+
   test("CMS estimate is always >= exact and within the N/width error bound") {
     val total = Tables.documents(spark, sf)
       .select(size(split(col("text"), " ")).cast("long").as("n"))
