@@ -1009,8 +1009,12 @@ object GraftOps {
     * agg partial-aggregates map-side. Two corpus scans total, no
     * corpus-sized shuffle beyond the per-doc collapse. Log-ratios are
     * snapped to a 1e-6 grid at the model side (dim rows, ONE ln each,
-    * single-ln spelling — the bigint cross-products are exact under
-    * 2^53) so the per-doc accumulation is an exact bigint sum,
+    * single-ln spelling; each factor converts to double BEFORE the
+    * multiply — a bigint cross-product would wrap int64 near 1e11
+    * corpus tokens, while the double product is overflow-free and
+    * exact until individual counts pass 2^53, beyond which its
+    * ≤2^-52 relative error is far under the 1e-6 grid) so the
+    * per-doc accumulation is an exact bigint sum,
     * order-free across engines (the r13 quality-linear sf10 lesson
     * applied at birth). */
   def importanceScores(df: DataFrame, idCol: String, textCol: String,
@@ -1032,8 +1036,8 @@ object GraftOps {
       .na.fill(0L, Seq("cq", "cp"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"), expr(
-        s"cast(round(1000000.0 * ln(((cp + 1) * (tq + $dim)) / " +
-          s"(cast((cq + 1) * (tp + $dim) as double)))) as bigint)").as("lri"))
+        s"cast(round(1000000.0 * ln((cast(cp + 1 as double) * cast(tq + $dim as double)) / " +
+          s"(cast(cq + 1 as double) * cast(tp + $dim as double)))) as bigint)").as("lri"))
     toks
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol))
@@ -1090,7 +1094,17 @@ object GraftOps {
     * the ROWS frame makes each row its own step (the default RANGE
     * frame would lump order-key peers into one cumulative value), but
     * with duplicate keys the per-row order among peers — and hence
-    * each peer's cum — would be nondeterministic. */
+    * each peer's cum — would be nondeterministic.
+    *
+    * Known dependency (r13 self-review): the offsets branch and the
+    * main branch re-traverse the range exchange as two plan subtrees,
+    * and range boundaries are SAMPLED — the spelling relies on both
+    * executions landing identical boundaries, which has held across
+    * every five-SF hash sweep since r8 (q_pack_shards/_sequences) but
+    * is not guaranteed by contract. [[groupedPrefixSum]] avoids the
+    * dependency entirely with deterministic key-prefix blocks; this
+    * method keeps the range spelling because its order key is an
+    * arbitrary long with no uniformity contract to block on. */
   def prefixSum(df: DataFrame, idCol: String, tokCol: String,
                 out: String = "cum"): DataFrame = {
     val parted = df.repartitionByRange(col(idCol))
@@ -1119,31 +1133,50 @@ object GraftOps {
     * generalization of [[prefixSum]]. A plain
     * `Window.partitionBy(grp).orderBy(ord)` puts each group in ONE
     * partition — a 30 TB source becomes a single-task sort at corpus
-    * scale. Instead: range-partition on the COMPOSITE (grp, ord) key
-    * (a giant group spans many partitions, ranges globally ordered),
-    * cumsum per (partition, grp) locally in parallel, then add the
-    * per-(partition, grp) exclusive offsets — a partitions×groups-row
-    * frame that BROADCASTS. `ordCol` must be unique within a group
-    * (same ROWS-frame determinism argument as [[prefixSum]]); callers
-    * pass a composite tiebreak if not. */
+    * scale. Instead rows block by a DETERMINISTIC order-aligned slice
+    * of the key itself — the leading 4 hex chars of `ordCol` cut the
+    * key space into shuffle-partition-count contiguous ranges — then
+    * cumsum per (block, grp) locally in parallel and add the
+    * per-(block, grp) exclusive offsets, a blocks×groups-row frame
+    * that BROADCASTS.
+    *
+    * Why prefix blocks and not `repartitionByRange`: the offsets
+    * branch and the main branch traverse the blocked frame as TWO plan
+    * subtrees (column pruning differentiates them, so AQE stage reuse
+    * cannot unify the exchanges — r13 self-review, plan-verified), and
+    * a range exchange SAMPLES its boundaries per execution; two
+    * independently sampled boundary sets would assign boundary rows to
+    * different partitions on the two sides and silently corrupt the
+    * join. A key-derived block is identical on every traversal by
+    * construction — correctness cannot depend on exchange reuse.
+    * Contract: `ordCol` is a hex-prefixed string key (md5-style —
+    * every in-repo caller's shuffle key), so blocks are uniform; a
+    * skewed key distribution degrades parallelism, never correctness.
+    * `ordCol` must be unique within a group (same ROWS-frame
+    * determinism argument as [[prefixSum]]); callers pass a composite
+    * tiebreak if not. */
   def groupedPrefixSum(df: DataFrame, grpCol: String, ordCol: String,
                        valCol: String, out: String = "cum"): DataFrame = {
-    val parted = df.repartitionByRange(col(grpCol), col(ordCol))
-    val local = parted.withColumn("__pid", spark_partition_id())
+    val nb = df.sparkSession.sessionState.conf.numShufflePartitions
+    // monotone in the string order of a lowercase-hex prefix, so
+    // block boundaries align with the within-block sort order
+    val local = df.withColumn("__blk",
+      (expr(s"cast(conv(substring($ordCol, 1, 4), 16, 10) as int)")
+        * nb / 65536).cast("int"))
       .withColumn("__lcum",
-        sum(col(valCol)).over(Window.partitionBy(col("__pid"), col(grpCol))
+        sum(col(valCol)).over(Window.partitionBy(col("__blk"), col(grpCol))
           .orderBy(col(ordCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy(col("__pid"), col(grpCol))
+    val offsets = local.groupBy(col("__blk"), col(grpCol))
       .agg(max(col("__lcum")).as("__pt"))
       .withColumn("__off",
         coalesce(sum(col("__pt")).over(
-          Window.partitionBy(col(grpCol)).orderBy(col("__pid"))
+          Window.partitionBy(col(grpCol)).orderBy(col("__blk"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col(grpCol), col("__off"))
-    local.join(broadcast(offsets), Seq("__pid", grpCol))
+      .select(col("__blk"), col(grpCol), col("__off"))
+    local.join(broadcast(offsets), Seq("__blk", grpCol))
       .withColumn(out, col("__lcum") + col("__off"))
-      .drop("__pid", "__lcum", "__off")
+      .drop("__blk", "__lcum", "__off")
   }
 
   /** Data mixing (the Pile/Dolma-style step): give each source a
@@ -1183,6 +1216,11 @@ object GraftOps {
                     budget: Long): DataFrame =
     prefixSum(df, idCol, tokCol)
       .withColumn("__st", col("cum") - col(tokCol))
+      // zero-token docs own no span — without the guard Spark's
+      // sequence() DESCENDS on start > stop (the sharedSpans trap) and
+      // would emit phantom zero-width spans the DuckDB twin (an
+      // end-exclusive range) never produces (r13 self-review)
+      .filter(col(tokCol) > 0)
       .select(col(idCol), col(tokCol), col("__st"), col("cum"),
         explode(expr(s"sequence(__st div $budget, (cum - 1) div $budget)"))
           .as("seq_id"))

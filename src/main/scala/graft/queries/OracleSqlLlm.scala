@@ -10,6 +10,30 @@ package graft.queries
   */
 object OracleSqlLlm {
 
+
+  /** Shared ExactSubstr span-detection CTE chain (w/shared/m/b/i) over
+    * a prior CTE `src` holding (doc_id, t) with len(t) >= 20 —
+    * single-sourced so the q_dedup_substring and q_scrub_substring
+    * oracles cannot drift apart (the r12 ContainmentDecomp re-spelling
+    * lesson applied to oracle SQL; r13 self-review). */
+  private def spanCtes(src: String): String =
+    s"""w AS (SELECT doc_id, s,
+       |        CAST(concat('0x', substring(md5(
+       |          array_to_string(t[s:s+19], ' ')),1,8)) AS BIGINT) AS h
+       |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-20+2)) AS s
+       |            FROM $src) e),
+       |shared AS (SELECT h FROM w GROUP BY h
+       |           HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (SELECT doc_id, s FROM w SEMI JOIN shared USING(h)),
+       |b AS (SELECT doc_id, s,
+       |        CASE WHEN s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+       |                      + 20 THEN 1 ELSE 0 END AS brk
+       |      FROM m),
+       |i AS (SELECT doc_id, s,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |                       ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM b)""".stripMargin
+
   val text: Map[String, String] = Map(
     // BM25: per-term fragments generated so the three terms cannot
     // drift from the Spark side's list; constants are the literals
@@ -265,29 +289,14 @@ object OracleSqlLlm {
     // merged per doc by the same lag/sum gaps-and-islands CASE (NULL
     // lag on a doc's first window falls to ELSE 0 in both engines).
     "q_dedup_substring" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+      ("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t
         |           FROM documents WHERE len(string_split(text,' ')) >= 20),
-        |w AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substring(md5(
-        |          array_to_string(t[s:s+19], ' ')),1,8)) AS BIGINT) AS h
-        |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-20+2)) AS s
-        |            FROM d) e),
-        |shared AS (SELECT h FROM w GROUP BY h
-        |           HAVING count(DISTINCT doc_id) >= 2),
-        |m AS (SELECT doc_id, s FROM w SEMI JOIN shared USING(h)),
-        |b AS (SELECT doc_id, s,
-        |        CASE WHEN s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
-        |                      + 20 THEN 1 ELSE 0 END AS brk
-        |      FROM m),
-        |i AS (SELECT doc_id, s,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-        |                       ROWS UNBOUNDED PRECEDING) AS isl
-        |      FROM b)
+        |""".stripMargin + spanCtes("d") + """
         |SELECT doc_id, min(s) AS span_start,
         |  max(s) - min(s) + 20 AS span_toks,
         |  count(*) AS n_windows
         |FROM i GROUP BY doc_id, isl
-        |ORDER BY doc_id, span_start""".stripMargin,
+        |ORDER BY doc_id, span_start""".stripMargin),
 
     // Removal twin of GraftOps.scrubSharedSpans: the q_dedup_substring
     // span chain (same hash, same islands merge), spans listed per doc
@@ -296,24 +305,9 @@ object OracleSqlLlm {
     // evaluates (exists ↔ len(list_filter) = 0); span-free and
     // sub-width docs coalesce to an empty span list and pass through.
     "q_scrub_substring" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      ("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 20),
-        |w AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substring(md5(
-        |          array_to_string(t[s:s+19], ' ')),1,8)) AS BIGINT) AS h
-        |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-20+2)) AS s
-        |            FROM dd) e),
-        |shared AS (SELECT h FROM w GROUP BY h
-        |           HAVING count(DISTINCT doc_id) >= 2),
-        |m AS (SELECT doc_id, s FROM w SEMI JOIN shared USING(h)),
-        |b AS (SELECT doc_id, s,
-        |        CASE WHEN s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
-        |                      + 20 THEN 1 ELSE 0 END AS brk
-        |      FROM m),
-        |i AS (SELECT doc_id, s,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-        |                       ROWS UNBOUNDED PRECEDING) AS isl
-        |      FROM b),
+        |""".stripMargin + spanCtes("dd") + """,
         |spans AS (SELECT doc_id, min(s) AS a,
         |        min(s) + (max(s) - min(s) + 20) - 1 AS bb
         |      FROM i GROUP BY doc_id, isl),
@@ -330,7 +324,7 @@ object OracleSqlLlm {
         |  coalesce(array_to_string(list_transform(keep, p -> t[p]), ' '), '')
         |    AS clean_text,
         |  len(t) AS n_tokens, len(t) - len(keep) AS n_removed
-        |FROM k ORDER BY doc_id""".stripMargin,
+        |FROM k ORDER BY doc_id""".stripMargin),
 
     // Hashed-linear scorer twin of GraftOps.hashedLinearScore: tokens
     // hash md5-32 mod 1024, the weight of bucket b is a deterministic
@@ -362,8 +356,9 @@ object OracleSqlLlm {
     // hashed-unigram bucket distributions for target (lang='en') and
     // raw corpus fit in one pass, Laplace-smoothed log-ratios snapped
     // to the 1e-6 integer grid at the model side (single-ln spelling;
-    // the bigint cross-products are exact under 2^53) so the per-doc
-    // sum is an exact bigint — order-free across engines. Selection is
+    // factors convert to double BEFORE multiplying — a bigint
+    // cross-product would wrap int64 near 1e11 corpus tokens) so the
+    // per-doc sum is an exact bigint — order-free across engines. Selection is
     // gumbel-top-100 with md5-derived noise, ordered on the ROUNDED
     // gscore + doc_id so the cutoff is a total order both engines agree
     // on. logw rounds to 4 dp in INTEGER space ((|swi|+50)//100): the
@@ -383,8 +378,9 @@ object OracleSqlLlm {
         |        FROM toks GROUP BY bucket),
         |tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM cnt),
         |model AS (SELECT b.bucket,
-        |    CAST(round(1000000.0 * ln(((coalesce(cp,0) + 1) * (tq + 1024)) /
-        |      CAST((coalesce(cq,0) + 1) * (tp + 1024) AS DOUBLE)))
+        |    CAST(round(1000000.0 * ln(
+        |      (CAST(coalesce(cp,0) + 1 AS DOUBLE) * CAST(tq + 1024 AS DOUBLE)) /
+        |      (CAST(coalesce(cq,0) + 1 AS DOUBLE) * CAST(tp + 1024 AS DOUBLE))))
         |      AS BIGINT) AS lri
         |  FROM (SELECT unnest(range(0, 1024)) AS bucket) b
         |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot),

@@ -245,7 +245,11 @@ object StreamOps {
     // (the rest is replay + sink floor, SCALE.md §stream quality) —
     // QualityLinearSpec pins expression ≡ lambda on both eval paths
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
-    val scored = stream.select(
+    // null text: the batch key's explode(split(text)) DROPS the doc
+    // and the oracle's unnest emits no row — null-propagating the
+    // expression would instead emit a null-score row and break the
+    // stream ≡ batch ≡ oracle equality (r13 self-review)
+    val scored = stream.filter(col("text").isNotNull).select(
       col("doc_id"),
       expr("graft_hashed_swi(text)").as("swi"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))

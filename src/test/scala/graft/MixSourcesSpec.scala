@@ -37,17 +37,20 @@ class MixSourcesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("plan: composite range partitioning + broadcast offsets — no per-group sort") {
+  test("plan: NO sampled range exchange anywhere + broadcast offsets — no per-group sort") {
+    // determinism by construction: blocks derive from the key prefix,
+    // so the plan must contain ZERO RangePartitioning exchanges — a
+    // sampled boundary set traversed by two un-reused subtrees (the
+    // offsets branch and the main branch) could disagree per execution
+    // (r13 self-review)
     val plan = GraftOps.groupedPrefixSum(base, "source", "h", "n_tok")
       .queryExecution.executedPlan
     val range = collectWithSubqueries(plan) {
       case s: ShuffleExchangeLike
-        if s.outputPartitioning.isInstanceOf[RangePartitioning] &&
-          s.outputPartitioning.asInstanceOf[RangePartitioning]
-            .ordering.size == 2 => s
+        if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
     }
-    assert(range.nonEmpty,
-      "expected a range exchange on (grp, ord), got:\n" + plan)
+    assert(range.isEmpty,
+      "no sampled range exchange may appear, got:\n" + plan)
     val bc = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
     assert(bc.nonEmpty, "offsets must broadcast, got:\n" + plan)
   }

@@ -85,8 +85,8 @@ class SampleImportanceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val lri = spark.range(1024).select($"id".as("bucket"))
       .join(counts, Seq("bucket"), "left").na.fill(0L, Seq("cq", "cp"))
       .select($"bucket", expr(
-        s"cast(round(1000000.0 * ln(((cp + 1) * (${tq} + 1024)) / " +
-          s"(cast((cq + 1) * (${tp} + 1024) as double)))) as bigint)")
+        s"cast(round(1000000.0 * ln((cast(cp + 1 as double) * cast(${tq} + 1024 as double)) / " +
+          s"(cast(cq + 1 as double) * cast(${tp} + 1024 as double)))) as bigint)")
         .as("lri"))
       .as[(Long, Long)].collect().toMap
     val want = toks.filter($"doc_id" === docId)
