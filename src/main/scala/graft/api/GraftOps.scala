@@ -1011,9 +1011,10 @@ object GraftOps {
     * snapped to a 1e-6 grid at the model side (dim rows, ONE ln each,
     * single-ln spelling; each factor converts to double BEFORE the
     * multiply — a bigint cross-product would wrap int64 near 1e11
-    * corpus tokens, while the double product is overflow-free and
-    * exact until individual counts pass 2^53, beyond which its
-    * ≤2^-52 relative error is far under the 1e-6 grid) so the
+    * corpus tokens, while the double product is overflow-free, and
+    * both engines compute the identical correctly-rounded double from
+    * the identical spelling, whose ≤~2^-52 relative error perturbs
+    * 1e6·ln(x) by ~1e-10 — far under the grid) so the
     * per-doc accumulation is an exact bigint sum,
     * order-free across engines (the r13 quality-linear sf10 lesson
     * applied at birth). */
@@ -1087,39 +1088,49 @@ object GraftOps {
   }
 
   /** Exact global prefix sum of `tokCol` in `idCol` order WITHOUT a
-    * single-partition global window: range-partition on the order key,
-    * per-partition window cumsum (parallel), broadcast per-partition
-    * offsets. The result is layout-independent (PipelineOpsSpec proves
-    * equality with the naive global window). `idCol` must be UNIQUE:
-    * the ROWS frame makes each row its own step (the default RANGE
-    * frame would lump order-key peers into one cumulative value), but
-    * with duplicate keys the per-row order among peers — and hence
-    * each peer's cum — would be nondeterministic.
+    * single-partition global window: rows block by a DETERMINISTIC
+    * value-range slice of the (numeric) order key — step = key span
+    * div blocks + 1 from a broadcast min/max scalar — then cumsum per
+    * block locally in parallel and add broadcast exclusive offsets.
+    * The result is layout-independent (PipelineOpsSpec proves equality
+    * with the naive global window). `idCol` must be UNIQUE: the ROWS
+    * frame makes each row its own step (the default RANGE frame would
+    * lump order-key peers into one cumulative value), but with
+    * duplicate keys the per-row order among peers — and hence each
+    * peer's cum — would be nondeterministic.
     *
-    * Known dependency (r13 self-review): the offsets branch and the
-    * main branch re-traverse the range exchange as two plan subtrees,
-    * and range boundaries are SAMPLED — the spelling relies on both
-    * executions landing identical boundaries, which has held across
-    * every five-SF hash sweep since r8 (q_pack_shards/_sequences) but
-    * is not guaranteed by contract. [[groupedPrefixSum]] avoids the
-    * dependency entirely with deterministic key-prefix blocks; this
-    * method keeps the range spelling because its order key is an
-    * arbitrary long with no uniformity contract to block on. */
+    * Why value blocks and not `repartitionByRange` (r13 self-review,
+    * second pass): the offsets branch and the main branch traverse the
+    * blocking as two un-reused plan subtrees, and a range exchange
+    * SAMPLES its boundaries per execution — two independently sampled
+    * boundary sets could assign a boundary row different partitions on
+    * the two sides and silently corrupt the join.  min/max are EXACT
+    * aggregates, so every traversal derives the identical step and the
+    * identical block for every row, by construction — the same cure
+    * [[groupedPrefixSum]] applies with key-prefix blocks. A skewed id
+    * distribution degrades block balance (parallelism), never
+    * correctness; ids spanning more than 2^63 would overflow the span
+    * subtraction (no practical id column does). */
   def prefixSum(df: DataFrame, idCol: String, tokCol: String,
                 out: String = "cum"): DataFrame = {
-    val parted = df.repartitionByRange(col(idCol))
-    val local = parted.withColumn("__pid", spark_partition_id())
+    val nb = df.sparkSession.sessionState.conf.numShufflePartitions
+    val mm = df.agg(min(col(idCol)).cast("long").as("__mn"),
+      max(col(idCol)).cast("long").as("__mx"))
+    val local = df.crossJoin(broadcast(mm))
+      .withColumn("__blk", expr(
+        s"cast((cast($idCol as bigint) - __mn) div ((__mx - __mn) div $nb + 1) as int)"))
+      .drop("__mn", "__mx")
       .withColumn("__lcum",
-        sum(col(tokCol)).over(Window.partitionBy(col("__pid")).orderBy(col(idCol))
+        sum(col(tokCol)).over(Window.partitionBy(col("__blk")).orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy(col("__pid")).agg(max(col("__lcum")).as("__pt"))
+    val offsets = local.groupBy(col("__blk")).agg(max(col("__lcum")).as("__pt"))
       .withColumn("__off",
         coalesce(sum(col("__pt")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
+          Window.orderBy(col("__blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__blk"), col("__off"))
+    local.join(broadcast(offsets), "__blk")
       .withColumn(out, col("__lcum") + col("__off"))
-      .drop("__pid", "__lcum", "__off")
+      .drop("__blk", "__lcum", "__off")
   }
 
   /** Greedy sequential shard assignment: `shard = tokens-before div
@@ -1153,16 +1164,18 @@ object GraftOps {
     * every in-repo caller's shuffle key), so blocks are uniform; a
     * skewed key distribution degrades parallelism, never correctness.
     * `ordCol` must be unique within a group (same ROWS-frame
-    * determinism argument as [[prefixSum]]); callers pass a composite
-    * tiebreak if not. */
+    * determinism argument as [[prefixSum]]) and NON-NULL: a null key
+    * has no block (the inner offsets join would drop the row), and a
+    * null has no place in a total order anyway — hash-derive the key
+    * from a non-null column as every in-repo caller does. */
   def groupedPrefixSum(df: DataFrame, grpCol: String, ordCol: String,
                        valCol: String, out: String = "cum"): DataFrame = {
     val nb = df.sparkSession.sessionState.conf.numShufflePartitions
     // monotone in the string order of a lowercase-hex prefix, so
     // block boundaries align with the within-block sort order
     val local = df.withColumn("__blk",
-      (expr(s"cast(conv(substring($ordCol, 1, 4), 16, 10) as int)")
-        * nb / 65536).cast("int"))
+      (expr(s"cast(conv(substring($ordCol, 1, 4), 16, 10) as bigint)")
+        * nb / 65536L).cast("int"))
       .withColumn("__lcum",
         sum(col(valCol)).over(Window.partitionBy(col("__blk"), col(grpCol))
           .orderBy(col(ordCol))

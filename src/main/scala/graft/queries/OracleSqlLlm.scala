@@ -357,7 +357,10 @@ object OracleSqlLlm {
     // raw corpus fit in one pass, Laplace-smoothed log-ratios snapped
     // to the 1e-6 integer grid at the model side (single-ln spelling;
     // factors convert to double BEFORE multiplying — a bigint
-    // cross-product would wrap int64 near 1e11 corpus tokens) so the
+    // cross-product would wrap int64 near 1e11 corpus tokens; both
+    // engines round the identical IEEE product identically, and its
+    // ≤~2^-52 relative error moves 1e6·ln(x) by ~1e-10, far under
+    // the grid) so the
     // per-doc sum is an exact bigint — order-free across engines. Selection is
     // gumbel-top-100 with md5-derived noise, ordered on the ROUNDED
     // gscore + doc_id so the cutoff is a total order both engines agree

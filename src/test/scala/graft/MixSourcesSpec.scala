@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
 /** Data-mixing properties the oracle can't see: the grouped prefix
   * sum equals the naive per-group global window at any input layout
   * (so no per-group single-partition sort is ever needed), the plan
-  * range-partitions on the composite key and broadcasts the offsets,
-  * and the greedy keep rule fills each source's budget with at most
-  * one overshooting document. */
+  * blocks on a deterministic key-prefix slice — ZERO sampled range
+  * exchanges — and broadcasts the offsets, and the greedy keep rule
+  * fills each source's budget with at most one overshooting
+  * document. */
 class MixSourcesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   import spark.implicits._

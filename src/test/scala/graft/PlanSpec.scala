@@ -261,9 +261,10 @@ class PlanSpec extends SparkSpec {
 
   test("q_pack_shards' corpus window is per-partition, not a single global partition") {
     val p = planOf(queries.PipelineOps.qPackShards(spark, sf))
-    // the running sum over the corpus must be partitioned by __pid;
-    // only the tiny per-partition offsets frame gets a global window
-    assert(p.contains("windowspecdefinition(__pid"),
+    // the running sum over the corpus must be partitioned by the
+    // deterministic value-range block; only the tiny per-block offsets
+    // frame gets a global window
+    assert(p.contains("windowspecdefinition(__blk"),
       s"two-pass prefix sum lost its partitioned window:\n$p")
   }
 
