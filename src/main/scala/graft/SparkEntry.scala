@@ -124,6 +124,7 @@ object SparkEntry {
     "q_json_roundtrip"     -> Layout.qJsonRoundtrip _,
     // LLM-pipeline dedup (north star)
     "q_dedup_minhash"      -> DedupOps.qDedupMinhash _,
+    "q_dedup_incremental"  -> DedupOps.qDedupIncremental _,
     "q_dedup_clusters"     -> DedupOps.qDedupClusters _,
     "q_dedup_simhash"      -> DedupOps.qDedupSimhash _,
     "q_dedup_ngram_jaccard" -> DedupOps.qDedupNgramJaccard _,

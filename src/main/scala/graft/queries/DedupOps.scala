@@ -71,6 +71,28 @@ object DedupOps {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     qDedupMinhashCapped(spark, dir, MaxBandBucket)
 
+  /** INCREMENTAL batch dedup — the third production deployment shape
+    * next to the full batch key and the per-row streaming key: a new
+    * shard (here the deterministic slice doc_id % 10 = 0) dedups
+    * against the existing corpus index WITHOUT re-running
+    * corpus × corpus. Only increment bands join the base band index —
+    * candidate volume is linear in the INCREMENT, and at 100 TB the
+    * base side is the persisted 4-longs/doc signature table, not the
+    * corpus. Cap guards evaluate on the FULL population (base +
+    * increment, exactly as re-running the batch key would), so the
+    * emitted pair set IS the batch pair set restricted to cross
+    * pairs — which is what the oracle asserts, and what
+    * `IncrementalDedupSpec` pins as set algebra: cross(batch) ==
+    * incremental, and incremental ∪ batch(base-only) == batch. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashSignatures(Tables.documents(spark, dir))
+    val inc = mh.filter(col("doc_id") % 10 === 0)
+    val base = mh.filter(col("doc_id") % 10 =!= 0)
+    minhashPairsBetween(inc, base, mh, MaxBandBucket, selfJoin = false)
+      .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
   private[graft] def qDedupMinhashCapped(
       spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame =
     minhashPairs(spark, dir, maxBandBucket)
@@ -113,32 +135,48 @@ object DedupOps {
   private[graft] def minhashPairs(
       spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
     val mh = minhashSignatures(Tables.documents(spark, dir))
+    minhashPairsBetween(mh, mh, mh, maxBandBucket, selfJoin = true)
+  }
 
+  /** Band-join candidate pairs between an `aSigs` and a `bSigs` side,
+    * with the over-cap guards evaluated on `allSigs` — the FULL
+    * population, so a split computation (increment vs corpus index)
+    * keeps EXACTLY the batch key's cap semantics. `selfJoin = true`
+    * adds the a<b dedup predicate (both sides are the same frame);
+    * disjoint sides pass false and pairs normalize via
+    * least/greatest. Shared by the batch, incremental, and (in
+    * spirit) streaming near-dup paths. */
+  private[graft] def minhashPairsBetween(
+      aSigs: DataFrame, bSigs: DataFrame, allSigs: DataFrame,
+      maxBandBucket: Int, selfJoin: Boolean): DataFrame = {
     // The over-cap key set is bounded small by construction (≤ N/cap
     // keys can exceed the cap), so the guard is a broadcast anti-join
     // — no extra sorted window pass over the signatures.
     def overCap(k1: String, k2: String) =
-      mh.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("bsz"))
+      allSigs.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > maxBandBucket)
         .select(col(k1).as("big_k1"), col(k2).as("big_k2"))
     val big1 = overCap("mh1", "mh2")
-    def capped(big: DataFrame, k1: String, k2: String) =
-      mh.join(broadcast(big),
+    def capped(sigs: DataFrame, big: DataFrame, k1: String, k2: String) =
+      sigs.join(broadcast(big),
         col(k1) === col("big_k1") && col(k2) === col("big_k2"), "left_anti")
     def renamed(df: org.apache.spark.sql.DataFrame, p: String) =
       df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
 
-    val a1 = renamed(capped(big1, "mh1", "mh2"), "a_")
-    val b1 = renamed(capped(big1, "mh1", "mh2"), "b_")
+    val a1 = renamed(capped(aSigs, big1, "mh1", "mh2"), "a_")
+    val b1 = renamed(capped(bSigs, big1, "mh1", "mh2"), "b_")
     val big2 = overCap("mh3", "mh4")
-    val a2 = renamed(capped(big2, "mh3", "mh4"), "a_")
-    val b2 = renamed(capped(big2, "mh3", "mh4"), "b_")
+    val a2 = renamed(capped(aSigs, big2, "mh3", "mh4"), "a_")
+    val b2 = renamed(capped(bSigs, big2, "mh3", "mh4"), "b_")
+    val idPred =
+      if (selfJoin) col("a_doc_id") < col("b_doc_id") else lit(true)
     val pairCols = Seq(
-      col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+      least(col("a_doc_id"), col("b_doc_id")).as("doc_a"),
+      greatest(col("a_doc_id"), col("b_doc_id")).as("doc_b"),
       jaccEstCol("a_", "b_").as("jacc_est"))
     val band1 = a1.join(b1,
       col("a_mh1") === col("b_mh1") && col("a_mh2") === col("b_mh2") &&
-      col("a_doc_id") < col("b_doc_id"))
+      idPred)
       .select(pairCols: _*)
     // Cross-band candidate dedup WITHOUT a distinct Exchange
     // (VERDICT r9 #4, the FirstBandMatch precedent): with two bands a
@@ -154,7 +192,7 @@ object DedupOps {
     // MinhashCapSpec pins capped ≡ uncapped on the fixtures).
     val band2 = a2.join(b2,
       col("a_mh3") === col("b_mh3") && col("a_mh4") === col("b_mh4") &&
-      col("a_doc_id") < col("b_doc_id"))
+      idPred)
       .join(broadcast(big1.withColumn("__b1cap", lit(true))),
         col("a_mh1") === col("big_k1") && col("a_mh2") === col("big_k2"), "left")
       .filter(col("a_mh1") =!= col("b_mh1") || col("a_mh2") =!= col("b_mh2") ||

@@ -546,6 +546,17 @@ object OracleSqlLlm {
          |SELECT doc_a, doc_b, jacc_est FROM pairs
          |ORDER BY jacc_est DESC, doc_a, doc_b LIMIT 200""".stripMargin,
 
+    // incremental dedup: the engine joins only the increment's bands
+    // against the base index (linear in the increment), with cap
+    // guards on the FULL population — so the answer IS the batch pair
+    // set restricted to cross pairs, which is exactly how the oracle
+    // spells it
+    "q_dedup_incremental" ->
+      s"""$mhPairCtes
+         |SELECT doc_a, doc_b, jacc_est FROM pairs
+         |WHERE (doc_a % 10 = 0) != (doc_b % 10 = 0)
+         |ORDER BY jacc_est DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+
     // connected components of the same (capped) candidate graph, no
     // limit, by transitive closure + min over reachable set — the
     // recursive-CTE twin of the engine's iterative min-label
