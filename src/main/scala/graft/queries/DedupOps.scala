@@ -82,8 +82,13 @@ object DedupOps {
     * increment, exactly as re-running the batch key would), so the
     * emitted pair set IS the batch pair set restricted to cross
     * pairs — which is what the oracle asserts, and what
-    * `IncrementalDedupSpec` pins as set algebra: cross(batch) ==
-    * incremental, and incremental ∪ batch(base-only) == batch. */
+    * `IncrementalDedupSpec` pins as set algebra: batch decomposes
+    * EXACTLY into base-self ∪ increment-self ∪ cross (each term's
+    * cap guards on the full population). A deployment therefore runs
+    * the increment-self join too (tiny — increment × increment);
+    * and the composability is exact only when caps are evaluated
+    * against the final population, as here — a per-step cap drifts
+    * on buckets that cross it between increments. */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val mh = minhashSignatures(Tables.documents(spark, dir))
     val inc = mh.filter(col("doc_id") % 10 === 0)
@@ -168,8 +173,12 @@ object DedupOps {
     val big2 = overCap("mh3", "mh4")
     val a2 = renamed(capped(aSigs, big2, "mh3", "mh4"), "a_")
     val b2 = renamed(capped(bSigs, big2, "mh3", "mh4"), "b_")
+    // disjoint sides: =!= is a no-op that makes the precondition
+    // self-enforcing — an overlapping caller can no longer emit
+    // (x, x) self-pairs (r13 review)
     val idPred =
-      if (selfJoin) col("a_doc_id") < col("b_doc_id") else lit(true)
+      if (selfJoin) col("a_doc_id") < col("b_doc_id")
+      else col("a_doc_id") =!= col("b_doc_id")
     val pairCols = Seq(
       least(col("a_doc_id"), col("b_doc_id")).as("doc_a"),
       greatest(col("a_doc_id"), col("b_doc_id")).as("doc_b"),

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Incremental-dedup algebra the oracle can't see directly: with cap
   * guards on the full population, the batch pair set decomposes
   * EXACTLY into base-self ∪ increment-self ∪ cross, and the
-  * incremental key computes precisely the cross term — so a corpus
-  * maintained by repeated increments converges to the same pair set a
-  * full batch re-run would produce. */
+  * incremental key computes precisely the cross term. Repeated
+  * increments reproduce the full re-run EXACTLY when every step's cap
+  * guards evaluate against the final population (as every term here
+  * does); a deployment capping per step drifts on buckets that cross
+  * the cap between increments — the single-step identity is the
+  * engine property, the cap policy is the deployment's. */
 class IncrementalDedupSpec extends SparkSpec {
 
   private def pairSet(df: org.apache.spark.sql.DataFrame) =
