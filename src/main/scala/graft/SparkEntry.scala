@@ -110,6 +110,7 @@ object SparkEntry {
     "q_scrub_substring"    -> ScrubOps.qScrubSubstring _,
     "q_dedup_substring"    -> DedupOps.qDedupSubstring _,
     "q_quality_linear"     -> TextOps.qQualityLinear _,
+    "q_quality_gopher"     -> TextOps.qQualityGopher _,
     "q_sample_stratified"  -> TextOps.qSampleStratified _,
     "q_sample_importance"  -> TextOps.qSampleImportance _,
     "q_stream_join"        -> StreamOps.qStreamJoin _,

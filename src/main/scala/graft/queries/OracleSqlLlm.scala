@@ -326,6 +326,27 @@ object OracleSqlLlm {
         |  len(t) AS n_tokens, len(t) - len(keep) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin),
 
+    // Gopher rule-filter twin of TextOps.qQualityGopher: every
+    // signal is an integer and every rule an integer comparison
+    // (cross-multiplied ratio bounds) — nothing to round, nothing to
+    // drift.
+    "q_quality_gopher" ->
+      """WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |a AS (SELECT doc_id,
+        |        CAST(count(*) AS BIGINT) AS n_tok,
+        |        CAST(sum(length(tok)) AS BIGINT) AS csum,
+        |        CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]')
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+        |        CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in')
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tok, csum, n_alpha, n_stop,
+        |  (n_tok >= 30 AND n_tok <= 100000 AND
+        |   csum >= n_tok * 3 AND csum <= n_tok * 10 AND
+        |   n_alpha * 5 >= n_tok * 4 AND n_stop >= 2) AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // Hashed-linear scorer twin of GraftOps.hashedLinearScore: tokens
     // hash md5-32 mod 1024, the weight of bucket b is a deterministic
     // md5 derivation on the INTEGER [-1000, 1000] grid (mirrored

@@ -141,6 +141,33 @@ object TextOps {
       .orderBy(col("doc_id"))
       .limit(300)
 
+  /** Gopher-style rule filter (Rae et al. 2021, public): the
+    * pre-model quality gate of MassiveText-lineage pipelines. Every
+    * signal is an INTEGER (token count, character sum, alphabetic and
+    * stop-word token counts) and every rule compares integers —
+    * mean-word-length bounds spell as cross-multiplications
+    * (3n ≤ csum ≤ 10n), the alphabetic-ratio floor as 5·n_alpha ≥
+    * 4·n_tok — so the key is rounding-hazard-free across engines by
+    * construction (the r13 determinism rule applied at birth). One
+    * corpus pass, explode + conditional sums (codegen'd), partial
+    * aggregation map-side; the per-doc collapse is the only shuffle. */
+  def qQualityGopher(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(length(col("tok"))).as("csum"),
+        sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        sum(when(col("tok").isin("the", "a", "of", "and", "to", "in"), 1L)
+          .otherwise(0L)).as("n_stop"))
+      .withColumn("keep",
+        col("n_tok") >= 30 && col("n_tok") <= 100000 &&
+        col("csum") >= col("n_tok") * 3 && col("csum") <= col("n_tok") * 10 &&
+        col("n_alpha") * 5 >= col("n_tok") * 4 &&
+        col("n_stop") >= 2)
+      .orderBy(col("doc_id"))
+
   /** Heuristic language ID by stopword-family scoring, reported as a
     * (labeled lang × predicted lang) confusion matrix. The synthetic
     * corpus shares one vocabulary across langs, so the prediction is

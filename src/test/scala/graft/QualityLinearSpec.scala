@@ -66,6 +66,43 @@ class QualityLinearSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("gopher rules: each rule individually gates a planted violator") {
+    import spark.implicits._
+    val good = (Seq.fill(28)("the") ++ Seq.fill(12)("data")).mkString(" ")
+    val docs = Seq(
+      1L -> good,                                        // passes all
+      2L -> Seq.fill(10)("the data").mkString(" "),      // too few tokens? 20 < 30
+      3L -> (Seq.fill(28)("the") ++ Seq.fill(12)("a")).mkString(" "), // csum < 3n
+      4L -> (Seq.fill(28)("the") ++                      // 84 + 12*34 =
+        Seq.fill(12)("supercalifragilisticexpialidocious"))
+        .mkString(" "),                                  // 492 > 10n = 400
+      5L -> (Seq.fill(2)("the") ++ Seq.fill(18)("12345") ++
+        Seq.fill(20)("data")).mkString(" "),             // alpha < 4/5
+      6L -> (Seq.fill(40)("data")).mkString(" "))        // no stop words
+      .toDF("doc_id", "text").createOrReplaceTempView("gopher_probe")
+    val out = queries.TextOps.qQualityGopher(spark, sf) // fixture smoke
+    assert(out.filter(col("keep")).count() > 0 &&
+      out.filter(!col("keep")).count() > 0,
+      "rules must discriminate on the fixture")
+    // planted probes through the same rule expressions
+    val probe = spark.table("gopher_probe")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(length(col("tok"))).as("csum"),
+        sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        sum(when(col("tok").isin("the", "a", "of", "and", "to", "in"), 1L)
+          .otherwise(0L)).as("n_stop"))
+      .withColumn("keep",
+        col("n_tok") >= 30 && col("n_tok") <= 100000 &&
+        col("csum") >= col("n_tok") * 3 && col("csum") <= col("n_tok") * 10 &&
+        col("n_alpha") * 5 >= col("n_tok") * 4 && col("n_stop") >= 2)
+      .select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probe(1L), "the control doc must pass")
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
+      assert(!probe(id), s"planted violator $id must be dropped"))
+  }
+
   test("graft_hashed_swi ≡ the SQL lambda spelling AND the batch join sum (both eval paths)") {
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
