@@ -764,6 +764,12 @@ object GraftOps {
       var nE = e.count()
       onRound(nE)
       var starForest = false
+      // defensive round cap (r14, ADVICE r13): the alternating loop
+      // converges in O(log² n) rounds when the child>parent invariant
+      // holds — 64 is far above that for any representable graph, so
+      // hitting it can only mean a broken invariant; throw with the
+      // evidence instead of paying two joins + checkpoints forever
+      var rounds = 0
       while (!starForest) {
         // exact star-forest test on the checkpointed frame: unique
         // parent per child, and no parent is anyone's child
@@ -772,6 +778,10 @@ object GraftOps {
           e.select(col("__a").as("__b")), Seq("__b"), "left_semi").limit(1).count() > 0
         if (uniqueParents && !parentIsChild) starForest = true
         else {
+          rounds += 1
+          if (rounds > 64) throw new IllegalStateException(
+            s"connectedComponentsStars: no star forest after $rounds " +
+              s"rounds (|E| = $nE) — child>parent orientation invariant broken?")
           e = smallStar(largeStar(e)).localCheckpoint(true)
           nE = e.count()
           onRound(nE)
@@ -1110,7 +1120,14 @@ object GraftOps {
     * [[groupedPrefixSum]] applies with key-prefix blocks. A skewed id
     * distribution degrades block balance (parallelism), never
     * correctness; ids spanning more than 2^63 would overflow the span
-    * subtraction (no practical id column does). */
+    * subtraction (no practical id column does).
+    *
+    * Contract enforcement (r14): `idCol` must cast to bigint NON-NULL
+    * for every row — a null block would be silently DROPPED by the
+    * inner offsets join. A NULL id raises at execution (the coalesce →
+    * raise_error below); a non-numeric id already raises under the
+    * session's default ANSI cast. Out-of-contract callers fail fast
+    * instead of losing rows. */
   def prefixSum(df: DataFrame, idCol: String, tokCol: String,
                 out: String = "cum"): DataFrame = {
     val nb = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -1118,7 +1135,10 @@ object GraftOps {
       max(col(idCol)).cast("long").as("__mx"))
     val local = df.crossJoin(broadcast(mm))
       .withColumn("__blk", expr(
-        s"cast((cast($idCol as bigint) - __mn) div ((__mx - __mn) div $nb + 1) as int)"))
+        s"""cast((coalesce(cast($idCol as bigint),
+           |  raise_error(concat('graft.prefixSum: idCol $idCol must be a non-null
+           | numeric key; got NULL'))) - __mn)
+           |  div ((__mx - __mn) div $nb + 1) as int)""".stripMargin.replace("\n", "")))
       .drop("__mn", "__mx")
       .withColumn("__lcum",
         sum(col(tokCol)).over(Window.partitionBy(col("__blk")).orderBy(col(idCol))
@@ -1167,15 +1187,31 @@ object GraftOps {
     * determinism argument as [[prefixSum]]) and NON-NULL: a null key
     * has no block (the inner offsets join would drop the row), and a
     * null has no place in a total order anyway — hash-derive the key
-    * from a non-null column as every in-repo caller does. */
+    * from a non-null column as every in-repo caller does.
+    *
+    * Contract enforcement (r14): the 4-char prefix must be lowercase
+    * hex, VERIFIED per row, because `conv` parses the longest valid
+    * digit prefix ('1g' → 1, 'zz' → 0) — an out-of-contract key would
+    * not null out, it would land in a block NON-MONOTONE with the
+    * string sort order and silently corrupt the cumsum. The guard is
+    * a codegen'd length+translate test (no regex), raising at
+    * execution on the first bad key. */
   def groupedPrefixSum(df: DataFrame, grpCol: String, ordCol: String,
                        valCol: String, out: String = "cum"): DataFrame = {
     val nb = df.sparkSession.sessionState.conf.numShufflePartitions
     // monotone in the string order of a lowercase-hex prefix, so
     // block boundaries align with the within-block sort order
-    val local = df.withColumn("__blk",
-      (expr(s"cast(conv(substring($ordCol, 1, 4), 16, 10) as bigint)")
-        * nb / 65536L).cast("int"))
+    val local = df.withColumn("__blk", expr(
+      s"""CASE WHEN length(substring($ordCol, 1, 4)) = 4
+         |       AND translate(substring($ordCol, 1, 4),
+         |                     '0123456789abcdef', '') = ''
+         |  THEN cast(cast(conv(substring($ordCol, 1, 4), 16, 10) as bigint)
+         |       * $nb / 65536 as int)
+         |  ELSE cast(raise_error(concat(
+         |    'graft.groupedPrefixSum: ordCol $ordCol must carry a 4-char ',
+         |    'lowercase-hex prefix; got: ',
+         |    coalesce(cast($ordCol as string), 'NULL'))) as int)
+         |END""".stripMargin))
       .withColumn("__lcum",
         sum(col(valCol)).over(Window.partitionBy(col("__blk"), col(grpCol))
           .orderBy(col(ordCol))
@@ -1229,10 +1265,12 @@ object GraftOps {
                     budget: Long): DataFrame =
     prefixSum(df, idCol, tokCol)
       .withColumn("__st", col("cum") - col(tokCol))
-      // zero-token docs own no span — without the guard Spark's
-      // sequence() DESCENDS on start > stop (the sharedSpans trap) and
-      // would emit phantom zero-width spans the DuckDB twin (an
-      // end-exclusive range) never produces (r13 self-review)
+      // zero-token docs own no span. Without the guard Spark's
+      // sequence() DESCENDS on start > stop (the sharedSpans trap);
+      // the DuckDB twin's end-exclusive range() would ALSO emit one
+      // zero-width row whenever n_tok = 0 lands mid-sequence, so the
+      // q_pack_sequences oracle mirrors this exact filter (r14 —
+      // engine and oracle agree for ALL inputs, not just fixtures).
       .filter(col(tokCol) > 0)
       .select(col(idCol), col(tokCol), col("__st"), col("cum"),
         explode(expr(s"sequence(__st div $budget, (cum - 1) div $budget)"))

@@ -172,6 +172,10 @@ object OracleSqlLlm {
     // global window is FINE in DuckDB at fixture scale — the engine
     // side is the two-pass prefix sum; span arithmetic is integer on
     // both sides. range() is end-exclusive, hence the (cum-1)//B + 1.
+    // n_tok > 0 mirrors the engine's zero-token-doc filter: without
+    // it range() emits one zero-width row when n_tok = 0 lands
+    // mid-sequence — unreachable on the fixtures, but the pair must
+    // agree for all inputs (r14, ADVICE r13).
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
@@ -183,7 +187,7 @@ object OracleSqlLlm {
         |        unnest(range(CAST((cum - n_tok) // 256 AS BIGINT),
         |                     CAST((cum - 1) // 256 + 1 AS BIGINT)))
         |          AS seq_id
-        |      FROM c)
+        |      FROM c WHERE n_tok > 0)
         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(least(cum, (seq_id + 1) * 256) -
         |           greatest(st, seq_id * 256)) AS BIGINT) AS n_tokens,

@@ -56,6 +56,37 @@ class MixSourcesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bc.nonEmpty, "offsets must broadcast, got:\n" + plan)
   }
 
+  // r14 (ADVICE r13): out-of-contract keys must FAIL FAST, not
+  // silently drop (null block → inner offsets join) or silently
+  // corrupt (conv parses the longest valid digit prefix, so a non-hex
+  // key lands in a block non-monotone with the string order)
+  private def messages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("fail fast: prefixSum raises on a NULL id instead of dropping the row") {
+    val df = Seq((Some(1L), 10L), (None: Option[Long], 20L), (Some(3L), 30L))
+      .toDF("id", "n")
+    val e = intercept[Throwable] {
+      GraftOps.prefixSum(df, "id", "n").collect()
+    }
+    assert(messages(e).contains("graft.prefixSum"), messages(e))
+  }
+
+  test("fail fast: groupedPrefixSum raises on a non-hex ordCol prefix") {
+    val df = Seq(("g", "zzzz0001", 1L), ("g", "00aa0002", 2L)).toDF("g", "h", "n")
+    val e = intercept[Throwable] {
+      GraftOps.groupedPrefixSum(df, "g", "h", "n").collect()
+    }
+    assert(messages(e).contains("graft.groupedPrefixSum"), messages(e))
+    // and a short key (< 4 chars) is equally out of contract
+    val df2 = Seq(("g", "0a", 1L)).toDF("g", "h", "n")
+    val e2 = intercept[Throwable] {
+      GraftOps.groupedPrefixSum(df2, "g", "h", "n").collect()
+    }
+    assert(messages(e2).contains("graft.groupedPrefixSum"), messages(e2))
+  }
+
   test("greedy keep: budget fills with at most one overshooting doc per source") {
     val budgets = base.select("source").distinct()
       .withColumn("budget",
