@@ -150,9 +150,13 @@ object TextOps {
     * 4·n_tok — so the key is rounding-hazard-free across engines by
     * construction (the r13 determinism rule applied at birth). One
     * corpus pass, explode + conditional sums (codegen'd), partial
-    * aggregation map-side; the per-doc collapse is the only shuffle. */
+    * aggregation map-side; the per-doc collapse is the only shuffle.
+    * widened (r14, VERDICT r13): the explode + per-token rlike ran
+    * serially off the single-row-group fixture scan — the same narrow
+    * head stage its siblings (langid, bigrams) were guarded against
+    * at r9; no-op at real scale where the scan is already wide. */
   def qQualityGopher(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"))
       .agg(
