@@ -546,14 +546,26 @@ object GraftOps {
     // tiny round into fixed scheduler overhead × partitions. ~50k
     // edges/partition; a 100 TB edge list gets its full parallelism
     // back automatically.
-    val spark = edges.sparkSession
+    ccPropagation(base, base.count(), onRound)
+  }
+
+  /** Propagation core: `base` (__src, __dst) must already be
+    * materialized (checkpointed by the caller — directly or as a
+    * cheap projection over a checkpointed frame), `nEdges` its row
+    * count. Split out (r14, VERDICT r13 #1) so
+    * [[connectedComponentsAdaptive]]'s dispatch materialization is
+    * ALSO the loop's — one checkpoint + one count total, not two of
+    * each. */
+  private[graft] def ccPropagation(base: DataFrame, nEdges: Long,
+                            onRound: Long => Unit): DataFrame = {
+    val spark = base.sparkSession
     val confKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(confKey)
     // prevParts can legally be non-numeric (e.g. "auto" on forks that
     // accept it) — treat unparseable as "no ceiling", don't throw
     val prevCeiling = scala.util.Try(prevParts.toLong).getOrElse(Long.MaxValue)
     val loopParts = math.max(4L, math.min(prevCeiling,
-      base.count() / 50000L + 1L)).toString
+      nEdges / 50000L + 1L)).toString
     spark.conf.set(confKey, loopParts)
     try {
       // Materialize the doubled edge list HASH-PARTITIONED on __src
@@ -703,37 +715,57 @@ object GraftOps {
   /** [[connectedComponents]] with the implementation chosen by
     * MEASURED edge count — propagation below [[CcStarsMinEdges]],
     * large-star/small-star at or above it (the TopKPerGroup
-    * measured-crossover discipline). One extra checkpoint+count of
-    * the raw edge projection buys the dispatch; both implementations
-    * would checkpoint their canonical projection anyway, and the
-    * second materialization reads the first's in-memory blocks.
+    * measured-crossover discipline). The dispatch's checkpoint+count
+    * IS the chosen loop's (r14, VERDICT r13 #1): the cores take the
+    * materialized frame and its known count directly, so dispatching
+    * costs nothing over calling the winner — the loop's obligatory
+    * edge materialization simply happens one call-frame earlier.
     * `onRound` forwards the chosen loop's own convergence scalar
     * (changed labels for propagation, |E| for stars). */
   def connectedComponentsAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
                                   onRound: Long => Unit = _ => ()): DataFrame = {
     val e = edges.select(col(srcCol), col(dstCol)).localCheckpoint(true)
-    if (e.count() >= CcStarsMinEdges)
-      connectedComponentsStars(e, srcCol, dstCol, onRound)
-    else connectedComponents(e, srcCol, dstCol, onRound)
+    val n = e.count()
+    if (n >= CcStarsMinEdges)
+      ccStars(e.select(
+        greatest(col(srcCol), col(dstCol)).as("__a"),
+        least(col(srcCol), col(dstCol)).as("__b")), n, onRound)
+    else ccPropagation(e.select(
+      col(srcCol).as("__src"), col(dstCol).as("__dst")), n, onRound)
   }
 
   def connectedComponentsStars(edges: DataFrame, srcCol: String, dstCol: String,
                                onRound: Long => Unit): DataFrame = {
-    val spark = edges.sparkSession
-    // child > parent canonical orientation. Self-loops carry no
-    // connectivity and leave the edge frame here — but their nodes
-    // must still be labeled (component = self), so the node set below
-    // is taken BEFORE this filter.
+    // child > parent canonical orientation (see ccStars); checkpoint
+    // here so the (possibly expensive) edge subtree materializes once
     val canon = edges.select(
         greatest(col(srcCol), col(dstCol)).as("__a"),
         least(col(srcCol), col(dstCol)).as("__b"))
       .localCheckpoint(true)
+    ccStars(canon, canon.count(), onRound)
+  }
+
+  /** Stars core: `canon` (__a ≥ __b canonical edges, self-loops still
+    * present) must already be materialized — checkpointed by the
+    * caller, or a cheap greatest/least projection over a checkpointed
+    * frame — and `nEdges` its (pre-self-loop-filter) row count, used
+    * only to size the loop's shuffles. Split out (r14, VERDICT r13
+    * #1): [[connectedComponentsAdaptive]] already checkpointed and
+    * counted the raw projection for its dispatch, so re-checkpointing
+    * the canonical orientation here would copy every block a second
+    * time — at the sf10 decade a 13.55 M-row copy bought nothing. */
+  private[graft] def ccStars(canon: DataFrame, nEdges: Long,
+                      onRound: Long => Unit): DataFrame = {
+    val spark = canon.sparkSession
+    // Self-loops carry no connectivity and leave the edge frame here —
+    // but their nodes must still be labeled (component = self), so the
+    // node set below is taken BEFORE this filter.
     val base = canon.filter(col("__a") =!= col("__b"))
     val confKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(confKey)
     val prevCeiling = scala.util.Try(prevParts.toLong).getOrElse(Long.MaxValue)
     val loopParts = math.max(4L, math.min(prevCeiling,
-      base.count() / 50000L + 1L)).toString
+      nEdges / 50000L + 1L)).toString
     spark.conf.set(confKey, loopParts)
     try {
       val nodes = canon.select(col("__a").as("id"))

@@ -121,6 +121,24 @@ class GraftOpsSpec extends SparkSpec {
     assert(stars === prop)
     // spot the invariants the equivalence rests on
     assert(stars(30L) === 1L && stars(115L) === 100L && stars(300L) === 300L)
+
+    // r14: drive BOTH cores exactly as connectedComponentsAdaptive
+    // dispatches them — canon/base as cheap projections over the
+    // checkpointed raw frame, count taken once upstream — so the
+    // stars-via-adaptive plumbing is exercised below the 1 M-edge
+    // dispatch threshold too (the fixture sweep only reaches it at
+    // sf10)
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val e = edges.select(col("s"), col("d")).localCheckpoint(true)
+    val n = e.count()
+    val viaStars = GraftOps.ccStars(e.select(
+        greatest(col("s"), col("d")).as("__a"),
+        least(col("s"), col("d")).as("__b")), n, _ => ())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = GraftOps.ccPropagation(e.select(
+        col("s").as("__src"), col("d").as("__dst")), n, _ => ())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === prop && viaProp === prop)
   }
 
   test("topKPerGroup API bounds rows per group") {
