@@ -192,7 +192,9 @@ object SparkEntry {
     // round-13: production-geometry embedding near-dup (12×24, τ=0.85)
     "q_dedup_embedding_scaled" -> VectorOps.qDedupEmbeddingScaled _,
     // round-13: high-recall half-scan IVF point (128, 2, 64)
-    "q_knn_ivf_hr"         -> VectorOps.qKnnIvfHr _
+    "q_knn_ivf_hr"         -> VectorOps.qKnnIvfHr _,
+    // round-14: the COMPOSED five-stage curation funnel as one key
+    "q_pipeline_curate"    -> PipelineOps.qPipelineCurate _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,10 +48,10 @@ object CurationPipeline {
     * of in-memory blocks instead of re-executing the whole stage
     * prefix per count (quadratic recompute) — the same pattern as the
     * connected-components loop. The lazy form keeps pure plans. */
-  private def stages(docs: DataFrame, bench: DataFrame,
-                     idCol: String, textCol: String, stratumCol: String,
-                     target: Int, minJaccard: Double,
-                     materialize: Boolean): Seq[(String, DataFrame)] = {
+  private[graft] def stages(docs: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String, stratumCol: String,
+                            target: Int, minJaccard: Double,
+                            materialize: Boolean): Seq[(String, DataFrame)] = {
     def m(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // 1. quality gate: keep docs the repetition signals pass
     val ok = GraftOps.repetitionSignals(docs, idCol, textCol)

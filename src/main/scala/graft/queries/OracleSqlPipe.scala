@@ -39,6 +39,103 @@ object OracleSqlPipe {
         |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
         |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
 
+    // The COMPOSED curation funnel (r14): the five stage CTE chains —
+    // each the SQL vocabulary of its standalone key (q_text_repetition
+    // verdict, q_text_normalize chain, the q_dedup_clusters band-join
+    // ∪-distinct + recursive reach() components but UNCAPPED like the
+    // pipeline's lshCandidates, q_decontam_bloom's exact semi-join,
+    // q_sample_stratified's integer keep rule) — applied over the
+    // SURVIVOR frame of the previous stage, with one (rows, id_sum)
+    // aggregate per stage. cand's body is a subquery union (NOT a
+    // top-level UNION CTE — the WITH RECURSIVE anchor/step trap, r12);
+    // jacc_est >= 0.5 is spelled as the integer match-count >= 2.
+    "q_pipeline_curate" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 5),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+        |x AS (SELECT doc_id, string_split(text,' ') AS t FROM d0),
+        |rep AS (SELECT doc_id, len(t) AS n_tok,
+        |    list_max(list_transform(list_distinct(t),
+        |                            u -> len(list_filter(t, w -> w = u)))) AS top1,
+        |    greatest(len(t)-2, 0) AS tri_tot,
+        |    CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))))
+        |      ELSE 0 END AS tri_dis
+        |  FROM x),
+        |s1 AS (SELECT d.* FROM d0 d JOIN rep USING (doc_id)
+        |       WHERE NOT (top1 * 5 > n_tok
+        |                  OR (tri_tot - tri_dis) * 10 > tri_tot * 3)),
+        |nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |          replace(lower(nfc_normalize(text)), 'é', 'e'),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM s1),
+        |keepid AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
+        |s2 AS (SELECT d.* FROM s1 d JOIN keepid USING (doc_id)),
+        |sh2 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+        |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM s2) t2),
+        |hs2 AS (SELECT doc_id,
+        |          CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT) AS h
+        |        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh2) y),
+        |mh2 AS (SELECT doc_id,
+        |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
+        |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
+        |  FROM hs2 GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM mh2 a JOIN mh2 b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2
+        |                         AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT a.doc_id, b.doc_id
+        |    FROM mh2 a JOIN mh2 b ON a.mh3 = b.mh3 AND a.mh4 = b.mh4
+        |                         AND a.doc_id < b.doc_id) u),
+        |pr AS (SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN mh2 a ON a.doc_id = c.doc_a
+        |              JOIN mh2 b ON b.doc_id = c.doc_b
+        |  WHERE (CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a.mh4=b.mh4 THEN 1 ELSE 0 END) >= 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+        |losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster),
+        |s3 AS (SELECT d.* FROM s2 d WHERE NOT EXISTS
+        |       (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)),
+        |bg AS (SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)-1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        |    FROM (SELECT string_split(text,' ') AS t FROM bench) z) zz),
+        |dirty AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM s3) z3) g3
+        |  JOIN bg USING (gram)),
+        |s4 AS (SELECT d.* FROM s3 d WHERE NOT EXISTS
+        |       (SELECT 1 FROM dirty v WHERE v.doc_id = d.doc_id)),
+        |cnt AS (SELECT lang, count(*) AS cnt FROM s4 GROUP BY lang),
+        |s5 AS (SELECT d.* FROM s4 d JOIN cnt USING (lang)
+        |       WHERE (CAST(concat('0x', substring(md5(text),1,4)) AS BIGINT)
+        |              % 10000) * cnt < 200000)
+        |SELECT 0 AS stage_no, 'input' AS stage,
+        |  CAST(count(*) AS BIGINT) AS rows_out,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM d0
+        |UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s1
+        |UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s3
+        |UNION ALL SELECT 4, 'decontaminate', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s4
+        |UNION ALL SELECT 5, 'stratum_cap', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s5
+        |ORDER BY stage_no""".stripMargin,
+
     // stream-static enrichment replayed bounded must equal the batch
     // join+agg (stateless join: no watermark/eviction to reason about)
     "q_stream_enrich" ->

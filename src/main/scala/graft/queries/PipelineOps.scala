@@ -70,6 +70,48 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** DECLARED: the COMPOSED curation pipeline (r14, VERDICT r13 #3) —
+    * api.CurationPipeline's five stages run end to end over the
+    * fixture corpus, verified as ONE key: quality gate (repetition
+    * signals) → exact dedup (normalized text, min-id representative)
+    * → near-dup dedup (MinHash/LSH ≥ 0.5, connected components,
+    * min-id survivor) → decontamination (shared 3-shingle with the
+    * doc_id < 5 benchmark slice, bloom prefilter + exact confirm) →
+    * per-stratum cap (~20 docs/lang). Stage COMPOSITION is where real
+    * pipelines break (order effects, funnel accounting), so the
+    * declared result is the funnel itself: one row per stage with the
+    * surviving row count AND the surviving doc_id sum — the id_sum
+    * pins stage CONTENT, not just cardinality, so two offsetting
+    * stage errors cannot cancel. The oracle chains the five stages'
+    * existing CTE vocabularies (repetition verdict, nfc-normalize
+    * chain, minhash bands ∪-distinct + recursive-CTE components,
+    * shingle semi-join, integer stratum keep rule) over the same
+    * survivor frames.
+    *
+    * Scale: every stage is the same declarative shape as its
+    * oracle-verified standalone key (SCALE.md rows apply unchanged);
+    * the composition adds no new shuffle beyond the stages' own, and
+    * CurationPipelineSpec separately proves the stage ORDER is the
+    * skew story (exact dedup collapses replica mass before anything
+    * pairwise runs). materialize=true cuts lineage per stage, so the
+    * six funnel aggregates scan in-memory blocks instead of
+    * re-executing the pipeline prefix quadratically. */
+  def qPipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val docs = all.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val bench = all.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val st = graft.api.CurationPipeline.stages(
+      docs, bench, "doc_id", "text", "lang", target = 20, minJaccard = 0.5,
+      materialize = true)
+    (("input", docs) +: st).zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("rows_out"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(i).as("stage_no"), lit(name).as("stage"),
+          col("rows_out"), col("id_sum"))
+    }.reduce(_.unionAll(_)).orderBy(col("stage_no"))
+  }
+
   /** Count-min sketch depth (independent hash rows) and width
     * (counters per row). Width 16 on a ~31-token vocabulary forces
     * collisions, so the fixture actually exercises the min-over-rows
