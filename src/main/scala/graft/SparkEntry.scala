@@ -194,7 +194,9 @@ object SparkEntry {
     // round-13: high-recall half-scan IVF point (128, 2, 64)
     "q_knn_ivf_hr"         -> VectorOps.qKnnIvfHr _,
     // round-14: the COMPOSED five-stage curation funnel as one key
-    "q_pipeline_curate"    -> PipelineOps.qPipelineCurate _
+    "q_pipeline_curate"    -> PipelineOps.qPipelineCurate _,
+    // round-14: BPE tokenizer-pair statistics (unrolled merge rounds)
+    "q_bpe_merges"         -> TextOps.qBpeMerges _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

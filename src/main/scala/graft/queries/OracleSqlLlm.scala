@@ -34,7 +34,54 @@ object OracleSqlLlm {
        |                       ROWS UNBOUNDED PRECEDING) AS isl
        |      FROM b)""".stripMargin
 
+  /** Weighted adjacent-pair counts CTE over a wrapped-symbol
+    * vocabulary CTE `src` (s, f) — the DuckDB twin of
+    * TextOps.bpePairCounts (len >= 2 guards the empty range exactly
+    * like the engine's size >= 2). */
+  private def bpePairCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT p.a AS a, p.b AS b, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, unnest(list_transform(range(1, len(t)),
+       |      i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+       |    FROM (SELECT f, string_split(trim(s), '  ') AS t FROM $src) q
+       |    WHERE len(t) >= 2) e
+       |  GROUP BY p.a, p.b)""".stripMargin
+
+  /** One unrolled BPE merge round (r14): pair counts over v{i-1},
+    * best pair b$i by (cnt desc, a, b), greedy merge into v$i via the
+    * wrapped-symbol replace (see TextOps.qBpeMerges — replace-all's
+    * left-to-right no-rescan pass IS the BPE merge). Generated so the
+    * rounds cannot drift from each other (spanCtes discipline). */
+  private def bpeRoundCtes(i: Int): String =
+    s"""${bpePairCte(s"pc$i", s"v${i - 1}")},
+       |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |v$i AS (SELECT replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s, f
+       |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+
   val text: Map[String, String] = Map(
+    // BPE merge table + surviving pair counts: wordcount → wrapped
+    // char symbols → TextOps.BpeMergeRounds unrolled merge rounds
+    // (the kmeans/pagerank iteration-unrolling precedent); every
+    // value is an exact integer or a symbol string.
+    "q_bpe_merges" -> {
+      val r = TextOps.BpeMergeRounds
+      val mergeRows = (1 to r).map(i =>
+        if (i == 1) s"SELECT 1 AS round, a, b, cnt FROM b1"
+        else s"UNION ALL SELECT $i, a, b, cnt FROM b$i").mkString("\n  ")
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+         |            FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                  FROM documents) x
+         |            GROUP BY w),
+         |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, f FROM wc),
+         |${(1 to r).map(bpeRoundCtes).mkString(",\n")},
+         |${bpePairCte(s"pc${r + 1}", s"v$r")}
+         |SELECT round, a, b, cnt FROM (
+         |  $mergeRows
+         |  UNION ALL SELECT ${r + 1}, a, b, cnt FROM (
+         |    SELECT a, b, cnt FROM pc${r + 1}
+         |    ORDER BY cnt DESC, a, b LIMIT 15) sv
+         |) u ORDER BY round, cnt DESC, a, b""".stripMargin
+    },
     // BM25: per-term fragments generated so the three terms cannot
     // drift from the Spark side's list; constants are the literals
     // 2.2/1.2/0.25/0.75 in both engines (see qTextBm25 scaladoc)

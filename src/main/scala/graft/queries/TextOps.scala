@@ -558,4 +558,73 @@ object TextOps {
         Tables.documents(spark, dir), "doc_id", "text",
         col("lang") === "en")
       .orderBy(col("gscore").desc, col("doc_id"))
+
+  /** BPE merge rounds to run for [[qBpeMerges]] (unrolled in the
+    * oracle, so the two constants must agree). */
+  private[graft] val BpeMergeRounds = 4
+
+  /** DECLARED: BPE-style tokenizer-pair statistics (r14, VERDICT r13
+    * #7) — the byte-pair-encoding vocabulary-learning round (Sennrich
+    * et al. 2016, public): count adjacent symbol pairs weighted by
+    * word frequency, merge the most frequent pair everywhere, repeat.
+    * Emits the merge table (round, pair, weighted count) for
+    * [[BpeMergeRounds]] rounds plus the surviving top-15 pair counts
+    * (round = rounds+1) — exact integers end to end.
+    *
+    * Scale shape — the real BPE scaling story: the CORPUS is touched
+    * exactly once (the wordcount shuffle, map-side combinable); every
+    * merge round runs over the DISTINCT-WORD table, which Zipf keeps
+    * orders of magnitude smaller than the corpus at any scale. Each
+    * round is one vocabulary-sized pair-explode + agg, a 1-row
+    * TakeOrdered for the best pair, and a broadcast-1-row map-side
+    * rewrite — no driver collect; the loop is the kmeans/pagerank
+    * driver pattern (localCheckpoint cuts per-round lineage).
+    *
+    * Greedy-merge determinism: a word's symbols live as a string with
+    * every symbol wrapped in its own spaces (" a  b  c "), so the
+    * merge is replace(" a  b ", " ab ") — both engines' replace-all
+    * scans left-to-right without rescanning replacements, which IS
+    * BPE's non-overlapping greedy pass ("a a a" → "aa a"), and the
+    * double-space boundaries make adjacent merges independent
+    * ("a a a a" → "aa aa", where single-space wrapping would consume
+    * the shared boundary and miss the second merge). Ties break on
+    * (count desc, a, b) — pure string comparisons. BpeSpec proves the
+    * replace-based merge ≡ a direct fold implementation on random
+    * symbol arrays and pins best-count monotonicity across rounds. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wc = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // vocabulary-sized; seeds the round loop
+    var v = wc.select(expr("regexp_replace(w, '(.)', ' $1 ')").as("s"), col("f"))
+    var merges = List.empty[DataFrame]
+    for (r <- 1 to BpeMergeRounds) {
+      val best = bpePairCounts(v)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint(true) // 1 row; read by the rewrite AND the output
+      merges ::= best.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+      v = v.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .withColumn("s", expr(
+          "replace(s, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"))
+        .select(col("s"), col("f"))
+        .localCheckpoint(true) // vocabulary-sized; cut round lineage
+    }
+    val survivors = bpePairCounts(v)
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(15)
+      .select(lit(BpeMergeRounds + 1).as("round"), col("a"), col("b"), col("cnt"))
+    (survivors :: merges).reduce(_.unionAll(_))
+      .orderBy(col("round"), col("cnt").desc, col("a"), col("b"))
+  }
+
+  /** Adjacent-pair weighted counts over a wrapped-symbol vocabulary
+    * frame (s, f). sequence(0, size-2) DESCENDS on 1-symbol words —
+    * the r13 guard rule — hence the size ≥ 2 filter. */
+  private def bpePairCounts(v: DataFrame): DataFrame =
+    v.select(col("f"), split(trim(col("s")), "  ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] as a, t[i+1] as b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("f")).as("cnt"))
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.queries.TextOps
+import org.scalacheck.Gen
+
+/** BPE merge-round properties the oracle can't see (r14):
+  *
+  *  - the wrapped-symbol string replace the engine (and oracle) use
+  *    for the merge is EXACTLY BPE's greedy left-to-right
+  *    non-overlapping pass — proven against a direct list-fold
+  *    reference implementation on random symbol arrays, including
+  *    the overlap cases ("a a a" → "aa a", "a a a a" → "aa aa") a
+  *    single-space wrapping would get wrong;
+  *  - the winning pair's count is monotone non-increasing across
+  *    rounds (each new-symbol pair occurrence consumes one merged
+  *    occurrence, and old pairs only lose occurrences) — the merge
+  *    monotonicity a tokenizer build relies on for early stopping.
+  */
+class BpeSpec extends SparkSpec {
+
+  // the PropertySpec deterministic-sampling convention (no
+  // scalatestplus bridge in the offline cache)
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(20260815L)
+    Iterator.iterate(seed)(_.next).take(n).foreach { s =>
+      gen.apply(Gen.Parameters.default, s).foreach(f)
+    }
+  }
+
+  /** Reference BPE merge: one greedy left-to-right pass, skipping the
+    * right symbol of every match (Sennrich et al. 2016 semantics). */
+  private def mergeRef(syms: List[String], a: String, b: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+      case x :: tail => out += x; rest = tail
+      case Nil => ()
+    }
+    out.result()
+  }
+
+  private def wrap(syms: Seq[String]): String = syms.map(s => s" $s ").mkString
+
+  /** The engine's merge spelling, on a plain string (same expression
+    * qBpeMerges evaluates per row). */
+  private def mergeViaReplace(syms: Seq[String], a: String, b: String): List[String] = {
+    val merged = wrap(syms).replace(s" $a  $b ", s" ${a + b} ")
+    merged.trim.split("  ").toList.filter(_.nonEmpty)
+  }
+
+  test("wrapped replace ≡ greedy fold on the overlap corner cases") {
+    val cases = Seq(
+      (List("a", "a", "a"), "a", "a"),          // overlap: one merge only
+      (List("a", "a", "a", "a"), "a", "a"),     // adjacent merges both fire
+      (List("a", "b", "a", "b"), "a", "b"),     // disjoint matches
+      (List("a", "ab", "b"), "a", "ab"),        // multi-char symbols
+      (List("x"), "a", "b"),                    // no pair at all
+      (List("a", "b", "b"), "b", "b"))          // match not at position 0
+    cases.foreach { case (syms, a, b) =>
+      assert(mergeViaReplace(syms, a, b) === mergeRef(syms, a, b),
+        s"mismatch on $syms merging ($a,$b)")
+    }
+  }
+
+  test("wrapped replace ≡ greedy fold on random symbol sequences") {
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val gen = for {
+      syms <- Gen.listOfN(12, sym)
+      a <- sym
+      b <- sym
+    } yield (syms, a, b)
+    forAll(gen) { case (syms, a, b) =>
+      assert(mergeViaReplace(syms, a, b) === mergeRef(syms, a, b),
+        s"mismatch on $syms merging ($a,$b)")
+    }
+  }
+
+  test("declared key: merge counts are monotone non-increasing; survivors are bounded") {
+    val rows = TextOps.qBpeMerges(spark, sf).collect()
+    val merges = rows.filter(_.getInt(0) <= TextOps.BpeMergeRounds)
+      .sortBy(_.getInt(0)).map(_.getLong(3))
+    assert(merges.length === TextOps.BpeMergeRounds)
+    assert(merges.sliding(2).forall { case Array(x, y) => y <= x },
+      s"merge counts must not increase: ${merges.mkString(",")}")
+    // every surviving pair counts no more than the last merge winner
+    val lastMerge = merges.last
+    val survivors = rows.filter(_.getInt(0) == TextOps.BpeMergeRounds + 1)
+      .map(_.getLong(3))
+    assert(survivors.forall(_ <= lastMerge),
+      "a surviving pair outranks the last merge winner")
+  }
+}
