@@ -196,7 +196,10 @@ object SparkEntry {
     // round-14: the COMPOSED five-stage curation funnel as one key
     "q_pipeline_curate"    -> PipelineOps.qPipelineCurate _,
     // round-14: BPE tokenizer-pair statistics (unrolled merge rounds)
-    "q_bpe_merges"         -> TextOps.qBpeMerges _
+    "q_bpe_merges"         -> TextOps.qBpeMerges _,
+    // round-14: the interval join under the PRODUCTION ordered feed —
+    // watermark advances per batch, state plateaus (same oracle)
+    "q_stream_join_ordered" -> StreamOps.qStreamJoinOrdered _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -721,6 +721,19 @@ object OracleSqlLlm {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, ss LIMIT 300""".stripMargin
   )
 
+  /** Shared by q_stream_join and q_stream_join_ordered — the two keys
+    * execute the same interval join over the same rows (single-batch
+    * replay vs event-time-ordered multi-batch feed), so their oracles
+    * are one string by construction. */
+  private val streamJoinSql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |       c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |ORDER BY purchase_id, click_id LIMIT 300""".stripMargin
+
   val analytics: Map[String, String] = Map(
     // the streaming execution of the tumbling aggregate must equal the
     // batch oracle — same SQL as q_events_tumbling
@@ -750,14 +763,15 @@ object OracleSqlLlm {
 
     // the streaming interval join must equal the batch epoch-µs
     // interval self-join (§2.2-4: epoch subtraction, not date_diff)
-    "q_stream_join" ->
-      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
-        |       c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
-        |FROM events p JOIN events c ON p.user_id = c.user_id
-        | AND p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
-        | AND epoch_us(c.ts) <= epoch_us(p.ts)
-        |ORDER BY purchase_id, click_id LIMIT 300""".stripMargin,
+    "q_stream_join" -> streamJoinSql,
+
+    // the event-time-ordered 16-batch feed (r14) joins the SAME row
+    // set: the staged files are time-contiguous and arrive in event-
+    // time order, so the advancing watermark only EVICTS already-
+    // matched state and never drops a late row — the oracle is
+    // therefore identical (StreamJoinScale proved exact ≡ batch at
+    // sf1 AND sf10 with per-batch eviction metrics)
+    "q_stream_join_ordered" -> streamJoinSql,
 
     // the CSV write→read round-trip must equal the same aggregate over
     // the original parquet — text serialization is lossless
