@@ -197,6 +197,8 @@ object SparkEntry {
     "q_pipeline_curate"    -> PipelineOps.qPipelineCurate _,
     // round-14: BPE tokenizer-pair statistics (unrolled merge rounds)
     "q_bpe_merges"         -> TextOps.qBpeMerges _,
+    // round-14: apply the learned BPE vocabulary (corpus token stats)
+    "q_bpe_tokenize"       -> TextOps.qBpeTokenize _,
     // round-14: the interval join under the PRODUCTION ordered feed —
     // watermark advances per batch, state plateaus (same oracle)
     "q_stream_join_ordered" -> StreamOps.qStreamJoinOrdered _

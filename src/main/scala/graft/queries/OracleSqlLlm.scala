@@ -82,6 +82,23 @@ object OracleSqlLlm {
          |    ORDER BY cnt DESC, a, b LIMIT 15) sv
          |) u ORDER BY round, cnt DESC, a, b""".stripMargin
     },
+
+    // BPE tokenize (r14): the learn chain's final vocabulary IS every
+    // word's tokenization — symbol stats explode it weighted by the
+    // wordcount, no second corpus pass.
+    "q_bpe_tokenize" -> {
+      val r = TextOps.BpeMergeRounds
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+         |            FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                  FROM documents) x
+         |            GROUP BY w),
+         |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, f FROM wc),
+         |${(1 to r).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT sym, CAST(sum(f) AS BIGINT) AS n_tok,
+         |       CAST(count(*) AS BIGINT) AS n_words
+         |FROM (SELECT f, unnest(string_split(trim(s), '  ')) AS sym FROM v$r) e
+         |GROUP BY sym ORDER BY n_tok DESC, sym LIMIT 30""".stripMargin
+    },
     // BM25: per-term fragments generated so the three terms cannot
     // drift from the Spark side's list; constants are the literals
     // 2.2/1.2/0.25/0.75 in both engines (see qTextBm25 scaladoc)

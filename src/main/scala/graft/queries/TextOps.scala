@@ -592,6 +592,38 @@ object TextOps {
     * replace-based merge ≡ a direct fold implementation on random
     * symbol arrays and pins best-count monotonicity across rounds. */
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, v) = bpeLearn(spark, dir)
+    val survivors = bpePairCounts(v)
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(15)
+      .select(lit(BpeMergeRounds + 1).as("round"), col("a"), col("b"), col("cnt"))
+    (survivors :: merges).reduce(_.unionAll(_))
+      .orderBy(col("round"), col("cnt").desc, col("a"), col("b"))
+  }
+
+  /** DECLARED: apply the learned BPE vocabulary corpus-wide (r14) —
+    * the tokenize step that consumes [[qBpeMerges]]'s merge table.
+    * The final merged vocabulary IS the tokenization of every
+    * distinct word, so corpus token statistics need no second corpus
+    * pass: explode each vocab word's symbols weighted by its corpus
+    * frequency (the wordcount aggregate from the learn step) and sum.
+    * Emits the top-30 symbols by corpus token count — the vocabulary
+    * a loader would budget by. */
+  def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val (_, v) = bpeLearn(spark, dir)
+    v.select(col("f"), explode(split(trim(col("s")), "  ")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("f")).as("n_tok"), count(lit(1)).as("n_words"))
+      .orderBy(col("n_tok").desc, col("sym"))
+      .limit(30)
+  }
+
+  /** The shared BPE learn loop: wordcount → wrapped char symbols →
+    * [[BpeMergeRounds]] greedy merge rounds. Returns (per-round best
+    * frames newest-first, final vocabulary (s, f)) — single-sourced
+    * so [[qBpeMerges]] and [[qBpeTokenize]] cannot drift on the
+    * merge sequence. */
+  private def bpeLearn(spark: SparkSession,
+                       dir: String): (List[DataFrame], DataFrame) = {
     val wc = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -609,11 +641,7 @@ object TextOps {
         .select(col("s"), col("f"))
         .localCheckpoint(true) // vocabulary-sized; cut round lineage
     }
-    val survivors = bpePairCounts(v)
-      .orderBy(col("cnt").desc, col("a"), col("b")).limit(15)
-      .select(lit(BpeMergeRounds + 1).as("round"), col("a"), col("b"), col("cnt"))
-    (survivors :: merges).reduce(_.unionAll(_))
-      .orderBy(col("round"), col("cnt").desc, col("a"), col("b"))
+    (merges, v)
   }
 
   /** Adjacent-pair weighted counts over a wrapped-symbol vocabulary
