@@ -199,6 +199,8 @@ object SparkEntry {
     "q_bpe_merges"         -> TextOps.qBpeMerges _,
     // round-14: apply the learned BPE vocabulary (corpus token stats)
     "q_bpe_tokenize"       -> TextOps.qBpeTokenize _,
+    // round-14: product-quantization ADC retrieval (codes-only scan)
+    "q_knn_pq"             -> VectorOps.qKnnPq _,
     // round-14: the interval join under the PRODUCTION ordered feed —
     // watermark advances per batch, state plateaus (same oracle)
     "q_stream_join_ordered" -> StreamOps.qStreamJoinOrdered _

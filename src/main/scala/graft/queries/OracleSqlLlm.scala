@@ -870,19 +870,47 @@ object OracleSqlLlm {
   // drift apart. Mirrors GraftOps.kmeansModel: hash-picked seeds,
   // argmin of round(||c||^2 - 2 v.c, 6) with ties to the smaller
   // cell, per-dim means re-rounded to 4 dp. ----
-  private def kmAssign(cent: String) =
+  // vName/dim parameterized r14 for the PQ per-subspace builds; with
+  // the defaults the emitted SQL is semantically identical to the
+  // pre-r14 strings (the v CTE now carries an explicit `v` alias),
+  // so the four existing kmeans-family oracles are untouched in
+  // meaning — re-verified by the round's full sweep.
+  private def kmAssign(cent: String, vName: String = "v") =
     s"""SELECT vec_id, ev, cell FROM (
        |  SELECT v.vec_id, v.ev, c.cell,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |      round(round(list_dot_product(c.cv, c.cv), 6)
        |            - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
-       |  FROM v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
+       |  FROM $vName v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
 
-  private def kmUpdate(a: String) =
+  private def kmUpdate(a: String, dim: Int = 64) =
     s"""SELECT cell, list(cx ORDER BY p) AS cv FROM (
        |  SELECT cell, i AS p, round(avg(ev[i]), 4) AS cx
-       |  FROM $a, unnest(range(1, 65)) t(i) GROUP BY cell, i) y
+       |  FROM $a, unnest(range(1, ${dim + 1})) t(i) GROUP BY cell, i) y
        |GROUP BY cell""".stripMargin
+
+  /** [[kmCtes]] for a VECTOR SLICE with a CTE-name prefix, for the
+    * per-subspace PQ codebook builds: emits ${p}v / ${p}c0 / ${p}a$i /
+    * ${p}c$i / ${p}af over `embedding[$lo:$hi]` (dim = hi−lo+1). Same
+    * seed hash, same rounding, same argmin as the full-vector chain —
+    * one fragment family, so the PQ oracle cannot drift from the
+    * kmeans one. */
+  private def kmCtesAt(p: String, lo: Int, hi: Int, k: Int,
+                       iters: Int): String = {
+    val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
+    val rounds = (1 to iters).map(i =>
+      s"""${p}a$i AS (${kmAssign(s"${p}c${i - 1}", s"${p}v")}),
+         |${p}c$i AS (${kmUpdate(s"${p}a$i", hi - lo + 1)})""".stripMargin)
+      .mkString(",\n")
+    s"""${p}v AS (SELECT vec_id, CAST(embedding[$lo:$hi] AS DOUBLE[]) AS ev
+       |          FROM embeddings),
+       |${p}c0 AS (
+       |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
+       |         list_transform(ev, x -> round(x, 4)) AS cv
+       |  FROM ${p}v ORDER BY $h, vec_id LIMIT $k),
+       |$rounds,
+       |${p}af AS (${kmAssign(s"${p}c$iters", s"${p}v")})""".stripMargin
+  }
 
   /** WITH-prefix ending at `af`, the final corpus (vec_id, ev, cell)
     * assignment after `iters` unrolled Lloyd rounds over `k` seeds.
@@ -1024,6 +1052,47 @@ object OracleSqlLlm {
     // the driver SF (tools.AnnDialBench; SCALE.md §ANN dial).
     "q_knn_ivf_kmeans" -> ivfKmeansSql(8, 2, 2),
     "q_knn_ivf_mp" -> ivfKmeansSql(64, 2, 16),
+
+    // PQ-ADC retrieval (r14): four prefixed per-subspace Lloyd chains
+    // (kmCtesAt — the SAME fragment family as the kmeans keys, over
+    // embedding[lo:hi] slices), codes join the four final
+    // assignments, probe lookup tables precompute subspace dots at
+    // 6 dp, and the ADC estimate is the fixed left-associated 4-term
+    // sum re-rounded at 4 dp — mirroring VectorOps.qKnnPq term order
+    // exactly.
+    "q_knn_pq" -> {
+      val m = VectorOps.PqM; val sub = VectorOps.PqSub; val k = VectorOps.PqK
+      val subs = (0 until m)
+        .map(s => kmCtesAt(s"s$s", s * sub + 1, (s + 1) * sub, k, 2))
+        .mkString(",\n")
+      val luts = (0 until m).map(s =>
+        s"""lut$s AS (
+           |  SELECT p.vec_id AS p$s, c.cell AS c$s,
+           |         round(list_dot_product(p.ev, c.cv), 6) AS d$s
+           |  FROM s${s}v p CROSS JOIN s${s}c2 c WHERE p.vec_id < 10)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH $subs,
+         |codes AS (
+         |  SELECT a0.vec_id, a0.cell AS pq0, a1.cell AS pq1,
+         |         a2.cell AS pq2, a3.cell AS pq3
+         |  FROM s0af a0 JOIN s1af a1 USING (vec_id)
+         |       JOIN s2af a2 USING (vec_id) JOIN s3af a3 USING (vec_id)),
+         |$luts,
+         |sc AS (
+         |  SELECT l0.p0, kk.vec_id AS neighbor,
+         |         round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 4) AS adc
+         |  FROM codes kk
+         |  JOIN lut0 l0 ON l0.c0 = kk.pq0
+         |  JOIN lut1 l1 ON l1.c1 = kk.pq1 AND l1.p1 = l0.p0
+         |  JOIN lut2 l2 ON l2.c2 = kk.pq2 AND l2.p2 = l0.p0
+         |  JOIN lut3 l3 ON l3.c3 = kk.pq3 AND l3.p3 = l0.p0
+         |  WHERE kk.vec_id <> l0.p0)
+         |SELECT p0 AS vec_id, neighbor, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY p0
+         |                              ORDER BY adc DESC, neighbor) AS rk
+         |  FROM sc) z
+         |WHERE rk <= 3 ORDER BY vec_id, adc DESC, neighbor""".stripMargin
+    },
     // r13: the high-recall half-scan point (128, 2, 64) — recall 0.97
     // at sf10 where the quarter-scan diagonal plateaus at 0.77
     "q_knn_ivf_hr" -> ivfKmeansSql(128, 2, 64),

@@ -492,6 +492,82 @@ object VectorOps {
       .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
   }
 
+  /** PQ geometry: 64-dim vectors → [[PqM]] subspaces × [[PqSub]] dims,
+    * [[PqK]] centroids per subspace (8-bit-code-family sizing scaled
+    * to the fixture; production uses m=8..64, k=256). Shared with the
+    * oracle generator — the two sides must agree. */
+  private[graft] val PqM = 4
+  private[graft] val PqSub = 16
+  private[graft] val PqK = 16
+
+  /** DECLARED: product-quantization ADC retrieval (r14) — the
+    * memory-bound half of the production ANN stack (Jégou et al.
+    * 2011, public; the Faiss IVF-PQ shape minus the IVF gate, which
+    * [[qKnnIvfKmeans]] already covers). Each vector's 64 floats
+    * compress to [[PqM]] small codes — one per subspace, the argmin
+    * cell of a per-subspace deterministic Lloyd codebook (the SAME
+    * seed/rounding/argmin discipline as q_kmeans_build, run on vector
+    * SLICES) — and search scans CODES, not vectors: a probe
+    * precomputes its dot product with every centroid of every
+    * subspace (an m·k lookup table, 64 doubles here) and a corpus
+    * row's approximate inner product is m table lookups + a sum,
+    * never touching the original embedding.
+    *
+    * Scale shape: codebook build is [[graft.api.GraftOps
+    * .kmeansModel]] per subspace (corpus-sample-sized in production);
+    * ENCODE is a chain of m zero-shuffle map stages (broadcast
+    * codebook row + codegen'd CellArgmin per subspace) — the corpus
+    * is never joined or shuffled; SEARCH is m broadcast lookup-table
+    * joins on the code columns (each table is probes×k rows) feeding
+    * one windowed top-3 — the only shuffle in the whole key. At 100 TB
+    * the 64-float embedding column (256 B/row) becomes m bytes/row of
+    * codes: the 60× compression is what makes exhaustive scan
+    * feasible, and recall is bounded by quantization error (the int8
+    * rerank key is the refinement step a production stack appends).
+    *
+    * Determinism: per-subspace dots round at 6 dp (the centroid-metric
+    * convention), the 4-term ADC sum is a fixed left-associated chain
+    * of identical doubles on both engines, re-rounded at 4 dp; ranking
+    * ties break on neighbor id. */
+  def qKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.GraftOps
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val slices = (0 until PqM).map(s => s"slice(embedding, ${s * PqSub + 1}, $PqSub)")
+    // per-subspace codebooks (centroids only; Lloyd checkpoints inside)
+    val cents = slices.map(sl => GraftOps.kmeansModel(emb, "vec_id", sl, PqK, 2)._1)
+    // encode: m chained zero-shuffle map stages
+    var coded = emb.select(col("vec_id").as("neighbor"), col("embedding"))
+    cents.zip(slices).zipWithIndex.foreach { case ((cent, sl), s) =>
+      coded = coded.crossJoin(broadcast(GraftOps.centroidArray(cent)))
+        .withColumn(s"pq$s", GraftOps.cellColumn(sl))
+        .drop("__cs")
+    }
+    coded = coded.drop("embedding")
+    // ADC lookup tables: probe-slice × centroid dots, 6 dp (m·k rows)
+    val luts = cents.zip(slices).zipWithIndex.map { case ((cent, sl), s) =>
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as(s"p$s"),
+          expr(s"transform($sl, x -> cast(x as double))").as("__q"))
+        .crossJoin(broadcast(cent))
+        .select(col(s"p$s"), col("__cell").as(s"c$s"),
+          round(expr("graft_num_dot(__q, __c)"), 6).as(s"d$s"))
+    }
+    val scored = luts.zipWithIndex.foldLeft(coded) { case (acc, (lut, s)) =>
+      val cond =
+        if (s == 0) col("pq0") === col("c0")
+        else col(s"pq$s") === col(s"c$s") && col(s"p$s") === col("p0")
+      acc.join(broadcast(lut), cond)
+    }
+      .filter(col("neighbor") =!= col("p0"))
+      .withColumn("adc",
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 4))
+    val w = Window.partitionBy(col("p0")).orderBy(col("adc").desc, col("neighbor"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("p0").as("vec_id"), col("neighbor"), col("adc"))
+      .orderBy(col("vec_id"), col("adc").desc, col("neighbor"))
+  }
+
   /** Typed-Aggregator UDAF: weighted average price by quantity per
     * returnflag; oracle is the algebraic sum(v*w)/sum(w). */
   def qAggUdafWavg(spark: SparkSession, dir: String): DataFrame = {
