@@ -95,8 +95,9 @@ object OracleSqlLlm {
          |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, f FROM wc),
          |${(1 to r).map(bpeRoundCtes).mkString(",\n")}
          |SELECT sym, CAST(sum(f) AS BIGINT) AS n_tok,
-         |       CAST(count(*) AS BIGINT) AS n_words
-         |FROM (SELECT f, unnest(string_split(trim(s), '  ')) AS sym FROM v$r) e
+         |       CAST(count(DISTINCT s) AS BIGINT) AS n_words
+         |FROM (SELECT s, f, unnest(string_split(trim(s), '  ')) AS sym
+         |      FROM v$r) e
          |GROUP BY sym ORDER BY n_tok DESC, sym LIMIT 30""".stripMargin
     },
     // BM25: per-term fragments generated so the three terms cannot
@@ -1062,14 +1063,19 @@ object OracleSqlLlm {
     // exactly.
     "q_knn_pq" -> {
       val m = VectorOps.PqM; val sub = VectorOps.PqSub; val k = VectorOps.PqK
+      // one iters constant (VectorOps.PqIters, shared with the engine)
+      // feeding both the Lloyd chains and the LUT centroid-CTE name
+      // (r14 review: a literal 'c2' here was the third independent
+      // copy of the iteration count)
+      val iters = VectorOps.PqIters
       val subs = (0 until m)
-        .map(s => kmCtesAt(s"s$s", s * sub + 1, (s + 1) * sub, k, 2))
+        .map(s => kmCtesAt(s"s$s", s * sub + 1, (s + 1) * sub, k, iters))
         .mkString(",\n")
       val luts = (0 until m).map(s =>
         s"""lut$s AS (
            |  SELECT p.vec_id AS p$s, c.cell AS c$s,
            |         round(list_dot_product(p.ev, c.cv), 6) AS d$s
-           |  FROM s${s}v p CROSS JOIN s${s}c2 c WHERE p.vec_id < 10)""".stripMargin)
+           |  FROM s${s}v p CROSS JOIN s${s}c$iters c WHERE p.vec_id < 10)""".stripMargin)
         .mkString(",\n")
       s"""WITH $subs,
          |codes AS (

@@ -610,9 +610,14 @@ object TextOps {
     * a loader would budget by. */
   def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
     val (_, v) = bpeLearn(spark, dir)
-    v.select(col("f"), explode(split(trim(col("s")), "  ")).as("sym"))
+    // n_words counts DISTINCT vocabulary words containing the symbol
+    // (s ↔ word is a bijection), not symbol occurrences — a word
+    // tokenizing to [a, b, a] adds 2 to a's n_tok but 1 to its
+    // n_words (r14 review catch: count(*) over the explode counted
+    // occurrences on BOTH engines, so the hash could never object)
+    v.select(col("s"), col("f"), explode(split(trim(col("s")), "  ")).as("sym"))
       .groupBy(col("sym"))
-      .agg(sum(col("f")).as("n_tok"), count(lit(1)).as("n_words"))
+      .agg(sum(col("f")).as("n_tok"), countDistinct(col("s")).as("n_words"))
       .orderBy(col("n_tok").desc, col("sym"))
       .limit(30)
   }

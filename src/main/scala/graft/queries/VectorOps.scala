@@ -499,6 +499,7 @@ object VectorOps {
   private[graft] val PqM = 4
   private[graft] val PqSub = 16
   private[graft] val PqK = 16
+  private[graft] val PqIters = 2
 
   /** DECLARED: product-quantization ADC retrieval (r14) — the
     * memory-bound half of the production ANN stack (Jégou et al.
@@ -535,7 +536,7 @@ object VectorOps {
     val emb = Tables.embeddings(spark, dir)
     val slices = (0 until PqM).map(s => s"slice(embedding, ${s * PqSub + 1}, $PqSub)")
     // per-subspace codebooks (centroids only; Lloyd checkpoints inside)
-    val cents = slices.map(sl => GraftOps.kmeansModel(emb, "vec_id", sl, PqK, 2)._1)
+    val cents = slices.map(sl => GraftOps.kmeansModel(emb, "vec_id", sl, PqK, PqIters)._1)
     // encode: m chained zero-shuffle map stages
     var coded = emb.select(col("vec_id").as("neighbor"), col("embedding"))
     cents.zip(slices).zipWithIndex.foreach { case ((cent, sl), s) =>

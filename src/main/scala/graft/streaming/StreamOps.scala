@@ -488,61 +488,70 @@ object StreamOps {
   /** DECLARED streaming key (r14, VERDICT r13 #6): the SAME interval
     * join as [[qStreamJoin]], fed the PRODUCTION way — event-time-
     * ordered micro-batches instead of the one-shot replay. The events
-    * slice into 16 time-contiguous files (ts is monotone in event_id,
-    * so event_id ranges ARE time ranges) staged with explicit,
-    * strictly increasing modification times — FileStreamSource orders
-    * discovery by mod time, so no sleeps are needed (the
-    * StreamJoinScale instrument slept 1.1 s/file; a declared key
-    * cannot) — and `maxFilesPerTrigger = 1` makes each file one
-    * micro-batch. The watermark then ADVANCES between batches and
-    * evicts matched state, so steady-state store size is bounded by
-    * event rate × (watermark + interval), corpus-size-INDEPENDENT —
-    * the state plateau StreamJoinScale measured (254 k rows flat vs
-    * the replay's 4 M at sf10). Nothing is ever late (file order =
-    * event-time order), so the emitted row set equals the batch
-    * interval join exactly and the oracle is [[qStreamJoin]]'s
-    * verbatim.
+    * slice into [[StreamJoinOrderedFiles]] time-contiguous files (ts
+    * is monotone in event_id, so event_id ranges ARE time ranges)
+    * staged with explicit, strictly increasing modification times —
+    * FileStreamSource orders discovery by mod time, so no sleeps are
+    * needed (the StreamJoinScale instrument slept 1.1 s/file; a
+    * declared key cannot) — and `maxFilesPerTrigger = 1` makes each
+    * file one micro-batch. The watermark then ADVANCES between
+    * batches and evicts matched state, so steady-state store size is
+    * bounded by event rate × (watermark + interval),
+    * corpus-size-INDEPENDENT — the state plateau StreamJoinScale
+    * measured (254 k rows flat vs the replay's 4 M at sf10). Nothing
+    * is ever late (file order = event-time order), so the emitted row
+    * set equals the batch interval join exactly and the oracle is
+    * [[qStreamJoin]]'s verbatim.
     *
-    * The staging pass (one filtered checkpoint + 16 slice writes) is
-    * the bounded-fixture stand-in for a real arriving stream; a
-    * production deployment points the same query at its landing
-    * directory and stages nothing. */
+    * Staging lands under Layout.layoutRoot keyed by fixture, writes
+    * ONCE per JVM (the qPartPruned writeOnce discipline — the r14
+    * review caught the first version restaging to a fresh leaked
+    * temp dir per invocation): Verify's fresh JVM covers the cold
+    * staging, bench warm runs measure only the streaming replay. The
+    * staging is the bounded-fixture stand-in for a real arriving
+    * stream; a production deployment points the same query at its
+    * landing directory and stages nothing. */
   def qStreamJoinOrdered(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = s"graft_stream_join_ord_${runSeq.incrementAndGet()}"
-    // 8, not the instrument's 16: each micro-batch pays a fixed
-    // offset-log + state-checkpoint commit (~1 s at fixture scale,
-    // the bounded-replay floor per batch), so batch count is pure
-    // fixed cost here; 8 advancing-watermark batches demonstrate the
-    // same eviction plateau (state is bounded per batch either way)
-    // at half the overhead. Production tunes trigger size to latency,
-    // not to this floor.
-    val nFiles = 8
-    val work = java.nio.file.Files.createTempDirectory("graft_sjo")
-    val srcDir = work.resolve("src")
-    java.nio.file.Files.createDirectories(srcDir)
-    val ev = graft.Tables.events(spark, sfDir)
+    val nFiles = StreamJoinOrderedFiles
+    val srcDir = new java.io.File(
+      s"${graft.queries.Layout.layoutRoot}/${new java.io.File(sfDir).getName}" +
+        "/stream_join_slices")
+    def ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .filter(col("event_type").isin("click", "purchase"))
-      .localCheckpoint(true) // read 16× by the slice writes below
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-    val step = maxId / nFiles + 1
-    val base = System.currentTimeMillis() - (nFiles + 1) * 2000L
-    (0 until nFiles).foreach { i =>
-      val slice = work.resolve(s"slice_$i").toString
-      ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
-        .coalesce(1).write.mode("overwrite").parquet(slice)
-      // move the single part file into the flat source dir under an
-      // explicit mod time: discovery order = event-time order
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(slice))
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(f"batch_$i%03d.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    val schema = ev.schema
+    graft.queries.Layout.writeOnce(srcDir.getPath, sfDir) {
+      // restage from scratch — a stale half-staged dir from a killed
+      // JVM must not leave extra batch files behind
+      def purge(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(purge)); f.delete()
+      }
+      purge(srcDir)
+      java.nio.file.Files.createDirectories(srcDir.toPath)
+      val evCk = ev.localCheckpoint(true) // read nFiles+1 times below
+      val maxId = evCk.agg(max(col("event_id"))).head().getLong(0)
+      val step = maxId / nFiles + 1
+      val base = System.currentTimeMillis() - (nFiles + 1) * 2000L
+      (0 until nFiles).foreach { i =>
+        val slice = new java.io.File(srcDir, s"__slice_$i")
+        evCk.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(slice.getPath)
+        // move the single part file up under an explicit mod time:
+        // discovery order = event-time order
+        val part = slice.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, f"batch_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        purge(slice)
+      }
     }
-    val src = spark.readStream.schema(ev.schema)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "batch_*.parquet")
       .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.toString)
+      .parquet(srcDir.getPath)
     runToMemorySink(spark,
       clickToPurchase(
         src.filter(col("event_type") === "click"),
@@ -551,6 +560,16 @@ object StreamOps {
       .orderBy(col("purchase_id"), col("click_id"))
       .limit(300)
   }
+
+  /** Micro-batch count for [[qStreamJoinOrdered]] — 8, not the
+    * instrument's 16: each micro-batch pays a fixed offset-log +
+    * state-checkpoint commit (~1 s at fixture scale, the
+    * bounded-replay floor per batch), so batch count is pure fixed
+    * cost here; 8 advancing-watermark batches demonstrate the same
+    * eviction plateau (state is bounded per batch either way) at half
+    * the overhead. Production tunes trigger size to latency, not to
+    * this floor. */
+  private val StreamJoinOrderedFiles = 8
 
   /** DECLARED streaming key (t2-verified): stream-STATIC enrichment —
     * the events stream joined to the static customer dimension and
