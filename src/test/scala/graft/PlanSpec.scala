@@ -268,6 +268,34 @@ class PlanSpec extends SparkSpec {
       s"two-pass prefix sum lost its partitioned window:\n$p")
   }
 
+  test("q_knn_pq search is broadcast joins over codes — one exchange total (the top-k window)") {
+    // the PQ scale claim (VectorOps scaladoc): encode is chained
+    // broadcast codebook rows + codegen'd argmin (no shuffle), search
+    // is m broadcast lookup-table joins on the code columns; the ONLY
+    // shuffle in the whole returned plan is the per-probe top-k
+    // window's exchange. A SortMergeJoin or a second hash exchange
+    // means codes or vectors started shuffling — the regression that
+    // would kill the codes-only-scan economics at 100 TB.
+    val p = planOf(queries.VectorOps.qKnnPq(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"PQ search must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"only the top-k window may shuffle:\n$p")
+  }
+
+  test("BPE keys touch the corpus only at construction — the returned plan is vocabulary-only") {
+    // the BPE scale claim (TextOps scaladoc): ONE corpus pass (the
+    // wordcount shuffle, executed during the learn loop's
+    // checkpoints); every merge round and the final output run over
+    // the checkpointed vocabulary. If the returned plan ever re-scans
+    // the documents parquet, a merge round regressed to corpus grain.
+    for (df <- Seq(queries.TextOps.qBpeMerges(spark, sf),
+                   queries.TextOps.qBpeTokenize(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("FileScan") && !p.contains("documents"),
+        s"BPE output plan must not re-scan the corpus:\n$p")
+    }
+  }
+
   test("q_sample_stratified joins the broadcast counts — corpus is never range/hash shuffled") {
     val p = planOf(queries.TextOps.qSampleStratified(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
