@@ -783,7 +783,8 @@ object OracleSqlLlm {
     // interval self-join (§2.2-4: epoch subtraction, not date_diff)
     "q_stream_join" -> streamJoinSql,
 
-    // the event-time-ordered 16-batch feed (r14) joins the SAME row
+    // the event-time-ordered multi-batch feed (r14;
+    // StreamOps.StreamJoinOrderedFiles batches) joins the SAME row
     // set: the staged files are time-contiguous and arrive in event-
     // time order, so the advancing watermark only EVICTS already-
     // matched state and never drops a late row — the oracle is

@@ -503,49 +503,79 @@ object StreamOps {
     * set equals the batch interval join exactly and the oracle is
     * [[qStreamJoin]]'s verbatim.
     *
-    * Staging lands under Layout.layoutRoot keyed by fixture, writes
-    * ONCE per JVM (the qPartPruned writeOnce discipline — the r14
-    * review caught the first version restaging to a fresh leaked
-    * temp dir per invocation): Verify's fresh JVM covers the cold
-    * staging, bench warm runs measure only the streaming replay. The
-    * staging is the bounded-fixture stand-in for a real arriving
-    * stream; a production deployment points the same query at its
-    * landing directory and stages nothing. */
+    * Staging lands under Layout.layoutRoot keyed by fixture and is
+    * PERSISTENTLY memoized across JVMs: a `_STAGED` sentinel (holding
+    * the canonical fixture path + slice count) marks a complete
+    * staging, so later calls — this JVM or any other — reuse the
+    * files without touching the directory, and first-time staging
+    * builds in a process-unique sibling dir PUBLISHED by one atomic
+    * rename. The r14 review caught two weaker designs in sequence:
+    * a fresh leaked temp dir per invocation, then a per-JVM writeOnce
+    * whose purge window could yank staged files out from under a
+    * concurrently replaying JVM (the old design was immune only by
+    * leaking). The sentinel + atomic publish has no such window: the
+    * target is either absent or complete. Verify's fresh JVM on a
+    * fresh checkout covers the cold staging; bench warm runs measure
+    * only the streaming replay. The staging is the bounded-fixture
+    * stand-in for a real arriving stream; a production deployment
+    * points the same query at its landing directory and stages
+    * nothing. */
   def qStreamJoinOrdered(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = s"graft_stream_join_ord_${runSeq.incrementAndGet()}"
     val nFiles = StreamJoinOrderedFiles
+    val canonical = new java.io.File(sfDir).getCanonicalPath
     val srcDir = new java.io.File(
       s"${graft.queries.Layout.layoutRoot}/${new java.io.File(sfDir).getName}" +
         "/stream_join_slices")
+    val sentinelBody = s"$canonical n=$nFiles"
+    def stagedOk: Boolean = {
+      val s = new java.io.File(srcDir, "_STAGED")
+      s.exists && scala.util.Try(java.nio.file.Files.readString(s.toPath))
+        .toOption.contains(sentinelBody)
+    }
+    def purge(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(purge)); f.delete()
+    }
     def ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .filter(col("event_type").isin("click", "purchase"))
     val schema = ev.schema
-    graft.queries.Layout.writeOnce(srcDir.getPath, sfDir) {
-      // restage from scratch — a stale half-staged dir from a killed
-      // JVM must not leave extra batch files behind
-      def purge(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(purge)); f.delete()
-      }
+    if (!stagedOk) {
+      // a sentinel-less srcDir is garbage (killed mid-stage, or a
+      // basename-colliding fixture) — remove it before publishing
       purge(srcDir)
-      java.nio.file.Files.createDirectories(srcDir.toPath)
-      val evCk = ev.localCheckpoint(true) // read nFiles+1 times below
-      val maxId = evCk.agg(max(col("event_id"))).head().getLong(0)
+      val tmp = new java.io.File(srcDir.getParent,
+        s"${srcDir.getName}.tmp_${ProcessHandle.current().pid}")
+      purge(tmp)
+      java.nio.file.Files.createDirectories(tmp.toPath)
+      // no checkpoint: the nFiles+1 staging reads each re-scan the
+      // 4-column pushed-down parquet projection — cheap, runs once
+      // per fixture EVER (the sentinel), and leaves no storage-memory
+      // pin behind (an eager localCheckpoint's blocks outlive the
+      // staging with no clean Dataset-level release — r14 review #2)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
       val step = maxId / nFiles + 1
       val base = System.currentTimeMillis() - (nFiles + 1) * 2000L
       (0 until nFiles).foreach { i =>
-        val slice = new java.io.File(srcDir, s"__slice_$i")
-        evCk.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
+        val slice = new java.io.File(tmp, s"__slice_$i")
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
           .coalesce(1).write.mode("overwrite").parquet(slice.getPath)
         // move the single part file up under an explicit mod time:
         // discovery order = event-time order
         val part = slice.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(srcDir, f"batch_$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val dst = new java.io.File(tmp, f"batch_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
         java.nio.file.Files.setLastModifiedTime(dst.toPath,
           java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
         purge(slice)
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
+      try java.nio.file.Files.move(tmp.toPath, srcDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // another process published first — use its (complete) copy
+        purge(tmp)
       }
     }
     val src = spark.readStream.schema(schema)
