@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality gate    — drop repetitive docs (Gopher signals)
   *   2. exact dedup     — one representative per normalized text
-  *   3. near-dup dedup  — MinHash/LSH candidates ≥ `minJaccard`,
-  *                        connected components, keep each cluster's
-  *                        min-id representative
+  *   3. near-dup dedup  — MinHash/LSH candidates ≥ `minJaccard`
+  *                        (band-skew capped: [[GraftOps.lshCandidates]]
+  *                        routes through the one MaxBandBucket pair
+  *                        engine, so DISTINCT texts sharing a band
+  *                        bucket — boilerplate variants — cannot blow
+  *                        up the join at corpus scale), connected
+  *                        components, keep each cluster's min-id
+  *                        representative
   *   4. decontamination — drop docs sharing an n-gram shingle with
   *                        the benchmark set (bloom prefilter + exact
   *                        confirm; answer exact)
@@ -51,38 +56,56 @@ object CurationPipeline {
   private[graft] def stages(docs: DataFrame, bench: DataFrame,
                             idCol: String, textCol: String, stratumCol: String,
                             target: Int, minJaccard: Double,
-                            materialize: Boolean): Seq[(String, DataFrame)] = {
+                            materialize: Boolean,
+                            onStage: (String, Double) => Unit = (_, _) => ()): Seq[(String, DataFrame)] = {
     def m(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
+    // per-stage wall attribution (tools.FunnelBench — the CcRoundAudit
+    // callback pattern): with materialize=true each block below IS the
+    // stage's execution; the default no-op adds nothing to curate()
+    def timed(name: String)(f: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime(); val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9); r
+    }
     // 1. quality gate: keep docs the repetition signals pass
-    val ok = GraftOps.repetitionSignals(docs, idCol, textCol)
-      .filter(!col("repetitive")).select(col(idCol))
-    val q = m(docs.join(ok, Seq(idCol), "left_semi"))
+    val q = timed("quality_gate") {
+      val ok = GraftOps.repetitionSignals(docs, idCol, textCol)
+        .filter(!col("repetitive")).select(col(idCol))
+      m(docs.join(ok, Seq(idCol), "left_semi"))
+    }
 
     // 2. exact dedup on normalized text: min id per content group
-    val reps = GraftOps.normalizeText(q, textCol, "__norm")
-      .groupBy(col("__norm")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val exact = m(q.join(reps, Seq(idCol), "left_semi"))
+    val exact = timed("exact_dedup") {
+      val reps = GraftOps.normalizeText(q, textCol, "__norm")
+        .groupBy(col("__norm")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol))
+      m(q.join(reps, Seq(idCol), "left_semi"))
+    }
 
     // 3. near-dup clustering: non-representative cluster members out
-    val sigs = GraftOps.minhashSignatures(exact, idCol, textCol)
-    val cand = GraftOps.lshCandidates(sigs, idCol)
-      .filter(col("jacc_est") >= minJaccard)
-    val losers = GraftOps.connectedComponents(cand, "id_a", "id_b")
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    val near = m(exact.join(losers, Seq(idCol), "left_anti"))
+    val near = timed("near_dedup") {
+      val sigs = GraftOps.minhashSignatures(exact, idCol, textCol)
+      val cand = GraftOps.lshCandidates(sigs, idCol)
+        .filter(col("jacc_est") >= minJaccard)
+      val losers = GraftOps.connectedComponents(cand, "id_a", "id_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol))
+      m(exact.join(losers, Seq(idCol), "left_anti"))
+    }
 
     // 4. decontamination: any shared shingle with the benchmark → out
-    val corpusGrams = GraftOps.wordShingles(near, idCol, textCol)
-    val benchGrams = GraftOps.wordShingles(bench, idCol, textCol)
-      .select(col("gram"))
-    val dirty = GraftOps.bloomSemiJoin(corpusGrams, benchGrams, "gram")
-      .select(col(idCol)).distinct()
-    val clean = m(near.join(dirty, Seq(idCol), "left_anti"))
+    val clean = timed("decontaminate") {
+      val corpusGrams = GraftOps.wordShingles(near, idCol, textCol)
+      val benchGrams = GraftOps.wordShingles(bench, idCol, textCol)
+        .select(col("gram"))
+      val dirty = GraftOps.bloomSemiJoin(corpusGrams, benchGrams, "gram")
+        .select(col(idCol)).distinct()
+      m(near.join(dirty, Seq(idCol), "left_anti"))
+    }
 
     // 5. balanced per-stratum cap (content-hash keyed → reproducible)
-    val capped = m(GraftOps.stratifiedSample(clean, stratumCol, textCol, target))
+    val capped = timed("stratum_cap") {
+      m(GraftOps.stratifiedSample(clean, stratumCol, textCol, target))
+    }
 
     Seq("quality_gate" -> q, "exact_dedup" -> exact, "near_dedup" -> near,
       "decontaminate" -> clean, "stratum_cap" -> capped)

@@ -39,18 +39,21 @@ object OracleSqlPipe {
         |FROM e JOIN bench USING (gram) WHERE doc_id >= 5
         |GROUP BY doc_id ORDER BY n_shared DESC, doc_id""".stripMargin,
 
-    // The COMPOSED curation funnel (r14): the five stage CTE chains —
-    // each the SQL vocabulary of its standalone key (q_text_repetition
-    // verdict, q_text_normalize chain, the q_dedup_clusters band-join
-    // ∪-distinct + recursive reach() components but UNCAPPED like the
-    // pipeline's lshCandidates, q_decontam_bloom's exact semi-join,
+    // The COMPOSED curation funnel (r14; stage 3 CAP-AWARE since r15):
+    // the five stage CTE chains — each the SQL vocabulary of its
+    // standalone key (q_text_repetition verdict, q_text_normalize
+    // chain, the q_dedup_clusters CAPPED band-join ∪-distinct +
+    // recursive reach() components — big1/big2 HAVING + NOT EXISTS
+    // mirror OracleSqlLlm.mhPairCtes, because the pipeline's
+    // lshCandidates now routes through the one MaxBandBucket pair
+    // engine — q_decontam_bloom's exact semi-join,
     // q_sample_stratified's integer keep rule) — applied over the
     // SURVIVOR frame of the previous stage, with one (rows, id_sum)
     // aggregate per stage. cand's body is a subquery union (NOT a
     // top-level UNION CTE — the WITH RECURSIVE anchor/step trap, r12);
     // jacc_est >= 0.5 is spelled as the integer match-count >= 2.
     "q_pipeline_curate" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |d0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 5),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
         |x AS (SELECT doc_id, string_split(text,' ') AS t FROM d0),
@@ -80,14 +83,22 @@ object OracleSqlPipe {
         |    min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
         |    min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
         |  FROM hs2 GROUP BY doc_id),
+        |big1 AS (SELECT mh1, mh2 FROM mh2 GROUP BY mh1, mh2
+        |         HAVING count(*) > ${DedupOps.MaxBandBucket}),
+        |big2 AS (SELECT mh3, mh4 FROM mh2 GROUP BY mh3, mh4
+        |         HAVING count(*) > ${DedupOps.MaxBandBucket}),
         |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |    FROM mh2 a JOIN mh2 b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2
         |                         AND a.doc_id < b.doc_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM big1 g
+        |                      WHERE g.mh1 = a.mh1 AND g.mh2 = a.mh2)
         |    UNION ALL
         |    SELECT a.doc_id, b.doc_id
         |    FROM mh2 a JOIN mh2 b ON a.mh3 = b.mh3 AND a.mh4 = b.mh4
-        |                         AND a.doc_id < b.doc_id) u),
+        |                         AND a.doc_id < b.doc_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM big2 g
+        |                      WHERE g.mh3 = a.mh3 AND g.mh4 = a.mh4)) u),
         |pr AS (SELECT c.doc_a, c.doc_b
         |  FROM cand c JOIN mh2 a ON a.doc_id = c.doc_a
         |              JOIN mh2 b ON b.doc_id = c.doc_b

@@ -99,6 +99,52 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept.count() > 300L, "adversarial corpus over-filtered")
   }
 
+  test("stage 3 caps DISTINCT-text band-bucket skew (VERDICT r14 #1)") {
+    // The hazard exact dedup can NOT absorb: 1200 DISTINCT texts —
+    // the boilerplate sentence plus one unique trailing token each —
+    // all survive stage 2 (distinct normalized texts), and most share
+    // the base text's band signatures (the one new shingle rarely
+    // displaces a 13-shingle minimum). Pre-r15, stage 3's uncapped
+    // band join materialized their ~n²/2 candidate pairs; now
+    // lshCandidates routes through the MaxBandBucket pair engine.
+    val varFrame = (0 until 1200).map(i =>
+      (AdvFixture.MegaBase + i, s"${AdvFixture.MegaText} uniq$i", "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // precondition: the skew is real — over-cap buckets in BOTH bands
+    // among DISTINCT texts, and uncapped candidates are quadratic
+    val sigs = graft.api.GraftOps.minhashSignatures(varFrame, "doc_id", "text")
+      .localCheckpoint(true)
+    val b1max = sigs.groupBy("mh1", "mh2").count().agg(max("count")).head().getLong(0)
+    val b2max = sigs.groupBy("mh3", "mh4").count().agg(max("count")).head().getLong(0)
+    val cap = graft.queries.DedupOps.MaxBandBucket
+    assert(b1max > cap && b2max > cap,
+      s"fixture failed to trigger the hazard: band buckets $b1max/$b2max ≤ cap $cap")
+    val uncapped = graft.api.GraftOps.lshCandidates(sigs, "doc_id", Int.MaxValue).count()
+    assert(uncapped > 100000L, s"uncapped blowup missing: $uncapped pairs")
+
+    // the capped generator: over-cap buckets out of candidate
+    // generation; a displaced-minimum variant's band key is unique
+    // (its new shingle is), so NO variant pair survives
+    assert(graft.api.GraftOps.lshCandidates(sigs, "doc_id").count() === 0L)
+    // and the guard is live at cap=1 on any corpus with real pairs
+    assert(graft.api.GraftOps.lshCandidates(sigs, "doc_id", 1).count() === 0L)
+
+    // degradation contract end-to-end: the composed pipeline passes
+    // the variants THROUGH stage 3 untouched (over-cap buckets are
+    // the exact/boilerplate passes' territory, never pairwise)
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang")).unionAll(varFrame)
+    val disjointBench =
+      Seq((1L, "completely disjoint benchmark sentence sharing nothing"))
+        .toDF("doc_id", "text")
+    val nearOut = CurationPipeline.curateLazy(
+      corpus, disjointBench, "doc_id", "text", "lang", target = 100000)
+      .toMap.apply("near_dedup")
+    assert(nearOut.filter(col("doc_id") >= AdvFixture.MegaBase).count() === 1200L,
+      "capped stage 3 must keep every distinct-text variant")
+  }
+
   test("stratum cap engages when target is small; lazy form defers the funnel counts") {
     val stages = CurationPipeline.curateLazy(
       docs, bench, "doc_id", "text", "lang", target = 3)

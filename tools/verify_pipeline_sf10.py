@@ -63,14 +63,22 @@ def main():
           min((1*h+7) % 2147483647) AS mh1, min((3*h+11) % 2147483647) AS mh2,
           min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
         FROM hs2 GROUP BY doc_id),
+      big1 AS (SELECT mh1, mh2 FROM mh2 GROUP BY mh1, mh2
+               HAVING count(*) > 500),
+      big2 AS (SELECT mh3, mh4 FROM mh2 GROUP BY mh3, mh4
+               HAVING count(*) > 500),
       cand AS (SELECT DISTINCT doc_a, doc_b FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM mh2 a JOIN mh2 b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2
                                AND a.doc_id < b.doc_id
+          WHERE NOT EXISTS (SELECT 1 FROM big1 g
+                            WHERE g.mh1 = a.mh1 AND g.mh2 = a.mh2)
           UNION ALL
           SELECT a.doc_id, b.doc_id
           FROM mh2 a JOIN mh2 b ON a.mh3 = b.mh3 AND a.mh4 = b.mh4
-                               AND a.doc_id < b.doc_id) u)
+                               AND a.doc_id < b.doc_id
+          WHERE NOT EXISTS (SELECT 1 FROM big2 g
+                            WHERE g.mh3 = a.mh3 AND g.mh4 = a.mh4)) u)
       SELECT c.doc_a, c.doc_b
       FROM cand c JOIN mh2 a ON a.doc_id = c.doc_a
                   JOIN mh2 b ON b.doc_id = c.doc_b
