@@ -201,6 +201,10 @@ object SparkEntry {
     "q_bpe_tokenize"       -> TextOps.qBpeTokenize _,
     // round-14: product-quantization ADC retrieval (codes-only scan)
     "q_knn_pq"             -> VectorOps.qKnnPq _,
+    // round-15: the PRODUCTION PQ build (sampled codebooks) and the
+    // full Faiss IVF-PQ composition (coarse gate + codes-only ADC)
+    "q_knn_pq_sampled"     -> VectorOps.qKnnPqSampled _,
+    "q_knn_ivf_pq"         -> VectorOps.qKnnIvfPq _,
     // round-14: the interval join under the PRODUCTION ordered feed —
     // watermark advances per batch, state plateaus (same oracle)
     "q_stream_join_ordered" -> StreamOps.qStreamJoinOrdered _

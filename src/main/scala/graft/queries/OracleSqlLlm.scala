@@ -896,22 +896,38 @@ object OracleSqlLlm {
     * ${p}c$i / ${p}af over `embedding[$lo:$hi]` (dim = hi−lo+1). Same
     * seed hash, same rounding, same argmin as the full-vector chain —
     * one fragment family, so the PQ oracle cannot drift from the
-    * kmeans one. */
+    * kmeans one.
+    *
+    * r15: `trainSrc`/`encodeSrc` split for the PRODUCTION sampled
+    * build — the Lloyd chain (seeds + rounds) reads `trainSrc`, while
+    * the final corpus assignment `${p}af` reads `encodeSrc`. When the
+    * two differ an extra full-slice CTE `${p}f` is emitted (also the
+    * LUT probe source — probes live in the corpus, not the sample);
+    * with equal sources the emitted SQL is the pre-r15 string
+    * unchanged. */
   private def kmCtesAt(p: String, lo: Int, hi: Int, k: Int,
-                       iters: Int): String = {
+                       iters: Int, trainSrc: String = "embeddings",
+                       encodeSrc: String = "embeddings"): String = {
     val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
     val rounds = (1 to iters).map(i =>
       s"""${p}a$i AS (${kmAssign(s"${p}c${i - 1}", s"${p}v")}),
          |${p}c$i AS (${kmUpdate(s"${p}a$i", hi - lo + 1)})""".stripMargin)
       .mkString(",\n")
+    val split = trainSrc != encodeSrc
+    val fullCte =
+      if (split)
+        s"""${p}f AS (SELECT vec_id, CAST(embedding[$lo:$hi] AS DOUBLE[]) AS ev
+           |          FROM $encodeSrc),
+           |""".stripMargin
+      else ""
     s"""${p}v AS (SELECT vec_id, CAST(embedding[$lo:$hi] AS DOUBLE[]) AS ev
-       |          FROM embeddings),
-       |${p}c0 AS (
+       |          FROM $trainSrc),
+       |$fullCte${p}c0 AS (
        |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
        |         list_transform(ev, x -> round(x, 4)) AS cv
        |  FROM ${p}v ORDER BY $h, vec_id LIMIT $k),
        |$rounds,
-       |${p}af AS (${kmAssign(s"${p}c$iters", s"${p}v")})""".stripMargin
+       |${p}af AS (${kmAssign(s"${p}c$iters", if (split) s"${p}f" else s"${p}v")})""".stripMargin
   }
 
   /** WITH-prefix ending at `af`, the final corpus (vec_id, ev, cell)
@@ -939,20 +955,95 @@ object OracleSqlLlm {
   /** Name of the final-centroid CTE [[kmCtes]] emits for `iters`. */
   private def kmFinalCentroids(iters: Int = 2): String = s"c$iters"
 
-  /** The unsupervised IVF retrieval SQL at any (k, iters, nprobe)
-    * geometry — probe cells ranked by the build's own argmin metric
-    * over the final centroids, top-3 per probe over the probed cells'
-    * members. */
-  private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int): String =
-    s"""${kmCtes(k, iters)},
-       |pc AS (
+  /** PQ-ADC oracle generator (r14, generalized r15): the three PQ
+    * keys from ONE fragment family — `sampled` trains the subspace
+    * codebooks on the engine's [[VectorOps.PqSamplePct]]% md5
+    * hash-sample (the samp CTE is GraftOps.sampleByHash's exact rule)
+    * while ENCODE/LUT read the full corpus via the split kmCtesAt;
+    * `ivf` prepends the coarse full-vector Lloyd gate + [[pcCte]] and
+    * restricts ADC scoring to each probe's probed cells — mirroring
+    * VectorOps.pqAdc term-for-term. */
+  private def pqAdcSql(sampled: Boolean, ivf: Boolean): String = {
+    val m = VectorOps.PqM; val sub = VectorOps.PqSub; val k = VectorOps.PqK
+    val iters = VectorOps.PqIters
+    val trainSrc = if (sampled) "samp" else "embeddings"
+    val subs = (0 until m)
+      .map(s => kmCtesAt(s"s$s", s * sub + 1, (s + 1) * sub, k, iters,
+        trainSrc = trainSrc, encodeSrc = "embeddings"))
+      .mkString(",\n")
+    // probes live in the CORPUS, not the sample — LUTs read the full
+    // slice CTE under a sampled build
+    val lutSrc = if (sampled) "f" else "v"
+    val luts = (0 until m).map(s =>
+      s"""lut$s AS (
+         |  SELECT p.vec_id AS p$s, c.cell AS c$s,
+         |         round(list_dot_product(p.ev, c.cv), 6) AS d$s
+         |  FROM s$s$lutSrc p CROSS JOIN s${s}c$iters c WHERE p.vec_id < 10)""".stripMargin)
+      .mkString(",\n")
+    val sampCte =
+      if (sampled)
+        s"""samp AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,4))
+           |         AS BIGINT) % 100) < ${VectorOps.PqSamplePct}),
+           |""".stripMargin
+      else ""
+    val gcell = if (ivf) ",\n         g.cell AS gcell" else ""
+    val gjoin = if (ivf) "\n       JOIN af g USING (vec_id)" else ""
+    val codes =
+      s"""codes AS (
+         |  SELECT a0.vec_id, a0.cell AS pq0, a1.cell AS pq1,
+         |         a2.cell AS pq2, a3.cell AS pq3$gcell
+         |  FROM s0af a0 JOIN s1af a1 USING (vec_id)
+         |       JOIN s2af a2 USING (vec_id) JOIN s3af a3 USING (vec_id)$gjoin)""".stripMargin
+    val head =
+      if (ivf)
+        s"""${kmCtes(VectorOps.IvfPqCells, iters)},
+           |${pcCte(VectorOps.IvfPqNprobe, iters)},
+           |$sampCte$subs""".stripMargin
+      else s"WITH $sampCte$subs"
+    val scGate = if (ivf) "\n  JOIN pc p ON p.cell = kk.gcell" else ""
+    val l0Cond = if (ivf) " AND l0.p0 = p.vec_id" else ""
+    s"""$head,
+       |$codes,
+       |$luts,
+       |sc AS (
+       |  SELECT l0.p0, kk.vec_id AS neighbor,
+       |         round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 4) AS adc
+       |  FROM codes kk$scGate
+       |  JOIN lut0 l0 ON l0.c0 = kk.pq0$l0Cond
+       |  JOIN lut1 l1 ON l1.c1 = kk.pq1 AND l1.p1 = l0.p0
+       |  JOIN lut2 l2 ON l2.c2 = kk.pq2 AND l2.p2 = l0.p0
+       |  JOIN lut3 l3 ON l3.c3 = kk.pq3 AND l3.p3 = l0.p0
+       |  WHERE kk.vec_id <> l0.p0)
+       |SELECT p0 AS vec_id, neighbor, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY p0
+       |                              ORDER BY adc DESC, neighbor) AS rk
+       |  FROM sc) z
+       |WHERE rk <= 3 ORDER BY vec_id, adc DESC, neighbor""".stripMargin
+  }
+
+  /** The probe → top-nprobe-cells CTE over the full-vector Lloyd
+    * build's [[kmCtes]] names — shared by [[ivfKmeansSql]] and the
+    * IVF-PQ generator ([[pqAdcSql]]), so the gate metric (the build's
+    * own 6-dp argmin, ties to the smaller cell) is spelled once. */
+  private def pcCte(nprobe: Int, iters: Int): String =
+    s"""pc AS (
        |  SELECT vec_id, ev, cell FROM (
        |    SELECT v.vec_id, v.ev, c.cell,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        round(round(list_dot_product(c.cv, c.cv), 6)
        |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
        |    FROM v CROSS JOIN ${kmFinalCentroids(iters)} c
-       |    WHERE v.vec_id < 10) x WHERE rk <= $nprobe),
+       |    WHERE v.vec_id < 10) x WHERE rk <= $nprobe)""".stripMargin
+
+  /** The unsupervised IVF retrieval SQL at any (k, iters, nprobe)
+    * geometry — probe cells ranked by the build's own argmin metric
+    * over the final centroids, top-3 per probe over the probed cells'
+    * members. */
+  private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int): String =
+    s"""${kmCtes(k, iters)},
+       |${pcCte(nprobe, iters)},
        |pairs AS (
        |  SELECT p.vec_id, t.vec_id AS neighbor,
        |    round(CAST(list_dot_product(p.ev, t.ev) AS DOUBLE), 4) AS cos
@@ -1062,44 +1153,12 @@ object OracleSqlLlm {
     // 6 dp, and the ADC estimate is the fixed left-associated 4-term
     // sum re-rounded at 4 dp — mirroring VectorOps.qKnnPq term order
     // exactly.
-    "q_knn_pq" -> {
-      val m = VectorOps.PqM; val sub = VectorOps.PqSub; val k = VectorOps.PqK
-      // one iters constant (VectorOps.PqIters, shared with the engine)
-      // feeding both the Lloyd chains and the LUT centroid-CTE name
-      // (r14 review: a literal 'c2' here was the third independent
-      // copy of the iteration count)
-      val iters = VectorOps.PqIters
-      val subs = (0 until m)
-        .map(s => kmCtesAt(s"s$s", s * sub + 1, (s + 1) * sub, k, iters))
-        .mkString(",\n")
-      val luts = (0 until m).map(s =>
-        s"""lut$s AS (
-           |  SELECT p.vec_id AS p$s, c.cell AS c$s,
-           |         round(list_dot_product(p.ev, c.cv), 6) AS d$s
-           |  FROM s${s}v p CROSS JOIN s${s}c$iters c WHERE p.vec_id < 10)""".stripMargin)
-        .mkString(",\n")
-      s"""WITH $subs,
-         |codes AS (
-         |  SELECT a0.vec_id, a0.cell AS pq0, a1.cell AS pq1,
-         |         a2.cell AS pq2, a3.cell AS pq3
-         |  FROM s0af a0 JOIN s1af a1 USING (vec_id)
-         |       JOIN s2af a2 USING (vec_id) JOIN s3af a3 USING (vec_id)),
-         |$luts,
-         |sc AS (
-         |  SELECT l0.p0, kk.vec_id AS neighbor,
-         |         round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 4) AS adc
-         |  FROM codes kk
-         |  JOIN lut0 l0 ON l0.c0 = kk.pq0
-         |  JOIN lut1 l1 ON l1.c1 = kk.pq1 AND l1.p1 = l0.p0
-         |  JOIN lut2 l2 ON l2.c2 = kk.pq2 AND l2.p2 = l0.p0
-         |  JOIN lut3 l3 ON l3.c3 = kk.pq3 AND l3.p3 = l0.p0
-         |  WHERE kk.vec_id <> l0.p0)
-         |SELECT p0 AS vec_id, neighbor, adc FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY p0
-         |                              ORDER BY adc DESC, neighbor) AS rk
-         |  FROM sc) z
-         |WHERE rk <= 3 ORDER BY vec_id, adc DESC, neighbor""".stripMargin
-    },
+    "q_knn_pq" -> pqAdcSql(sampled = false, ivf = false),
+    // r15: the PRODUCTION sampled-codebook build and the full Faiss
+    // IVF-PQ composition — same generator, so the three PQ keys'
+    // Lloyd/LUT/ADC fragments cannot drift apart
+    "q_knn_pq_sampled" -> pqAdcSql(sampled = true, ivf = false),
+    "q_knn_ivf_pq" -> pqAdcSql(sampled = true, ivf = true),
     // r13: the high-recall half-scan point (128, 2, 64) — recall 0.97
     // at sf10 where the quarter-scan diagonal plateaus at 0.77
     "q_knn_ivf_hr" -> ivfKmeansSql(128, 2, 64),

@@ -501,6 +501,15 @@ object VectorOps {
   private[graft] val PqK = 16
   private[graft] val PqIters = 2
 
+  /** Production-build dials (r15): codebooks train on a deterministic
+    * [[graft.api.GraftOps.sampleByHash]] slice of the corpus
+    * ([[PqSamplePct]]%), and the IVF-PQ composition gates the ADC scan
+    * behind the q_knn_ivf_mp coarse geometry (64 Lloyd cells,
+    * nprobe = 16 — the measured quarter-scan point of the IVF dial). */
+  private[graft] val PqSamplePct = 25
+  private[graft] val IvfPqCells = 64
+  private[graft] val IvfPqNprobe = 16
+
   /** DECLARED: product-quantization ADC retrieval (r14) — the
     * memory-bound half of the production ANN stack (Jégou et al.
     * 2011, public; the Faiss IVF-PQ shape minus the IVF gate, which
@@ -515,7 +524,10 @@ object VectorOps {
     * never touching the original embedding.
     *
     * Scale shape: codebook build is [[graft.api.GraftOps
-    * .kmeansModel]] per subspace (corpus-sample-sized in production);
+    * .kmeansModel]] per subspace (corpus-sample-sized in production —
+    * [[qKnnPqSampled]] is that declared twin, and [[qKnnIvfPq]] the
+    * gated composition; this full-build key is their verification
+    * baseline);
     * ENCODE is a chain of m zero-shuffle map stages (broadcast
     * codebook row + codegen'd CellArgmin per subspace) — the corpus
     * is never joined or shuffled; SEARCH is m broadcast lookup-table
@@ -530,15 +542,73 @@ object VectorOps {
     * convention), the 4-term ADC sum is a fixed left-associated chain
     * of identical doubles on both engines, re-rounded at 4 dp; ranking
     * ties break on neighbor id. */
-  def qKnnPq(spark: SparkSession, dir: String): DataFrame = {
+  def qKnnPq(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(spark, dir, sampledTrain = false, ivfGate = false)
+
+  /** DECLARED (r15): the PRODUCTION PQ build — identical ADC search
+    * to [[qKnnPq]], but the per-subspace codebooks train on a
+    * deterministic [[PqSamplePct]]% hash-sample of the corpus
+    * ([[graft.api.GraftOps.sampleByHash]] keyed on vec_id), exactly
+    * as a real deployment amortizes the quantizer: Lloyd's cost is
+    * O(sample·k·iters·d) instead of O(corpus·…), and the corpus is
+    * touched only by the zero-shuffle ENCODE pass. The full-corpus
+    * build (q_knn_pq) is the verification baseline; PqSpec pins the
+    * ADC-envelope parity between the two and SCALE.md records the
+    * sf10 build-wall split. */
+  def qKnnPqSampled(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(spark, dir, sampledTrain = true, ivfGate = false)
+
+  /** DECLARED (r15): the full Faiss IVF-PQ retrieval shape — a coarse
+    * IVF gate ([[IvfPqCells]] Lloyd cells over the full vectors,
+    * [[IvfPqNprobe]]-probe — q_knn_ivf_mp's measured quarter-scan
+    * geometry) in front of the PQ-ADC scan, with the codebooks from
+    * the PRODUCTION sampled build. Each probe scores codes ONLY in
+    * its probed cells: the ADC join volume drops by the scan
+    * fraction (nprobe/k = 1/4 here) while staying codes-only —
+    * at 100 TB this is the architecture that serves web-scale
+    * retrieval (Jégou et al. 2011; Faiss IndexIVFPQ, public API
+    * surface): gate prunes, codes compress, rerank (q_knn_rerank)
+    * refines. Recall vs the exact baseline is measured on
+    * AnnRecallSpec's floor protocol against q_knn_ivf_hr.
+    *
+    * Plan shape: coarse assignment and encode are the same
+    * zero-shuffle map stages; the gate is ONE broadcast join of the
+    * ≤ probes·nprobe (p_id, cell) rows onto the coded corpus; then m
+    * broadcast LUT joins and the single top-k window Exchange —
+    * vectors never shuffle, codes shuffle once. */
+  def qKnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(spark, dir, sampledTrain = true, ivfGate = true)
+
+  /** The one PQ-ADC engine behind [[qKnnPq]] / [[qKnnPqSampled]] /
+    * [[qKnnIvfPq]]: codebook build (full or sampled train set),
+    * zero-shuffle encode, optional coarse-cell gate, broadcast-LUT
+    * ADC scoring, top-3 window. */
+  private[graft] def pqAdc(spark: SparkSession, dir: String,
+                           sampledTrain: Boolean, ivfGate: Boolean): DataFrame = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
+    // deterministic hash-sample train set (engine-neutral md5 rule —
+    // the q_sample_hash operator's selection, keyed on vec_id)
+    val train =
+      if (sampledTrain)
+        GraftOps.sampleByHash(emb, "cast(vec_id as string)", PqSamplePct)
+      else emb
     val slices = (0 until PqM).map(s => s"slice(embedding, ${s * PqSub + 1}, $PqSub)")
     // per-subspace codebooks (centroids only; Lloyd checkpoints inside)
-    val cents = slices.map(sl => GraftOps.kmeansModel(emb, "vec_id", sl, PqK, PqIters)._1)
-    // encode: m chained zero-shuffle map stages
-    var coded = emb.select(col("vec_id").as("neighbor"), col("embedding"))
+    val cents = slices.map(sl => GraftOps.kmeansModel(train, "vec_id", sl, PqK, PqIters)._1)
+    // optional coarse IVF model: cells over FULL vectors, full corpus
+    // (the gate must cover every corpus row, so it never samples)
+    val gate =
+      if (ivfGate)
+        Some(GraftOps.kmeansModel(emb, "vec_id", "embedding", IvfPqCells, PqIters))
+      else None
+    // encode: m chained zero-shuffle map stages (gate keeps its cell)
+    var coded = gate match {
+      case Some((_, assigned)) =>
+        assigned.select(col("vec_id").as("neighbor"), col("embedding"), col("cell"))
+      case None => emb.select(col("vec_id").as("neighbor"), col("embedding"))
+    }
     cents.zip(slices).zipWithIndex.foreach { case ((cent, sl), s) =>
       coded = coded.crossJoin(broadcast(GraftOps.centroidArray(cent)))
         .withColumn(s"pq$s", GraftOps.cellColumn(sl))
@@ -554,9 +624,23 @@ object VectorOps {
         .select(col(s"p$s"), col("__cell").as(s"c$s"),
           round(expr("graft_num_dot(__q, __c)"), 6).as(s"d$s"))
     }
-    val scored = luts.zipWithIndex.foldLeft(coded) { case (acc, (lut, s)) =>
+    // coarse gate: restrict the scan to each probe's top-nprobe cells
+    // (broadcast of ≤ probes·nprobe rows; same CellTopP metric as the
+    // build, so rank-1 always contains the probe's own cell)
+    val base = gate match {
+      case Some((cent, _)) =>
+        val probeCell = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("p_id"), col("embedding").as(P))
+          .crossJoin(broadcast(GraftOps.centroidArray(cent)))
+          .select(col("p_id"),
+            explode(expr(s"graft_cell_topp($P, __cs, $IvfPqNprobe)")).as("cell"))
+        broadcast(probeCell).join(coded, "cell")
+      case None => coded
+    }
+    val scored = luts.zipWithIndex.foldLeft(base) { case (acc, (lut, s)) =>
       val cond =
-        if (s == 0) col("pq0") === col("c0")
+        if (s == 0 && ivfGate) col("pq0") === col("c0") && col("p0") === col("p_id")
+        else if (s == 0) col("pq0") === col("c0")
         else col(s"pq$s") === col(s"c$s") && col(s"p$s") === col("p0")
       acc.join(broadcast(lut), cond)
     }

@@ -240,6 +240,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.90, f"sf1 recall $recall%.3f below 0.90 floor")
   }
 
+  test("q_knn_ivf_pq (r15): sf1 recall measured against the exact baseline and q_knn_ivf_hr") {
+    // The Faiss IVF-PQ shape trades BOTH scan fraction (16/64 probed
+    // cells) and score fidelity (4×4-bit ADC estimates) for
+    // memory/throughput — on the isotropic fixture (true neighbours
+    // at cos 0.29–0.39, quantization-error avg ~0.10 per PqSpec) the
+    // ADC noise is the same scale as the signal, so this is the
+    // documented recall FLOOR of the operator family, not its typical
+    // value; clustered real embeddings do strictly better on both
+    // axes. The pin: retrieval must stay far above random (random
+    // top-3 of 20k ≈ 0.00015 expected overlap), and the exact-scoring
+    // half-scan key (q_knn_ivf_hr) must dominate it — the ordering
+    // that makes the production ladder (gate → codes → rerank)
+    // coherent.
+    val sf1 = "testdata/sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(), s"fixture $sf1 absent")
+    GraftFunctions.ensureRegistered(spark)
+    val e1 = Tables.embeddings(spark, sf1)
+    val p = e1.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as("e_p"))
+    val t = e1.select(col("vec_id").as("neighbor"), col("embedding").as("e_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    val gt = pairsOf(
+      p.crossJoin(t).filter(col("neighbor") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor"),
+          round(expr("graft_dot_product(e_p, e_t)"), 4).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3),
+      "vec_id", "neighbor")
+    val foundPq = pairsOf(VectorOps.qKnnIvfPq(spark, sf1), "vec_id", "neighbor")
+    val foundHr = pairsOf(VectorOps.qKnnIvfHr(spark, sf1), "vec_id", "neighbor")
+    val rPq = (foundPq & gt).size.toDouble / gt.size
+    val rHr = (foundHr & gt).size.toDouble / gt.size
+    info(f"ivf_pq sf1 recall = ${(foundPq & gt).size}/${gt.size} = $rPq%.3f (hr = $rHr%.3f)")
+    assert(rPq > 0.0, "IVF-PQ retrieval degenerated to zero overlap with exact top-3")
+    assert(rHr >= rPq, f"exact-scoring hr ($rHr%.3f) must dominate ADC scoring ($rPq%.3f)")
+  }
+
   test("q_knn_ivf_kmeans nprobe curve (1/2/4): recall is monotone in scan fraction") {
     val recalls = Seq(1, 2, 4).map { np =>
       val found = pairsOf(VectorOps.qKnnIvfKmeansProbed(spark, sf, np), "vec_id", "neighbor")

@@ -39,6 +39,53 @@ class PqSpec extends SparkSpec {
     assert(err.getDouble(1) <= 0.15, s"avg ADC error ${err.getDouble(1)}")
   }
 
+  private lazy val pqSampled = VectorOps.qKnnPqSampled(spark, sf).cache()
+  private lazy val ivfPq = VectorOps.qKnnIvfPq(spark, sf).cache()
+
+  /** (max, avg) |adc − exact dot| over a result frame. */
+  private def adcEnvelope(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val p = emb.select(col("vec_id"), col("embedding").as("pe"))
+    val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as("te"))
+    val r = df.join(p, "vec_id").join(t, "neighbor")
+      .select(abs(col("adc") - expr("graft_dot_product(pe, te)")).as("e"))
+      .agg(max(col("e")), avg(col("e"))).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("sampled-codebook build (r15): shape + ADC-envelope parity with the full build") {
+    val per = pqSampled.groupBy("vec_id").count().collect()
+    assert(per.length === 10 && per.forall(_.getLong(1) === 3L))
+    assert(pqSampled.filter(col("vec_id") === col("neighbor")).count() === 0)
+    val (fMax, fAvg) = adcEnvelope(pq)
+    val (sMax, sAvg) = adcEnvelope(pqSampled)
+    info(f"full build: max $fMax%.3f avg $fAvg%.3f; sampled build: max $sMax%.3f avg $sAvg%.3f")
+    // parity: training on the 25% hash-sample must keep the estimate
+    // in the SAME error class as the full-corpus build — the property
+    // that makes the amortized production build safe to ship
+    assert(sMax <= 0.35, s"sampled max ADC error $sMax")
+    assert(sAvg <= 0.15, s"sampled avg ADC error $sAvg")
+    assert(sAvg <= fAvg * 2.0 + 0.02,
+      f"sampled avg error $sAvg%.3f not within 2x of full-build $fAvg%.3f")
+  }
+
+  test("IVF-PQ (r15): shape; gate only restricts — common pairs score identically") {
+    val per = ivfPq.groupBy("vec_id").count().collect()
+    assert(per.length === 10 && per.forall(_.getLong(1) === 3L))
+    assert(ivfPq.filter(col("vec_id") === col("neighbor")).count() === 0)
+    // same sampled codebooks on both keys ⇒ wherever the two outputs
+    // share a (probe, neighbor) pair, the ADC estimate is bit-equal;
+    // the gate changes WHICH pairs are scored, never their score
+    val joined = ivfPq.select(col("vec_id"), col("neighbor"), col("adc").as("a1"))
+      .join(pqSampled.select(col("vec_id"), col("neighbor"), col("adc").as("a2")),
+        Seq("vec_id", "neighbor"))
+    val n = joined.count()
+    assert(n > 0, "IVF-PQ shares no pair with the ungated sampled key")
+    assert(joined.filter(col("a1") =!= col("a2")).count() === 0L,
+      "gated and ungated ADC scores diverged on a common pair")
+  }
+
   test("retrieval is not degenerate: overlaps exact top-3, neighbors are spread") {
     val emb = Tables.embeddings(spark, sf)
     val exact = graft.api.GraftOps
