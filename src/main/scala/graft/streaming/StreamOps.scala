@@ -503,13 +503,17 @@ object StreamOps {
     * set equals the batch interval join exactly and the oracle is
     * [[qStreamJoin]]'s verbatim.
     *
-    * Staging lands under Layout.layoutRoot keyed by fixture and is
+    * Staging lands under Layout.layoutRoot keyed by fixture (basename
+    * + canonical-path hash, so equal basenames never collide) and is
     * PERSISTENTLY memoized across JVMs: a `_STAGED` sentinel (holding
-    * the canonical fixture path + slice count) marks a complete
-    * staging, so later calls — this JVM or any other — reuse the
-    * files without touching the directory, and first-time staging
-    * builds in a process-unique sibling dir PUBLISHED by one atomic
-    * rename. The r14 review caught two weaker designs in sequence:
+    * the canonical fixture path, slice count, and a bytes+mtime
+    * fingerprint of the source parquet — in-place regeneration
+    * invalidates, ADVICE r14) marks a complete staging, so later
+    * calls — this JVM or any other — reuse the files without touching
+    * the directory, and first-time staging builds in a process-unique
+    * sibling dir PUBLISHED by one atomic rename (sentinel re-checked
+    * immediately before the purge+publish, and a lost-race swallow
+    * that verifies a competitor actually published). The r14 review caught two weaker designs in sequence:
     * a fresh leaked temp dir per invocation, then a per-JVM writeOnce
     * whose purge window could yank staged files out from under a
     * concurrently replaying JVM (the old design was immune only by
@@ -524,10 +528,28 @@ object StreamOps {
     val sinkName = s"graft_stream_join_ord_${runSeq.incrementAndGet()}"
     val nFiles = StreamJoinOrderedFiles
     val canonical = new java.io.File(sfDir).getCanonicalPath
+    // staging key = basename (readability) + canonical-path hash
+    // (uniqueness): two fixtures sharing a directory NAME must never
+    // share a staging dir — with basename-only keying, each JVM saw
+    // the other's sentinel as stale and purged batches the sibling
+    // was mid-replay on (ADVICE r14 #1)
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
     val srcDir = new java.io.File(
       s"${graft.queries.Layout.layoutRoot}/${new java.io.File(sfDir).getName}" +
-        "/stream_join_slices")
-    val sentinelBody = s"$canonical n=$nFiles"
+        s"/stream_join_slices_$pathKey")
+    // source fingerprint (total bytes + newest mtime, recursive): a
+    // fixture regenerated IN PLACE invalidates the staging instead of
+    // silently replaying stale slices (ADVICE r14 #4)
+    def fp(f: java.io.File): (Long, Long) =
+      Option(f.listFiles()).map(_.toSeq).filter(_.nonEmpty) match {
+        case Some(kids) =>
+          kids.map(fp).reduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+        case None => (f.length(), f.lastModified())
+      }
+    val (evBytes, evMtime) = fp(new java.io.File(sfDir, "events.parquet"))
+    val sentinelBody = s"$canonical n=$nFiles bytes=$evBytes mtime=$evMtime"
     def stagedOk: Boolean = {
       val s = new java.io.File(srcDir, "_STAGED")
       s.exists && scala.util.Try(java.nio.file.Files.readString(s.toPath))
@@ -541,9 +563,8 @@ object StreamOps {
       .filter(col("event_type").isin("click", "purchase"))
     val schema = ev.schema
     if (!stagedOk) {
-      // a sentinel-less srcDir is garbage (killed mid-stage, or a
-      // basename-colliding fixture) — remove it before publishing
-      purge(srcDir)
+      // build the FULL staging in a process-unique sibling first;
+      // srcDir is untouched until the candidate is complete
       val tmp = new java.io.File(srcDir.getParent,
         s"${srcDir.getName}.tmp_${ProcessHandle.current().pid}")
       purge(tmp)
@@ -571,11 +592,26 @@ object StreamOps {
       }
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
-      try java.nio.file.Files.move(tmp.toPath, srcDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        // another process published first — use its (complete) copy
-        purge(tmp)
+      // re-check RIGHT before purging (ADVICE r14 #2): a complete
+      // staging published while we built must be reused, not deleted
+      // under a JVM already replaying from it
+      if (stagedOk) purge(tmp)
+      else {
+        // a sentinel-less srcDir is garbage (killed mid-stage, or a
+        // stale fingerprint) — remove it so the atomic publish lands
+        purge(srcDir)
+        try java.nio.file.Files.move(tmp.toPath, srcDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.nio.file.FileSystemException =>
+          purge(tmp)
+          // swallowing is only correct when a COMPETITOR won the
+          // rename; any other cause (permissions, non-atomic fs) must
+          // surface here, not as an opaque readStream error later
+          // (ADVICE r14 #3)
+          if (!stagedOk)
+            throw new IllegalStateException(
+              s"staging publish failed and no complete staging exists at $srcDir", e)
+        }
       }
     }
     val src = spark.readStream.schema(schema)
