@@ -9,12 +9,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * decode/feature-extract/resize/frame-sample run as partition-local
   * batch transforms.
   *
-  * The actual codec calls are STUBBED — no image/audio libraries exist
-  * in this container (see [[StubCodec]]), and the stub is a
-  * deterministic fake over a self-describing synthetic header so every
-  * stage of the REAL plumbing (schema, batching, partition locality,
-  * output shape) is executable and tested. Swapping [[StubCodec]] for
-  * a JNI/ImageIO-backed codec changes no Spark code.
+  * Codec reality (r15): PNG decode is REAL — [[RealCodec]] wires
+  * `javax.imageio` (shipped with the JDK) behind the [[Codec]] seam
+  * for probe/decodeFrame/embed. Audio/video stay env-gated: no such
+  * library exists in this container, so [[StubCodec]] remains the
+  * deterministic fake over a self-describing synthetic header that
+  * keeps every stage of the Spark plumbing (schema, batching,
+  * partition locality, output shape) executable and tested for those
+  * modalities. Swapping codecs changes no Spark code.
   *
   * Scale notes: all transforms are `mapPartitions` — codec state
   * (decoder contexts, model weights) initializes once per partition,
@@ -79,12 +81,66 @@ object MediaOps {
     }
   }
 
-  /** Unimplemented real-codec boundary, kept compiling: wire ImageIO /
-    * javacpp-ffmpeg here when the libraries exist. */
-  object RealCodec extends Codec {
-    override def probe(payload: Array[Byte]): (Int, Int, Int, Int) = ???
-    override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] = ???
-    override def embed(payload: Array[Byte], dim: Int): Array[Float] = ???
+  /** REAL codec for PNG stills via `javax.imageio` (r15 — the JDK
+    * ships the PNG reader, proven in this JVM by MediaHllSpec; before
+    * this round the object was the repo's one `???` boundary).
+    * `probe` is the header-only IHDR parse ([[PngCodec]] — no pixel
+    * decode); `decodeFrame` decodes the raster and returns row-major
+    * packed RGBA bytes (PNG is single-frame, so only index 0 exists);
+    * `embed` pools the raster into a dim-bucket integer-luma
+    * histogram, L2-normalized — a deterministic pixel-space feature
+    * (integer ITU-R 601 luma, no float path, so bit-stable across
+    * JVMs). Audio/video containers stay env-gated: the container
+    * ships no other decoder, and wiring javacpp-ffmpeg here changes
+    * no Spark code — the [[Codec]] seam is the point. */
+  object RealCodec extends Codec with Serializable {
+    private def image(p: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      require(img != null, "payload is not an image this JVM decodes (PNG expected)")
+      img
+    }
+    override def probe(payload: Array[Byte]): (Int, Int, Int, Int) = {
+      val (w, h, _, _) = PngCodec.probe(payload)
+      (w, h, 0, 1) // stills: no sample rate, exactly one frame
+    }
+    override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] = {
+      require(idx == 0, s"PNG has exactly one frame, got index $idx")
+      val img = image(payload)
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h * 4)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          out(i) = ((argb >> 16) & 0xff).toByte
+          out(i + 1) = ((argb >> 8) & 0xff).toByte
+          out(i + 2) = (argb & 0xff).toByte
+          out(i + 3) = ((argb >>> 24) & 0xff).toByte
+          i += 4; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    override def embed(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img = image(payload)
+      val out = new Array[Float](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val argb = img.getRGB(x, y)
+          val lum = (299 * ((argb >> 16) & 0xff) + 587 * ((argb >> 8) & 0xff) +
+            114 * (argb & 0xff)) / 1000
+          out(lum * dim / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.sqrt(out.map(v => v.toDouble * v).sum)
+      if (n > 0) out.map(v => (v / n).toFloat) else out
+    }
   }
 
   /** REAL metadata probe for PNG payloads — unlike pixel decode, the

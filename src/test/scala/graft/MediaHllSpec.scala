@@ -77,6 +77,59 @@ class MediaHllSpec extends SparkSpec {
     assert(row.getInt(3) === depth && row.getInt(4) === colorType)
   }
 
+  test("RealCodec (r15): decodes ImageIO-written PNGs through the SAME Spark plumbing") {
+    import spark.implicits._
+    // genuine PNGs of varying size with a known deterministic raster
+    def argbAt(i: Int, x: Int, y: Int): Int =
+      0xff000000 | ((x * 31 + y * 7 + i * 13) & 0xffffff)
+    val rows = (0 until 6).map { i =>
+      val w = 9 + i; val h = 7 + i
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, argbAt(i, x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      MediaRow(i.toLong, "image", bos.toByteArray)
+    }
+    // probe: header-only IHDR dims, single frame, through mapPartitions
+    val meta = MediaOps.probeAll(rows.toDS(), MediaOps.RealCodec)
+      .collect().sortBy(_.media_id)
+    assert(meta.map(m => (m.width, m.height, m.n_frames)).toSeq ===
+      (0 until 6).map(i => (9 + i, 7 + i, 1)))
+    // frame decode: PNG lossless round-trip — RGBA bytes equal the
+    // raster we drew, pixel for pixel
+    val frames = MediaOps.sampleFrames(rows.toDS(), stride = 1, MediaOps.RealCodec)
+      .collect().sortBy(_.media_id)
+    assert(frames.length === 6 && frames.forall(_.frame_idx === 0))
+    frames.foreach { f =>
+      val i = f.media_id.toInt; val w = 9 + i; val h = 7 + i
+      assert(f.frame.length === w * h * 4)
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val a = argbAt(i, x, y); val o = (y * w + x) * 4
+        assert(f.frame(o) === ((a >> 16) & 0xff).toByte &&
+          f.frame(o + 1) === ((a >> 8) & 0xff).toByte &&
+          f.frame(o + 2) === (a & 0xff).toByte &&
+          f.frame(o + 3) === 0xff.toByte, s"pixel ($x,$y) of media $i")
+      }}
+    }
+    // embed: L2-normalized, deterministic, dim respected
+    val e1 = MediaOps.extractFeatures(rows.toDS(), dim = 16, MediaOps.RealCodec)
+      .collect().sortBy(_.media_id)
+    val e2 = MediaOps.extractFeatures(rows.toDS(), dim = 16, MediaOps.RealCodec)
+      .collect().sortBy(_.media_id)
+    assert(e1.forall(_.feature.length === 16))
+    assert(e1.zip(e2).forall { case (a, b) => a.feature.sameElements(b.feature) })
+    e1.foreach { f =>
+      val n = math.sqrt(f.feature.map(v => v.toDouble * v).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+    // non-image bytes fail loudly, frame index out of range fails
+    intercept[IllegalArgumentException](
+      MediaOps.RealCodec.probe("GRFT not a png".getBytes))
+    intercept[IllegalArgumentException](
+      MediaOps.RealCodec.decodeFrame(rows.head.payload, 1))
+  }
+
   test("HLL sketch distinct within 5% of exact on fixture keys") {
     import spark.implicits._
     val hll = udaf(new graft.agg.HllDistinct())
