@@ -623,22 +623,29 @@ object TextOps {
   }
 
   /** The shared BPE learn loop: wordcount → wrapped char symbols →
-    * [[BpeMergeRounds]] greedy merge rounds. Returns (per-round best
-    * frames newest-first, final vocabulary (s, f)) — single-sourced
-    * so [[qBpeMerges]] and [[qBpeTokenize]] cannot drift on the
-    * merge sequence. */
-  private def bpeLearn(spark: SparkSession,
-                       dir: String): (List[DataFrame], DataFrame) = {
+    * `rounds` greedy merge rounds (declared keys use
+    * [[BpeMergeRounds]]; tools.BpeScaleBench dials this to measure
+    * where the O(rounds) driver-chained job sequence stops being
+    * viable — SCALE.md §BPE dial). Returns (per-round best frames
+    * newest-first, final vocabulary (s, f)) — single-sourced so
+    * [[qBpeMerges]] and [[qBpeTokenize]] cannot drift on the merge
+    * sequence. Terminates early when no adjacent pair remains (the
+    * empty `best` would otherwise crossJoin the vocabulary to zero
+    * rows); the check reads an already-materialized 1-row checkpoint,
+    * so it adds no job. */
+  private[graft] def bpeLearn(spark: SparkSession, dir: String,
+                              rounds: Int = BpeMergeRounds): (List[DataFrame], DataFrame) = {
     val wc = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .localCheckpoint(true) // vocabulary-sized; seeds the round loop
     var v = wc.select(expr("regexp_replace(w, '(.)', ' $1 ')").as("s"), col("f"))
     var merges = List.empty[DataFrame]
-    for (r <- 1 to BpeMergeRounds) {
+    for (r <- 1 to rounds) {
       val best = bpePairCounts(v)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .localCheckpoint(true) // 1 row; read by the rewrite AND the output
+      if (best.isEmpty) return (merges, v)
       merges ::= best.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
       v = v.crossJoin(broadcast(best.select(col("a"), col("b"))))
         .withColumn("s", expr(

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-stage wall attribution for the composed curation funnel
+  * (VERDICT r14 next-round #4): q_pipeline_curate is the inventory's
+  * most expensive key, and its cost is five materialized stages plus
+  * six funnel aggregates — this instrument splits the wall per stage
+  * via the [[graft.api.CurationPipeline.stages]] callback (the
+  * CcRoundAudit pattern: the loop's own execution is what's timed, no
+  * extra actions), then times the funnel aggregates separately.
+  *
+  * Input framing mirrors the declared key EXACTLY
+  * (PipelineOps.qPipelineCurate: docs = doc_id ≥ 5 with lang stratum,
+  * bench = doc_id < 5, target 20, minJaccard 0.5) — if the key's
+  * framing changes, change it here too.
+  *
+  * Usage: `runMain graft.tools.FunnelBench <sfDir>`; one JSON line
+  * with per-stage seconds, aggregate seconds, and the total.
+  */
+object FunnelBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val label = new java.io.File(sfDir).getName
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-funnel-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+
+    val all = graft.Tables.documents(spark, sfDir)
+    val docs = all.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val bench = all.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val t0 = System.nanoTime()
+    val st = graft.api.CurationPipeline.stages(
+      docs, bench, "doc_id", "text", "lang", target = 20, minJaccard = 0.5,
+      materialize = true, onStage = (n, w) => walls(n) = w)
+    // the declared key's six funnel aggregates over checkpointed blocks
+    val tAgg0 = System.nanoTime()
+    val counts = (("input", docs) +: st).map { case (_, df) =>
+      df.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+    }
+    val aggWall = (System.nanoTime() - tAgg0) / 1e9
+    val total = (System.nanoTime() - t0) / 1e9
+    def r2(d: Double) = math.round(d * 100) / 100.0
+    val stageJson = walls.map { case (n, w) => s""""$n":${r2(w)}""" }.mkString(",")
+    println(s"""{"metric":"funnel_stages","label":"$label",""" +
+      s""""stages":{$stageJson},"agg_sec":${r2(aggWall)},""" +
+      s""""total_sec":${r2(total)},"rows_out":${counts.last.getLong(0)}}""")
+    spark.stop()
+  }
+}
