@@ -243,6 +243,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHash(exprs.head),
       "scala_udf")
 
+    // one-pass per-doc repetition statistics (quality gate hot path)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rep_stats",
+      (exprs: Seq[Expression]) => RepStats(exprs.head),
+      "scala_udf")
+
     // per-doc hashed-linear accumulator: 1-arg form = dim 1024
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hashed_swi",

@@ -425,26 +425,28 @@ object TextOps {
 
   /** The signal projection of [[qTextRepetition]] over any (doc_id,
     * text) frame — unsorted, so specs can drive it with synthetic
-    * repetitive/short docs the fixture lacks. */
-  private[graft] def repetitionSignals(d: DataFrame): DataFrame =
-    d.withColumn("t", split(col("text"), " "))
-      .withColumn("top1",
-        expr("array_max(transform(array_distinct(t), u -> size(filter(t, w -> w = u))))"))
-      .withColumn("bi_tot", greatest(size(col("t")) - 1, lit(0)))
-      .withColumn("bi_dis", expr(
-        "CASE WHEN size(t) >= 2 THEN size(array_distinct(transform(" +
-          "sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1])))) ELSE 0 END"))
-      .withColumn("tri_tot", greatest(size(col("t")) - 2, lit(0)))
-      .withColumn("tri_dis", expr(
-        "CASE WHEN size(t) >= 3 THEN size(array_distinct(transform(" +
-          "sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) ELSE 0 END"))
-      .withColumn("b", expr("filter(sequence(0, size(t)-1), i -> i = 0 OR t[i] != t[i-1])"))
-      .withColumn("max_run", expr(
-        "array_max(transform(sequence(0, size(b)-1), " +
-          "j -> (CASE WHEN j+1 < size(b) THEN b[j+1] ELSE size(t) END) - b[j]))"))
+    * repetitive/short docs the fixture lacks.
+    *
+    * r15: the five raw statistics come from the codegen'd one-pass
+    * [[graft.catalyst.RepStats]] — the previous interpreted-lambda
+    * spelling (array_distinct/transform/filter per row, O(n·distinct)
+    * for top1) owned 5.5 s of the curation pipeline's sf0.1 quality
+    * gate; it never showed in this key's own wall because
+    * TakeOrderedAndProject evaluates the projection only on the 300
+    * winners. RepStatsSpec pins the expression ≡ the SQL spelling on
+    * adversarial inputs; the derived fractions below are unchanged. */
+  private[graft] def repetitionSignals(d: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(d.sparkSession)
+    d.withColumn("__rs", expr("graft_rep_stats(text)"))
+      .withColumn("n_tok", col("__rs.n_tok"))
+      .withColumn("top1", col("__rs.top1"))
+      .withColumn("bi_tot", greatest(col("__rs.n_tok") - 1, lit(0)))
+      .withColumn("bi_dis", col("__rs.bi_dis"))
+      .withColumn("tri_tot", greatest(col("__rs.n_tok") - 2, lit(0)))
+      .withColumn("tri_dis", col("__rs.tri_dis"))
       .select(
         col("doc_id"),
-        size(col("t")).as("n_tok"),
+        col("n_tok"),
         // all three fractions are round-half-up(10⁴·k/n) computed in
         // EXACT integer arithmetic — floor((2·10⁴·k + n) / (2n)) —
         // then divided by 10⁴.0 (one IEEE op on identical integers).
@@ -452,16 +454,17 @@ object TextOps {
         // boundary class for data-dependent denominators (e.g.
         // 57/800: Spark's shortest-repr HALF_UP says .0713, DuckDB's
         // scaled-multiply says .0712); the integer form cannot.
-        expr("((20000 * top1 + size(t)) div (2 * size(t))) / cast(10000 as double)").as("top1_frac"),
+        expr("((20000 * top1 + n_tok) div (2 * n_tok)) / cast(10000 as double)").as("top1_frac"),
         when(col("bi_tot") > 0,
           expr("((20000 * (bi_tot - bi_dis) + bi_tot) div (2 * bi_tot)) / 10000.0"))
           .otherwise(0.0).as("dup_bi_frac"),
         when(col("tri_tot") > 0,
           expr("((20000 * (tri_tot - tri_dis) + tri_tot) div (2 * tri_tot)) / 10000.0"))
           .otherwise(0.0).as("dup_tri_frac"),
-        col("max_run"),
-        (col("top1") * 5 > size(col("t")) ||
+        col("__rs.max_run").as("max_run"),
+        (col("top1") * 5 > col("n_tok") ||
           (col("tri_tot") - col("tri_dis")) * 10 > col("tri_tot") * 3).as("repetitive"))
+  }
 
   /** Corpus Zipf profile: global term frequencies ranked, with each
     * term's share of the top term's count in exact basis points —

@@ -40,6 +40,13 @@ object FunnelBench {
       .select(col("doc_id"), col("text"), col("lang"))
     val bench = all.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
 
+    // warmup pass: JVM/codegen/scan caches — the first stage would
+    // otherwise absorb the whole session cold start and dominate the
+    // attribution (the KeyBench warm-run discipline)
+    graft.api.CurationPipeline.stages(
+      docs, bench, "doc_id", "text", "lang", target = 20, minJaccard = 0.5,
+      materialize = true).foreach(_._2.count())
+
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     val t0 = System.nanoTime()
     val st = graft.api.CurationPipeline.stages(
