@@ -58,7 +58,51 @@ object OracleSqlLlm {
        |v$i AS (SELECT replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s, f
        |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
 
+  /** One unrolled BATCHED merge round (r15): top-B ranked candidates
+    * t$i, the symbol-disjoint anti-chain s$i (NOT EXISTS on any
+    * strictly higher rank sharing a symbol), the rank-ordered merge
+    * list m$i, and the vocabulary rewrite v$i as `batch` nested
+    * guarded replaces — the SQL spelling of the engine's rank-ordered
+    * `aggregate` fold (ms[k] guarded by len(ms) >= k, so a short
+    * selection list leaves the tail replaces as identity). */
+  private def bpeBatchRoundCtes(i: Int, batch: Int): String = {
+    val folded = (1 to batch).foldLeft("s") { (acc, k) =>
+      s"""(CASE WHEN len(ms) >= $k THEN replace($acc,
+         |  ' '||ms[$k].a||'  '||ms[$k].b||' ', ' '||ms[$k].a||ms[$k].b||' ')
+         | ELSE $acc END)""".stripMargin
+    }
+    s"""${bpePairCte(s"pc$i", s"v${i - 1}")},
+       |t$i AS (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+       |        FROM (SELECT a, b, cnt FROM pc$i
+       |              ORDER BY cnt DESC, a, b LIMIT $batch) z$i),
+       |s$i AS (SELECT rk, a, b, cnt FROM t$i i WHERE NOT EXISTS (
+       |          SELECT 1 FROM t$i j WHERE j.rk < i.rk AND
+       |            (j.a = i.a OR j.a = i.b OR j.b = i.a OR j.b = i.b))),
+       |m$i AS (SELECT list(struct_pack(a := a, b := b) ORDER BY rk) AS ms FROM s$i),
+       |v$i AS (SELECT $folded AS s, f FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+  }
+
   val text: Map[String, String] = Map(
+    // BATCHED BPE learning (r15): TextOps.BpeBatchRounds unrolled
+    // rounds of top-BpeBatchSize symbol-disjoint merges — the
+    // scalable-BPE shape (see qBpeMergesBatched scaladoc)
+    "q_bpe_merges_batched" -> {
+      val r = TextOps.BpeBatchRounds
+      val b = TextOps.BpeBatchSize
+      val mergeRows = (1 to r).map(i =>
+        if (i == 1) s"SELECT 1 AS round, rk, a, b, cnt FROM s1"
+        else s"UNION ALL SELECT $i, rk, a, b, cnt FROM s$i").mkString("\n  ")
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+         |            FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                  FROM documents) x
+         |            GROUP BY w),
+         |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, f FROM wc),
+         |${(1 to r).map(bpeBatchRoundCtes(_, b)).mkString(",\n")}
+         |SELECT round, CAST(rk AS INTEGER) AS rk, a, b, cnt FROM (
+         |  $mergeRows
+         |) u ORDER BY round, rk""".stripMargin
+    },
+
     // BPE merge table + surviving pair counts: wordcount → wrapped
     // char symbols → TextOps.BpeMergeRounds unrolled merge rounds
     // (the kmeans/pagerank iteration-unrolling precedent); every

@@ -636,13 +636,19 @@ object TextOps {
     * empty `best` would otherwise crossJoin the vocabulary to zero
     * rows); the check reads an already-materialized 1-row checkpoint,
     * so it adds no job. */
-  private[graft] def bpeLearn(spark: SparkSession, dir: String,
-                              rounds: Int = BpeMergeRounds): (List[DataFrame], DataFrame) = {
+  /** The wordcount → wrapped-char-symbols seed shared by the greedy
+    * and batched learners (one corpus pass, Zipf-bounded output). */
+  private def bpeSeed(spark: SparkSession, dir: String): DataFrame = {
     val wc = graft.api.GraftOps.widened(docs(spark, dir), "doc_id")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .localCheckpoint(true) // vocabulary-sized; seeds the round loop
-    var v = wc.select(expr("regexp_replace(w, '(.)', ' $1 ')").as("s"), col("f"))
+    wc.select(expr("regexp_replace(w, '(.)', ' $1 ')").as("s"), col("f"))
+  }
+
+  private[graft] def bpeLearn(spark: SparkSession, dir: String,
+                              rounds: Int = BpeMergeRounds): (List[DataFrame], DataFrame) = {
+    var v = bpeSeed(spark, dir)
     var merges = List.empty[DataFrame]
     for (r <- 1 to rounds) {
       val best = bpePairCounts(v)
@@ -655,6 +661,84 @@ object TextOps {
           "replace(s, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"))
         .select(col("s"), col("f"))
         .localCheckpoint(true) // vocabulary-sized; cut round lineage
+    }
+    (merges, v)
+  }
+
+  /** Batched-merge geometry for [[qBpeMergesBatched]] (unrolled in
+    * the oracle, so the constants must agree). Production dials
+    * `batch` into the hundreds; the declared 4×8 keeps the oracle
+    * unrollable while exercising the selection rule for real. */
+  private[graft] val BpeBatchRounds = 4
+  private[graft] val BpeBatchSize = 8
+
+  /** DECLARED (r15): BATCHED BPE vocabulary learning — the standard
+    * scalable-BPE trick that lifts the greedy loop's rounds ceiling.
+    * tools.BpeScaleBench measured the greedy chain's per-round FLOOR
+    * at ~0.55 s (sf1, warm) — pure driver-chained job overhead,
+    * data-size-independent — putting a production ~30 k-merge
+    * vocabulary at ~4.6 h of fixed cost. Batching merges the top-B
+    * SYMBOL-DISJOINT pairs per round (B = [[BpeBatchSize]]): rank
+    * candidates by (cnt desc, a, b), keep a pair iff no
+    * strictly-higher-ranked candidate in the top-B shares a symbol
+    * with it — a declarative anti-chain both engines spell with one
+    * NOT EXISTS, whose every selection sequential greedy would also
+    * make (rank 1 always survives, so progress is guaranteed and
+    * batch = 1 IS the greedy learner — BpeSpec pins that exactly).
+    * The B merges then apply in ONE vocabulary rewrite per round:
+    * a rank-ordered left fold of the wrapped-symbol replace (both
+    * engines fold identically; symbol-disjoint replaces commute, and
+    * when an earlier merge in the fold creates occurrences of a later
+    * merge's symbol — e.g. (a,b) then (ab,x) — the fold order makes
+    * the result deterministic and identical cross-engine).
+    * Emits the selected merge table: (round, rk, a, b, cnt). */
+  def qBpeMergesBatched(spark: SparkSession, dir: String): DataFrame =
+    bpeLearnBatched(spark, dir, BpeBatchRounds, BpeBatchSize)._1
+      .reduce(_.unionAll(_))
+      .orderBy(col("round"), col("rk"))
+
+  /** The batched learn loop behind [[qBpeMergesBatched]] — same seed,
+    * pair counter, and wrapped-symbol merge spelling as [[bpeLearn]];
+    * only the per-round selection (top-B disjoint anti-chain instead
+    * of top-1) and the rewrite (rank-ordered fold instead of a single
+    * replace) differ. Returns (per-round selected-merge frames
+    * newest-first, final vocabulary). */
+  private[graft] def bpeLearnBatched(spark: SparkSession, dir: String,
+                                     rounds: Int, batch: Int): (List[DataFrame], DataFrame) = {
+    var v = bpeSeed(spark, dir)
+    var merges = List.empty[DataFrame]
+    val rankW = Window.orderBy(col("cnt").desc, col("a"), col("b"))
+    for (r <- 1 to rounds) {
+      // top-B candidates with their rank — ≤ batch rows, so the
+      // single-partition window is by construction tiny
+      val top = bpePairCounts(v)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(batch)
+        .withColumn("rk", row_number().over(rankW))
+        .localCheckpoint(true)
+      // anti-chain selection: drop a pair iff ANY strictly higher
+      // rank shares a symbol (kept ⊆ sequential greedy's kept set)
+      val i = top.select(col("rk").as("i_rk"), col("a").as("i_a"),
+        col("b").as("i_b"), col("cnt").as("i_cnt"))
+      val j = top.select(col("rk").as("j_rk"), col("a").as("j_a"), col("b").as("j_b"))
+      val sel = i.join(j,
+          col("j_rk") < col("i_rk") &&
+            (col("j_a") === col("i_a") || col("j_a") === col("i_b") ||
+             col("j_b") === col("i_a") || col("j_b") === col("i_b")), "left_anti")
+        .select(col("i_rk").as("rk"), col("i_a").as("a"),
+          col("i_b").as("b"), col("i_cnt").as("cnt"))
+        .localCheckpoint(true) // ≤ batch rows; read by rewrite AND output
+      if (sel.isEmpty) return (merges, v)
+      merges ::= sel.select(lit(r).as("round"), col("rk"), col("a"), col("b"), col("cnt"))
+      // ONE vocabulary rewrite: rank-ordered fold of the wrapped replace
+      val ms = sel.agg(expr(
+        "transform(array_sort(collect_list(struct(rk, a, b))), m -> struct(m.a AS a, m.b AS b))")
+        .as("__ms"))
+      v = v.crossJoin(broadcast(ms))
+        .withColumn("s", expr(
+          "aggregate(__ms, s, (acc, m) -> " +
+            "replace(acc, concat(' ', m.a, '  ', m.b, ' '), concat(' ', m.a, m.b, ' ')))"))
+        .select(col("s"), col("f"))
+        .localCheckpoint(true)
     }
     (merges, v)
   }

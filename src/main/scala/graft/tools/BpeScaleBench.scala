@@ -61,6 +61,23 @@ object BpeScaleBench {
         s""""wall_sec":${math.round(wall * 100) / 100.0},""" +
         s""""marginal_sec_per_round":${math.round(marginal * 1000) / 1000.0}}""")
     }
+    // the batched variant at equal merge budget: rounds × batch merges
+    // in rounds driver steps — the lifted ceiling (qBpeMergesBatched)
+    Seq((8, 8), (8, 32)).foreach { case (r, b) =>
+      val t0 = System.nanoTime()
+      val (merges, v) = graft.queries.TextOps.bpeLearnBatched(spark, sfDir, r, b)
+      val nMerges =
+        if (merges.isEmpty) 0L else merges.reduce(_.unionAll(_)).count()
+      val row = v.select(count(lit(1)).as("n"),
+        sum(size(split(trim(col("s")), "  "))).as("toks")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"bpe_dial_batched","label":"$label","rounds":$r,""" +
+        s""""batch":$b,"merges":$nMerges,"vocab":${row.getLong(0)},""" +
+        s""""sym_tokens":${row.getLong(1)},""" +
+        s""""wall_sec":${math.round(wall * 100) / 100.0},""" +
+        s""""sec_per_merge":${
+          math.round(wall / math.max(1L, nMerges) * 1000) / 1000.0}}""")
+    }
     spark.stop()
   }
 }

@@ -76,6 +76,39 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched learner with batch = 1 IS the greedy learner (r15)") {
+    // the anti-chain degenerates to rank-1 only; the fold degenerates
+    // to the single replace — merge sequence and final vocabulary
+    // must both be bit-identical to bpeLearn's
+    val r = TextOps.BpeMergeRounds
+    val (gm, gv) = TextOps.bpeLearn(spark, sf, r)
+    val (bm, bv) = TextOps.bpeLearnBatched(spark, sf, r, batch = 1)
+    val greedy = gm.reduce(_.unionAll(_))
+      .select("round", "a", "b", "cnt")
+    val batched = bm.reduce(_.unionAll(_))
+      .select("round", "a", "b", "cnt")
+    assert(batched.exceptAll(greedy).isEmpty && greedy.exceptAll(batched).isEmpty,
+      "batch=1 merge sequence diverged from greedy")
+    assert(bv.exceptAll(gv).isEmpty && gv.exceptAll(bv).isEmpty,
+      "batch=1 final vocabulary diverged from greedy")
+  }
+
+  test("batched rounds: selections are mutually symbol-disjoint, rank 1 always kept (r15)") {
+    val rows = TextOps.qBpeMergesBatched(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (round, sel) =>
+      assert(sel.exists(_._2 == 1), s"round $round lost its rank-1 pair")
+      val syms = sel.flatMap(p => Seq(p._3, p._4))
+      assert(syms.distinct.length === syms.length,
+        s"round $round selected overlapping pairs: ${sel.mkString(",")}")
+    }
+    // batching does strictly more work per round than greedy on this
+    // fixture (the measured reason the variant exists)
+    assert(rows.length > TextOps.BpeBatchRounds,
+      "batched selection degenerated to one merge per round on the fixture")
+  }
+
   test("declared key: merge counts are monotone non-increasing; survivors are bounded") {
     val rows = TextOps.qBpeMerges(spark, sf).collect()
     val merges = rows.filter(_.getInt(0) <= TextOps.BpeMergeRounds)
