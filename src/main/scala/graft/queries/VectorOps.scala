@@ -614,7 +614,15 @@ object VectorOps {
         .withColumn(s"pq$s", GraftOps.cellColumn(sl))
         .drop("__cs")
     }
-    coded = coded.drop("embedding")
+    // materialize the CODES TABLE — it IS the PQ index a deployment
+    // stores once and scans per query (m small ints/row, the ~60×
+    // compression artifact). Also measured (tools.PqDecomp, sf10): the
+    // unmaterialized encode chain fused into the search job cost 52 s
+    // against 6.5 s encode-to-blocks + 4.4 s search split — the fused
+    // whole-stage plan re-evaluates the per-subspace argmin expressions
+    // far past their one-pass cost, so the checkpoint is both the
+    // honest architecture and a 4× wall cut on the declared key.
+    coded = coded.drop("embedding").localCheckpoint(true)
     // ADC lookup tables: probe-slice × centroid dots, 6 dp (m·k rows)
     val luts = cents.zip(slices).zipWithIndex.map { case ((cent, sl), s) =>
       emb.filter(col("vec_id") < 10)
