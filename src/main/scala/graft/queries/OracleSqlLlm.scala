@@ -51,12 +51,24 @@ object OracleSqlLlm {
     * best pair b$i by (cnt desc, a, b), greedy merge into v$i via the
     * wrapped-symbol replace (see TextOps.qBpeMerges — replace-all's
     * left-to-right no-rescan pass IS the BPE merge). Generated so the
-    * rounds cannot drift from each other (spanCtes discipline). */
+    * rounds cannot drift from each other (spanCtes discipline).
+    *
+    * Exhaustion guard (r15 review): when pc$i is EMPTY (vocabulary
+    * fully merged before round i) the old `CROSS JOIN b$i` zeroed the
+    * vocabulary while the engine's bpeLearn early-returns it
+    * unchanged — the merge list rides a 1-row aggregate CTE and a
+    * guarded replace instead (the batched generator's m$i shape), so
+    * an empty round is the identity on both sides. The fixtures never
+    * exhaust at 4 rounds, so emitted values are unchanged there. */
   private def bpeRoundCtes(i: Int): String =
     s"""${bpePairCte(s"pc$i", s"v${i - 1}")},
        |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
-       |v$i AS (SELECT replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s, f
-       |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+       |mb$i AS (SELECT list(struct_pack(a := a, b := b)) AS ms FROM b$i),
+       |v$i AS (SELECT CASE WHEN len(ms) >= 1 THEN
+       |          replace(s, ' '||ms[1].a||'  '||ms[1].b||' ',
+       |                  ' '||ms[1].a||ms[1].b||' ')
+       |        ELSE s END AS s, f
+       |        FROM v${i - 1} CROSS JOIN mb$i)""".stripMargin
 
   /** One unrolled BATCHED merge round (r15): top-B ranked candidates
     * t$i, the symbol-disjoint anti-chain s$i (NOT EXISTS on any

@@ -692,10 +692,17 @@ object TextOps {
     * merge's symbol — e.g. (a,b) then (ab,x) — the fold order makes
     * the result deterministic and identical cross-engine).
     * Emits the selected merge table: (round, rk, a, b, cnt). */
-  def qBpeMergesBatched(spark: SparkSession, dir: String): DataFrame =
-    bpeLearnBatched(spark, dir, BpeBatchRounds, BpeBatchSize)._1
+  def qBpeMergesBatched(spark: SparkSession, dir: String): DataFrame = {
+    // empty-seed frame: a pre-exhausted corpus (no round-1 pair at
+    // all) must yield ZERO rows like the oracle, not empty.reduce
+    // (r15 review; the greedy key is immune via its survivors frame)
+    val zero = spark.range(0).select(
+      lit(0).as("round"), lit(0).as("rk"),
+      lit("").as("a"), lit("").as("b"), lit(0L).as("cnt"))
+    (zero :: bpeLearnBatched(spark, dir, BpeBatchRounds, BpeBatchSize)._1)
       .reduce(_.unionAll(_))
       .orderBy(col("round"), col("rk"))
+  }
 
   /** The batched learn loop behind [[qBpeMergesBatched]] — same seed,
     * pair counter, and wrapped-symbol merge spelling as [[bpeLearn]];

@@ -109,6 +109,37 @@ class BpeSpec extends SparkSpec {
       "batched selection degenerated to one merge per round on the fixture")
   }
 
+  test("exhaustion semantics: early stop keeps the vocabulary; dry seed yields zero rows (r15 review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // partial exhaustion: every word is "ab" — one merge, then dry.
+    // The engine early-returns with the merged vocabulary; the greedy
+    // oracle's guarded round CTE (mb$i, r15) is the identity on dry
+    // rounds rather than zeroing the vocabulary via an empty CROSS
+    // JOIN — this pins the engine half of that contract.
+    val dir = java.nio.file.Files.createTempDirectory("bpe-exh").toString
+    Seq((1L, "ab ab ab"), (2L, "ab ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextOps.qBpeMerges(spark, dir).collect()
+    assert(merges.length === 1 &&
+      merges.head.getString(1) === "a" && merges.head.getString(2) === "b")
+    val toks = TextOps.qBpeTokenize(spark, dir).collect()
+    assert(toks.length === 1 && toks.head.getString(0) === "ab" &&
+      toks.head.getLong(1) === 5L, toks.mkString(","))
+    assert(TextOps.qBpeMergesBatched(spark, dir).count() === 1L)
+    // pre-exhausted: single-symbol words, no pair anywhere — merge
+    // keys return EMPTY (not empty.reduce), tokenize reports the
+    // unmerged symbol with its corpus frequency
+    val dir2 = java.nio.file.Files.createTempDirectory("bpe-exh2").toString
+    Seq((1L, "a a a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(TextOps.qBpeMerges(spark, dir2).count() === 0L)
+    assert(TextOps.qBpeMergesBatched(spark, dir2).count() === 0L)
+    val t2 = TextOps.qBpeTokenize(spark, dir2).collect()
+    assert(t2.length === 1 && t2.head.getString(0) === "a" &&
+      t2.head.getLong(1) === 3L, t2.mkString(","))
+  }
+
   test("declared key: merge counts are monotone non-increasing; survivors are bounded") {
     val rows = TextOps.qBpeMerges(spark, sf).collect()
     val merges = rows.filter(_.getInt(0) <= TextOps.BpeMergeRounds)

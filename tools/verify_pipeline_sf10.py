@@ -21,8 +21,14 @@ import sys, json, glob
 import duckdb
 import pandas as pd
 
+# keep in sync with DedupOps.MaxBandBucket (and OracleSqlPipe's
+# interpolated cap CTEs) — the engine and main oracle move together
+# via the Scala constant; this standalone verifier cannot
+MAX_BAND_BUCKET = 500
+
 def main():
     spark_dir, sf_dir = sys.argv[1], sys.argv[2]
+    cap = MAX_BAND_BUCKET
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
 
@@ -52,7 +58,7 @@ def main():
 
     # stage 3 candidates: the oracle's band joins (id pairs only),
     # then union-find instead of the recursive closure
-    pairs = con.execute("""
+    pairs = con.execute(f"""
       WITH sh2 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
               FROM (SELECT doc_id, string_split(text,' ') AS t FROM s2) t2),
@@ -64,9 +70,9 @@ def main():
           min((5*h+13) % 2147483647) AS mh3, min((7*h+17) % 2147483647) AS mh4
         FROM hs2 GROUP BY doc_id),
       big1 AS (SELECT mh1, mh2 FROM mh2 GROUP BY mh1, mh2
-               HAVING count(*) > 500),
+               HAVING count(*) > {cap}),
       big2 AS (SELECT mh3, mh4 FROM mh2 GROUP BY mh3, mh4
-               HAVING count(*) > 500),
+               HAVING count(*) > {cap}),
       cand AS (SELECT DISTINCT doc_a, doc_b FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM mh2 a JOIN mh2 b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2
