@@ -205,6 +205,9 @@ object SparkEntry {
     // full Faiss IVF-PQ composition (coarse gate + codes-only ADC)
     "q_knn_pq_sampled"     -> VectorOps.qKnnPqSampled _,
     "q_knn_ivf_pq"         -> VectorOps.qKnnIvfPq _,
+    // round-15: the complete retrieval ladder — IVF gate → PQ codes
+    // → exact rerank of the bounded ADC shortlist
+    "q_knn_ivf_pq_rerank"  -> VectorOps.qKnnIvfPqRerank _,
     // round-15: batched BPE — top-B symbol-disjoint merges per round
     // (lifts the greedy loop's measured ~0.55 s/round driver floor)
     "q_bpe_merges_batched" -> TextOps.qBpeMergesBatched _,

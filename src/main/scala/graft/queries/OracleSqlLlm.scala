@@ -1019,7 +1019,8 @@ object OracleSqlLlm {
     * `ivf` prepends the coarse full-vector Lloyd gate + [[pcCte]] and
     * restricts ADC scoring to each probe's probed cells — mirroring
     * VectorOps.pqAdc term-for-term. */
-  private def pqAdcSql(sampled: Boolean, ivf: Boolean): String = {
+  private def pqAdcSql(sampled: Boolean, ivf: Boolean,
+                       rerank: Boolean = false): String = {
     val m = VectorOps.PqM; val sub = VectorOps.PqSub; val k = VectorOps.PqK
     val iters = VectorOps.PqIters
     val trainSrc = if (sampled) "samp" else "embeddings"
@@ -1060,6 +1061,31 @@ object OracleSqlLlm {
       else s"WITH $sampCte$subs"
     val scGate = if (ivf) "\n  JOIN pc p ON p.cell = kk.gcell" else ""
     val l0Cond = if (ivf) " AND l0.p0 = p.vec_id" else ""
+    val tail =
+      if (!rerank)
+        s"""
+           |SELECT p0 AS vec_id, neighbor, adc FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p0
+           |                              ORDER BY adc DESC, neighbor) AS rk
+           |  FROM sc) z
+           |WHERE rk <= 3 ORDER BY vec_id, adc DESC, neighbor""".stripMargin
+      else
+        s""",
+           |shortlist AS (SELECT p0, neighbor FROM (
+           |  SELECT p0, neighbor, row_number() OVER (PARTITION BY p0
+           |                    ORDER BY adc DESC, neighbor) AS crk
+           |  FROM sc) z WHERE crk <= ${VectorOps.IvfPqRerankDepth}),
+           |rr AS (
+           |  SELECT s.p0, s.neighbor,
+           |    round(CAST(list_dot_product(CAST(pe.embedding AS DOUBLE[]),
+           |          CAST(te.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+           |  FROM shortlist s JOIN embeddings pe ON pe.vec_id = s.p0
+           |                   JOIN embeddings te ON te.vec_id = s.neighbor)
+           |SELECT p0 AS vec_id, neighbor, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY p0
+           |                              ORDER BY cos DESC, neighbor) AS rk
+           |  FROM rr) y
+           |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin
     s"""$head,
        |$codes,
        |$luts,
@@ -1071,12 +1097,7 @@ object OracleSqlLlm {
        |  JOIN lut1 l1 ON l1.c1 = kk.pq1 AND l1.p1 = l0.p0
        |  JOIN lut2 l2 ON l2.c2 = kk.pq2 AND l2.p2 = l0.p0
        |  JOIN lut3 l3 ON l3.c3 = kk.pq3 AND l3.p3 = l0.p0
-       |  WHERE kk.vec_id <> l0.p0)
-       |SELECT p0 AS vec_id, neighbor, adc FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY p0
-       |                              ORDER BY adc DESC, neighbor) AS rk
-       |  FROM sc) z
-       |WHERE rk <= 3 ORDER BY vec_id, adc DESC, neighbor""".stripMargin
+       |  WHERE kk.vec_id <> l0.p0)$tail""".stripMargin
   }
 
   /** The probe → top-nprobe-cells CTE over the full-vector Lloyd
@@ -1215,6 +1236,8 @@ object OracleSqlLlm {
     // Lloyd/LUT/ADC fragments cannot drift apart
     "q_knn_pq_sampled" -> pqAdcSql(sampled = true, ivf = false),
     "q_knn_ivf_pq" -> pqAdcSql(sampled = true, ivf = true),
+    // the complete ladder: gate → codes → exact rerank (r15)
+    "q_knn_ivf_pq_rerank" -> pqAdcSql(sampled = true, ivf = true, rerank = true),
     // r13: the high-recall half-scan point (128, 2, 64) — recall 0.97
     // at sf10 where the quarter-scan diagonal plateaus at 0.77
     "q_knn_ivf_hr" -> ivfKmeansSql(128, 2, 64),

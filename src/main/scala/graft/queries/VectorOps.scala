@@ -510,6 +510,16 @@ object VectorOps {
   private[graft] val IvfPqCells = 64
   private[graft] val IvfPqNprobe = 16
 
+  /** ADC-shortlist depth for the full-ladder key ([[qKnnIvfPqRerank]]):
+    * much deeper than q_knn_rerank's 20 because ADC error (avg ~0.10
+    * per PqSpec) is an order louder than int8's ~1/127 AND the same
+    * scale as the isotropic fixture's cosine signal — depth is the
+    * dial that buys recall back (measured at sf1: 0.267 at depth 50
+    * → 0.567 at 200 vs raw gated ADC's 0.033), and the shortlist
+    * stays ≤ probes·depth rows — broadcastable at ANY corpus size,
+    * exact-scored at ~zero marginal cost next to the codes scan. */
+  private[graft] val IvfPqRerankDepth = 200
+
   /** DECLARED: product-quantization ADC retrieval (r14) — the
     * memory-bound half of the production ANN stack (Jégou et al.
     * 2011, public; the Faiss IVF-PQ shape minus the IVF gate, which
@@ -579,12 +589,30 @@ object VectorOps {
   def qKnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     pqAdc(spark, dir, sampledTrain = true, ivfGate = true)
 
+  /** DECLARED (r15): the COMPLETE production retrieval ladder —
+    * IVF gate → PQ-ADC shortlist → EXACT rerank — in one key (the
+    * Faiss `IndexIVFPQ` + refine stage). The gated ADC scan keeps its
+    * top-[[IvfPqRerankDepth]] candidates per probe (the shortlist is
+    * ≤ probes·depth rows — broadcastable at any corpus size), the
+    * original float vectors are fetched back for ONLY those rows (two
+    * broadcast joins against the embedding table; the corpus-wide
+    * scan stays codes-only), and the exact cosine picks top-3. This
+    * is the architecture answer to ADC's quantization noise: recall
+    * is restored by exact scoring of a candidate set whose SIZE is
+    * controlled by the gate and the codes, not by the corpus.
+    * AnnRecallSpec measures the ladder's sf1 recall against the raw
+    * gated-ADC key — the rerank must dominate it. */
+  def qKnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(spark, dir, sampledTrain = true, ivfGate = true,
+      rerank = true)
+
   /** The one PQ-ADC engine behind [[qKnnPq]] / [[qKnnPqSampled]] /
     * [[qKnnIvfPq]]: codebook build (full or sampled train set),
     * zero-shuffle encode, optional coarse-cell gate, broadcast-LUT
     * ADC scoring, top-3 window. */
   private[graft] def pqAdc(spark: SparkSession, dir: String,
-                           sampledTrain: Boolean, ivfGate: Boolean): DataFrame = {
+                           sampledTrain: Boolean, ivfGate: Boolean,
+                           rerank: Boolean = false): DataFrame = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -656,9 +684,31 @@ object VectorOps {
       .withColumn("adc",
         round(col("d0") + col("d1") + col("d2") + col("d3"), 4))
     val w = Window.partitionBy(col("p0")).orderBy(col("adc").desc, col("neighbor"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .select(col("p0").as("vec_id"), col("neighbor"), col("adc"))
-      .orderBy(col("vec_id"), col("adc").desc, col("neighbor"))
+    if (!rerank)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("p0").as("vec_id"), col("neighbor"), col("adc"))
+        .orderBy(col("vec_id"), col("adc").desc, col("neighbor"))
+    else {
+      // exact-rerank stage: ADC keeps a bounded shortlist per probe;
+      // float vectors come back for ONLY those rows via two broadcast
+      // joins (probe side ≤ probes·depth, neighbor side likewise) —
+      // the corpus-wide scan above stayed codes-only
+      val shortlist = scored
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= IvfPqRerankDepth)
+        .select(col("p0"), col("neighbor"))
+      val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as(T))
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("p0"), col("embedding").as(P))
+      val exact = t.join(broadcast(shortlist), "neighbor")
+        .join(broadcast(p), "p0")
+        .select(col("p0"), col("neighbor"),
+          round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+      val w2 = Window.partitionBy(col("p0")).orderBy(col("cos").desc, col("neighbor"))
+      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= 3)
+        .select(col("p0").as("vec_id"), col("neighbor"), col("cos"))
+        .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+    }
   }
 
   /** Typed-Aggregator UDAF: weighted average price by quantity per

@@ -275,6 +275,15 @@ class AnnRecallSpec extends SparkSpec {
     info(f"ivf_pq sf1 recall = ${(foundPq & gt).size}/${gt.size} = $rPq%.3f (hr = $rHr%.3f)")
     assert(rPq > 0.0, "IVF-PQ retrieval degenerated to zero overlap with exact top-3")
     assert(rHr >= rPq, f"exact-scoring hr ($rHr%.3f) must dominate ADC scoring ($rPq%.3f)")
+    // the complete ladder (r15): exact rerank of the bounded ADC
+    // shortlist restores the recall the quantized scoring loses —
+    // strictly better than raw gated ADC, approaching the gate's own
+    // ceiling (exact scoring of everything in the probed cells)
+    val foundRr = pairsOf(VectorOps.qKnnIvfPqRerank(spark, sf1), "vec_id", "neighbor")
+    val rRr = (foundRr & gt).size.toDouble / gt.size
+    info(f"ivf_pq_rerank sf1 recall = ${(foundRr & gt).size}/${gt.size} = $rRr%.3f")
+    assert(rRr > rPq, f"rerank ($rRr%.3f) must beat raw gated ADC ($rPq%.3f)")
+    assert(rRr >= 0.30, f"ladder recall $rRr%.3f below the 0.30 floor")
   }
 
   test("q_knn_ivf_kmeans nprobe curve (1/2/4): recall is monotone in scan fraction") {
