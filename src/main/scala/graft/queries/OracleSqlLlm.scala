@@ -994,18 +994,33 @@ object OracleSqlLlm {
     * string) so q_knn_ivf_mp's fine-cell geometry (k = 64) comes from
     * the SAME generator as the k = 8 family and the Lloyd fragments
     * still cannot drift apart. */
-  private def kmCtes(k: Int = 8, iters: Int = 2): String = {
+  /** r15: optional trainSrc/encodeSrc split for the SAMPLED coarse
+    * gate in the IVF-PQ keys — the Lloyd chain (seeds + rounds) reads
+    * `trainSrc`; when the sources differ a full-vector CTE `vf` is
+    * emitted and the final corpus assignment `af` reads it (probe
+    * ranking must then also read `vf`, see [[pcCte]]). Defaults emit
+    * the pre-r15 string byte-identically — the standalone kmeans/IVF
+    * keys are untouched. */
+  private def kmCtes(k: Int = 8, iters: Int = 2,
+                     trainSrc: String = "embeddings",
+                     encodeSrc: String = "embeddings"): String = {
     val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
     val rounds = (1 to iters).map(i =>
       s"""a$i AS (${kmAssign(s"c${i - 1}")}),
          |c$i AS (${kmUpdate(s"a$i")})""".stripMargin).mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-       |c0 AS (
+    val split = trainSrc != encodeSrc
+    val fullCte =
+      if (split)
+        s"""vf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM $encodeSrc),
+           |""".stripMargin
+      else ""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM $trainSrc),
+       |${fullCte}c0 AS (
        |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
        |         list_transform(ev, x -> round(x, 4)) AS cv
        |  FROM v ORDER BY $h, vec_id LIMIT $k),
        |$rounds,
-       |af AS (${kmAssign(s"c$iters")})""".stripMargin
+       |af AS (${kmAssign(s"c$iters", if (split) "vf" else "v")})""".stripMargin
   }
 
   /** Name of the final-centroid CTE [[kmCtes]] emits for `iters`. */
@@ -1054,11 +1069,18 @@ object OracleSqlLlm {
          |  FROM s0af a0 JOIN s1af a1 USING (vec_id)
          |       JOIN s2af a2 USING (vec_id) JOIN s3af a3 USING (vec_id)$gjoin)""".stripMargin
     val head =
-      if (ivf)
-        s"""${kmCtes(VectorOps.IvfPqCells, iters)},
-           |${pcCte(VectorOps.IvfPqNprobe, iters)},
-           |$sampCte$subs""".stripMargin
-      else s"WITH $sampCte$subs"
+      if (ivf) {
+        // samp must precede the coarse chain (its v CTE reads it
+        // under a sampled gate — r15); kmCtes' own WITH is stripped
+        // so the samp CTE can lead the clause
+        val coarse = kmCtes(VectorOps.IvfPqCells, iters,
+          trainSrc = trainSrc, encodeSrc = "embeddings")
+          .stripPrefix("WITH ")
+        s"""WITH $sampCte$coarse,
+           |${pcCte(VectorOps.IvfPqNprobe, iters,
+                    src = if (sampled) "vf" else "v")},
+           |$subs""".stripMargin
+      } else s"WITH $sampCte$subs"
     val scGate = if (ivf) "\n  JOIN pc p ON p.cell = kk.gcell" else ""
     val l0Cond = if (ivf) " AND l0.p0 = p.vec_id" else ""
     val tail =
@@ -1104,14 +1126,14 @@ object OracleSqlLlm {
     * build's [[kmCtes]] names — shared by [[ivfKmeansSql]] and the
     * IVF-PQ generator ([[pqAdcSql]]), so the gate metric (the build's
     * own 6-dp argmin, ties to the smaller cell) is spelled once. */
-  private def pcCte(nprobe: Int, iters: Int): String =
+  private def pcCte(nprobe: Int, iters: Int, src: String = "v"): String =
     s"""pc AS (
        |  SELECT vec_id, ev, cell FROM (
        |    SELECT v.vec_id, v.ev, c.cell,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        round(round(list_dot_product(c.cv, c.cv), 6)
        |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
-       |    FROM v CROSS JOIN ${kmFinalCentroids(iters)} c
+       |    FROM $src v CROSS JOIN ${kmFinalCentroids(iters)} c
        |    WHERE v.vec_id < 10) x WHERE rk <= $nprobe)""".stripMargin
 
   /** The unsupervised IVF retrieval SQL at any (k, iters, nprobe)

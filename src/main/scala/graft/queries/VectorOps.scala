@@ -625,16 +625,23 @@ object VectorOps {
     val slices = (0 until PqM).map(s => s"slice(embedding, ${s * PqSub + 1}, $PqSub)")
     // per-subspace codebooks (centroids only; Lloyd checkpoints inside)
     val cents = slices.map(sl => GraftOps.kmeansModel(train, "vec_id", sl, PqK, PqIters)._1)
-    // optional coarse IVF model: cells over FULL vectors, full corpus
-    // (the gate must cover every corpus row, so it never samples)
+    // optional coarse IVF model: cells over FULL vectors. r15: the
+    // gate TRAINS on the same hash-sample as the codebooks (the full
+    // production amortization story) but ASSIGNS the full corpus —
+    // assignment is the same broadcast-centroids + codegen'd argmin
+    // map stage as the encode below, so the corpus never joins or
+    // shuffles for its cell either
     val gate =
       if (ivfGate)
-        Some(GraftOps.kmeansModel(emb, "vec_id", "embedding", IvfPqCells, PqIters))
+        Some(GraftOps.kmeansModel(train, "vec_id", "embedding", IvfPqCells, PqIters)._1)
       else None
-    // encode: m chained zero-shuffle map stages (gate keeps its cell)
+    // encode: m chained zero-shuffle map stages (gate cell rides along)
     var coded = gate match {
-      case Some((_, assigned)) =>
-        assigned.select(col("vec_id").as("neighbor"), col("embedding"), col("cell"))
+      case Some(cent) =>
+        emb.select(col("vec_id").as("neighbor"), col("embedding"))
+          .crossJoin(broadcast(GraftOps.centroidArray(cent)))
+          .withColumn("cell", GraftOps.cellColumn("embedding"))
+          .drop("__cs")
       case None => emb.select(col("vec_id").as("neighbor"), col("embedding"))
     }
     cents.zip(slices).zipWithIndex.foreach { case ((cent, sl), s) =>
@@ -664,7 +671,7 @@ object VectorOps {
     // (broadcast of ≤ probes·nprobe rows; same CellTopP metric as the
     // build, so rank-1 always contains the probe's own cell)
     val base = gate match {
-      case Some((cent, _)) =>
+      case Some(cent) =>
         val probeCell = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("p_id"), col("embedding").as(P))
           .crossJoin(broadcast(GraftOps.centroidArray(cent)))
