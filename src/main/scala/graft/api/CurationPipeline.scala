@@ -36,12 +36,13 @@ object CurationPipeline {
   /** Stage-by-stage plans: (name, frame-after-stage), in order.
     *
     * MOSTLY lazy, with one documented exception (ADVICE r7): stage 3
-    * calls [[GraftOps.connectedComponents]], whose convergence loop is
-    * inherently iterative — building that stage's frame runs Spark
-    * jobs for the pipeline prefix up to clustering (localCheckpoint +
-    * per-round convergence counts). Stages 1-2 and 4-5 stay pure
-    * plans. Callers needing a zero-execution dry run should stop at
-    * stage 2 or inspect `queryExecution` before forcing stage 3. */
+    * calls [[GraftOps.connectedComponentsAdaptive]], whose convergence
+    * loop is inherently iterative — building that stage's frame runs
+    * Spark jobs for the pipeline prefix up to clustering
+    * (localCheckpoint + per-round convergence counts). Stages 1-2 and
+    * 4-5 stay pure plans. Callers needing a zero-execution dry run
+    * should stop at stage 2 or inspect `queryExecution` before forcing
+    * stage 3. */
   def curateLazy(docs: DataFrame, bench: DataFrame,
                  idCol: String, textCol: String, stratumCol: String,
                  target: Int, minJaccard: Double = 0.5): Seq[(String, DataFrame)] =
@@ -86,7 +87,13 @@ object CurationPipeline {
       val sigs = GraftOps.minhashSignatures(exact, idCol, textCol)
       val cand = GraftOps.lshCandidates(sigs, idCol)
         .filter(col("jacc_est") >= minJaccard)
-      val losers = GraftOps.connectedComponents(cand, "id_a", "id_b")
+      // adaptive dispatch (VERDICT r15 #1): the sf10 candidate graph is
+      // 13.4 M capped pairs — 13× past the measured 1 M-edge crossover
+      // where the large/small-star loop beats plain propagation (the
+      // flood rounds re-ship the full edge frame every round). Below
+      // the crossover the dispatch picks propagation; fixpoint is
+      // identical either way, so declared hashes cannot move.
+      val losers = GraftOps.connectedComponentsAdaptive(cand, "id_a", "id_b")
         .filter(col("id") =!= col("component"))
         .select(col("id").as(idCol))
       m(exact.join(losers, Seq(idCol), "left_anti"))

@@ -98,7 +98,16 @@ object GraftOps {
     * both cap guards (6 consumers); signatures are 4 longs/row at any
     * scale, so they are cut from lineage here (localCheckpoint — the
     * [[graft.queries.DedupOps.minhashSignatures]] discipline) rather
-    * than recomputing the corpus shingle pass per consumer. */
+    * than recomputing the corpus shingle pass per consumer.
+    *
+    * EAGER (ADVICE r15 #2): that checkpoint means CONSTRUCTING the
+    * returned frame runs a Spark job over `signatures` — this method
+    * is not a pure plan builder like most of this API, and callers
+    * building frames they may never execute pay the signature pass up
+    * front. It also requires the standard signature shape (columns
+    * `mh1..mh4`, the [[graft.queries.DedupOps.minhashSignatures]]
+    * output); pass a frame in that shape rather than an arbitrary
+    * signature layout. */
   def lshCandidates(signatures: DataFrame, idCol: String,
                     maxBandBucket: Int = graft.queries.DedupOps.MaxBandBucket): DataFrame = {
     val mh = signatures.select(col(idCol).as("doc_id"),
@@ -527,7 +536,17 @@ object GraftOps {
     * partition count — call this one-query-at-a-time per session, or
     * from a dedicated `spark.newSession()`. (Per-frame `repartition`
     * can't replace the conf here: it sizes its own exchange, not the
-    * groupBy/join exchanges Catalyst inserts downstream.) */
+    * groupBy/join exchanges Catalyst inserts downstream.)
+    *
+    * This is the SMALL-GRAPH implementation (below the measured
+    * [[CcStarsMinEdges]] crossover, propagation's cheap rounds beat
+    * star rewriting's per-iteration overhead). No declared key calls
+    * it directly: every production path — q_dedup_clusters and the
+    * curation pipeline's stage 3 alike — routes through
+    * [[connectedComponentsAdaptive]], which dispatches here or to the
+    * star loop by measured edge count. Kept public as the explicit
+    * propagation API for instruments (tools.CcRoundAudit measures the
+    * two loops head-to-head) and sub-crossover callers. */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame =
     connectedComponents(edges, srcCol, dstCol, _ => ())

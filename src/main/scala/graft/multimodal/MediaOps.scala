@@ -89,8 +89,16 @@ object MediaOps {
     * packed RGBA bytes (PNG is single-frame, so only index 0 exists);
     * `embed` pools the raster into a dim-bucket integer-luma
     * histogram, L2-normalized — a deterministic pixel-space feature
-    * (integer ITU-R 601 luma, no float path, so bit-stable across
-    * JVMs). Audio/video containers stay env-gated: the container
+    * (integer ITU-R 601 luma, no float path). Bit-stability across
+    * JVMs (ADVICE r15 #3): 8-bit component RGB/RGBA and grayscale
+    * rasters — every PNG the fixtures or ImageIO write — are read as
+    * RAW raster samples (`Raster.getSample`), which bypasses
+    * ColorModel/ICC color management entirely, so the claim holds even
+    * for ICC-tagged payloads. Exotic layouts (palette-indexed, 16-bit
+    * channels) fall back to `getRGB`, where color-management
+    * conversion applies and bit-stability is only guaranteed for
+    * untagged sRGB-like payloads. Audio/video containers stay
+    * env-gated: the container
     * ships no other decoder, and wiring javacpp-ffmpeg here changes
     * no Spark code — the [[Codec]] seam is the point. */
   object RealCodec extends Codec with Serializable {
@@ -99,6 +107,35 @@ object MediaOps {
       require(img != null, "payload is not an image this JVM decodes (PNG expected)")
       img
     }
+    /** Per-pixel (r, g, b, a) reader. For 8-bit-component,
+      * non-premultiplied RGB/RGBA and grayscale rasters the samples are
+      * read directly off the Raster (band index = component index, so
+      * band 0 is red even in BGR-interleaved storage) — no
+      * ColorModel/ICC conversion touches the values, which is what
+      * makes the integer pixel path bit-stable across JVM versions and
+      * platforms. Palette-indexed images (raster sample = palette
+      * index, not a component) and 16-bit channels fall back to
+      * `getRGB`, which converts through the color model. */
+    private def pixelReader(img: java.awt.image.BufferedImage): (Int, Int) => (Int, Int, Int, Int) = {
+      val cm = img.getColorModel
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val eightBit = (0 until cm.getNumComponents).forall(cm.getComponentSize(_) == 8)
+      val indexed = cm.isInstanceOf[java.awt.image.IndexColorModel]
+      val csType = cm.getColorSpace.getType
+      if (!indexed && eightBit && !cm.isAlphaPremultiplied &&
+          csType == java.awt.color.ColorSpace.TYPE_RGB && bands >= 3)
+        (x, y) => (raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+          raster.getSample(x, y, 2),
+          if (bands >= 4) raster.getSample(x, y, 3) else 255)
+      else if (!indexed && eightBit && !cm.isAlphaPremultiplied &&
+               csType == java.awt.color.ColorSpace.TYPE_GRAY)
+        (x, y) => { val g = raster.getSample(x, y, 0)
+          (g, g, g, if (bands >= 2) raster.getSample(x, y, 1) else 255) }
+      else
+        (x, y) => { val argb = img.getRGB(x, y)
+          ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff, (argb >>> 24) & 0xff) }
+    }
     override def probe(payload: Array[Byte]): (Int, Int, Int, Int) = {
       val (w, h, _, _) = PngCodec.probe(payload)
       (w, h, 0, 1) // stills: no sample rate, exactly one frame
@@ -106,17 +143,18 @@ object MediaOps {
     override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] = {
       require(idx == 0, s"PNG has exactly one frame, got index $idx")
       val img = image(payload)
+      val px = pixelReader(img)
       val w = img.getWidth; val h = img.getHeight
       val out = new Array[Byte](w * h * 4)
       var i = 0; var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val argb = img.getRGB(x, y)
-          out(i) = ((argb >> 16) & 0xff).toByte
-          out(i + 1) = ((argb >> 8) & 0xff).toByte
-          out(i + 2) = (argb & 0xff).toByte
-          out(i + 3) = ((argb >>> 24) & 0xff).toByte
+          val (r, g, b, a) = px(x, y)
+          out(i) = r.toByte
+          out(i + 1) = g.toByte
+          out(i + 2) = b.toByte
+          out(i + 3) = a.toByte
           i += 4; x += 1
         }
         y += 1
@@ -125,14 +163,14 @@ object MediaOps {
     }
     override def embed(payload: Array[Byte], dim: Int): Array[Float] = {
       val img = image(payload)
+      val px = pixelReader(img)
       val out = new Array[Float](dim)
       var y = 0
       while (y < img.getHeight) {
         var x = 0
         while (x < img.getWidth) {
-          val argb = img.getRGB(x, y)
-          val lum = (299 * ((argb >> 16) & 0xff) + 587 * ((argb >> 8) & 0xff) +
-            114 * (argb & 0xff)) / 1000
+          val (r, g, b, _) = px(x, y)
+          val lum = (299 * r + 587 * g + 114 * b) / 1000
           out(lum * dim / 256) += 1.0f
           x += 1
         }

@@ -612,7 +612,8 @@ object VectorOps {
     * ADC scoring, top-3 window. */
   private[graft] def pqAdc(spark: SparkSession, dir: String,
                            sampledTrain: Boolean, ivfGate: Boolean,
-                           rerank: Boolean = false): DataFrame = {
+                           rerank: Boolean = false,
+                           rerankDepth: Int = IvfPqRerankDepth): DataFrame = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -702,7 +703,7 @@ object VectorOps {
       // the corpus-wide scan above stayed codes-only
       val shortlist = scored
         .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= IvfPqRerankDepth)
+        .filter(col("crk") <= rerankDepth)
         .select(col("p0"), col("neighbor"))
       val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as(T))
       val p = emb.filter(col("vec_id") < 10)

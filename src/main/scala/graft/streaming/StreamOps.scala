@@ -548,7 +548,14 @@ object StreamOps {
           kids.map(fp).reduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
         case None => (f.length(), f.lastModified())
       }
-    val (evBytes, evMtime) = fp(new java.io.File(sfDir, "events.parquet"))
+    val evRoot = new java.io.File(sfDir, "events.parquet")
+    // fail fast on a mis-pointed sfDir: a missing source would
+    // fingerprint as (0, 0) — a sentinel written against NOTHING would
+    // then validate against any other missing source and replay empty
+    // slices instead of erroring at staging time (ADVICE r15 #4)
+    require(evRoot.exists,
+      s"events.parquet missing under $sfDir — cannot fingerprint the stream source")
+    val (evBytes, evMtime) = fp(evRoot)
     val sentinelBody = s"$canonical n=$nFiles bytes=$evBytes mtime=$evMtime"
     def stagedOk: Boolean = {
       val s = new java.io.File(srcDir, "_STAGED")
@@ -592,27 +599,46 @@ object StreamOps {
       }
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
-      // re-check RIGHT before purging (ADVICE r14 #2): a complete
-      // staging published while we built must be reused, not deleted
-      // under a JVM already replaying from it
-      if (stagedOk) purge(tmp)
-      else {
-        // a sentinel-less srcDir is garbage (killed mid-stage, or a
-        // stale fingerprint) — remove it so the atomic publish lands
-        purge(srcDir)
-        try java.nio.file.Files.move(tmp.toPath, srcDir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case e: java.nio.file.FileSystemException =>
-          purge(tmp)
-          // swallowing is only correct when a COMPETITOR won the
-          // rename; any other cause (permissions, non-atomic fs) must
-          // surface here, not as an opaque readStream error later
-          // (ADVICE r14 #3)
-          if (!stagedOk)
-            throw new IllegalStateException(
-              s"staging publish failed and no complete staging exists at $srcDir", e)
-        }
-      }
+      // serialize the check-purge-publish sequence with an exclusive
+      // OS file lock on a sibling .lock (ADVICE r15 #1): r14's re-check
+      // narrowed but did not CLOSE the TOCTOU — between a final
+      // stagedOk re-check and purge(srcDir), a competitor could publish
+      // a complete staging that we then deleted under a third JVM
+      // already replaying from it. Under the lock, exactly one JVM at a
+      // time observes-and-mutates srcDir, so a complete staging can
+      // never be purged. The lock file is a sibling (never inside
+      // srcDir) so purge(srcDir) cannot delete it.
+      val lockFile = new java.io.File(srcDir.getParent, s"${srcDir.getName}.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // exclusive, blocks until the competitor is done
+        try {
+          // re-check UNDER the lock: a complete staging published while
+          // we built (or while we waited for the lock) must be reused,
+          // not deleted under a JVM already replaying from it
+          if (stagedOk) purge(tmp)
+          else {
+            // a sentinel-less srcDir is garbage (killed mid-stage, or a
+            // stale fingerprint) — remove it so the atomic publish lands
+            purge(srcDir)
+            try java.nio.file.Files.move(tmp.toPath, srcDir.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case e: java.nio.file.FileSystemException =>
+              purge(tmp)
+              // with the lock held no competitor can win the rename, so
+              // any failure here (permissions, non-atomic fs) must
+              // surface now, not as an opaque readStream error later —
+              // unless a lock-less legacy JVM published concurrently
+              // (ADVICE r14 #3)
+              if (!stagedOk)
+                throw new IllegalStateException(
+                  s"staging publish failed and no complete staging exists at $srcDir", e)
+            }
+          }
+        } finally lk.release()
+      } finally ch.close()
     }
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "batch_*.parquet")

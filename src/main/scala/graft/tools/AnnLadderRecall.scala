@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recall of the production retrieval ladder on an ARBITRARY
+  * embeddings fixture — VERDICT r15 missing #1: the ladder's declared
+  * recall story (0.567 at depth 200, sf1) rests on the ISOTROPIC
+  * fixture, the documented PQ worst case (ADC noise ≈ cosine signal),
+  * and SCALE.md asserted "clustered real embeddings do strictly
+  * better" without a measurement. This instrument runs AnnRecallSpec's
+  * floor protocol — brute-force top-3 ground truth for probes
+  * vec_id < 10, set-overlap recall — for q_knn_ivf_hr (exact-scoring
+  * half-scan gate ceiling), q_knn_ivf_pq (raw gated ADC), and the
+  * full ladder at a sweep of rerank depths, on ANY fixture dir, so
+  * the same table can be produced for the isotropic geometry AND a
+  * mixture-of-Gaussians one (GenData `mog:<k>:<spreadPct>`).
+  *
+  * Also prints the fixture's signal level (mean true-top-3 cosine and
+  * mean random-pair |cosine| over the probe rows) so the two
+  * geometries' recall rows are interpretable: PQ recall tracks the
+  * signal-to-quantization-noise ratio, which is exactly what the
+  * clustered geometry raises.
+  *
+  * Usage: `runMain graft.tools.AnnLadderRecall [sfDir] [depths]`
+  * (depths comma-separated, default 50,100,200). One JSON line per
+  * measurement.
+  */
+object AnnLadderRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("testdata/sf1")
+    val depths = args.lift(1)
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50, 100, 200))
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ann-ladder-recall")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+
+    val emb = graft.Tables.embeddings(spark, sfDir).persist()
+    val n = emb.count()
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+    // brute-force ground truth (AnnRecallSpec protocol)
+    val p = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").as("e_p"))
+    val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as("e_t"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    val all = p.crossJoin(t).filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor"),
+        round(expr("graft_dot_product(e_p, e_t)"), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .localCheckpoint(true)
+    val gtRows = all.filter(col("rk") <= 3)
+      .select(col("vec_id"), col("neighbor"), col("cos")).collect()
+    val gt = gtRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigTop3 = gtRows.map(_.getDouble(2)).sum / gtRows.length
+    val noise = all.agg(avg(abs(col("cos")))).head().getDouble(0)
+    println(s"""{"metric":"ann_fixture_signal","sf_dir":"$sfDir","n":$n,""" +
+      s""""mean_top3_cos":${fmt(sigTop3)},"mean_abs_cos":${fmt(noise)}}""")
+
+    def measure(key: String, df: org.apache.spark.sql.DataFrame,
+                extra: String = ""): Unit = {
+      val t0 = System.nanoTime()
+      val found = df.select(col("vec_id"), col("neighbor"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = (found & gt).size.toDouble / gt.size
+      println(s"""{"metric":"ann_ladder_recall","sf_dir":"$sfDir","n":$n,""" +
+        s""""key":"$key"$extra,"recall":${fmt(recall)},"wall_sec":${fmt(wall)}}""")
+    }
+
+    measure("q_knn_ivf_hr", graft.queries.VectorOps.qKnnIvfHr(spark, sfDir))
+    measure("q_knn_ivf_pq", graft.queries.VectorOps.qKnnIvfPq(spark, sfDir))
+    depths.foreach { d =>
+      measure("q_knn_ivf_pq_rerank",
+        graft.queries.VectorOps.pqAdc(spark, sfDir,
+          sampledTrain = true, ivfGate = true, rerank = true, rerankDepth = d),
+        extra = s""","depth":$d""")
+    }
+    spark.stop()
+  }
+}
