@@ -100,4 +100,53 @@ class PqSpec extends SparkSpec {
     // and the 30 picks are not one hot row repeated
     assert(pq.select("neighbor").distinct().count() >= 10)
   }
+
+  // the OLD interpreted argmin spelling (CellArgminSpec's reference),
+  // reused here as the independent assignment path
+  private def minStructCell(vec: String) =
+    expr(
+      s"""array_min(transform(__cs, c -> struct(
+         |  round(c.__cn - 2.0d * graft_num_dot($vec, c.__c), 6) AS __d,
+         |  c.__cell AS __cell))).__cell""".stripMargin)
+
+  test("sampled-gate split (r16): sample ⊊ corpus, probes outside the sample, " +
+    "full corpus assigns against sample-trained centroids under both spellings") {
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    import graft.api.GraftOps
+    val emb = Tables.embeddings(spark, sf)
+    val train = GraftOps.sampleByHash(emb, "cast(vec_id as string)", VectorOps.PqSamplePct)
+    val (nAll, nTrain) = (emb.count(), train.count())
+    // the fixture must EXERCISE the trainSrc/encodeSrc split — a
+    // sample equal to (or empty of) the corpus makes this pin vacuous
+    assert(nTrain > 0 && nTrain < nAll,
+      s"sample $nTrain of $nAll does not split the corpus")
+    // probes live in the CORPUS, not the sample: the oracle's
+    // lutSrc = f / pcCte(src = vf) rule is only tested if some probe
+    // id is missing from the train set (measured: 9 of 10 are)
+    val probesOutside = emb.filter(col("vec_id") < 10)
+      .join(train.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    assert(probesOutside > 0,
+      "all 10 probes landed in the sample — the corpus-probe rule is untested")
+    // sample-trained gate centroids must differ from full-corpus ones
+    // (the split changes training)...
+    val cent = GraftOps.kmeansModel(train, "vec_id", "embedding",
+      VectorOps.IvfPqCells, VectorOps.PqIters)._1
+    val centFull = GraftOps.kmeansModel(emb, "vec_id", "embedding",
+      VectorOps.IvfPqCells, VectorOps.PqIters)._1
+    val moved = cent.select(col("__cell"), col("__c").as("cs"))
+      .join(centFull.select(col("__cell"), col("__c").as("cf")), "__cell")
+      .filter(col("cs") =!= col("cf")).count()
+    assert(moved > 0, "sampled and full-corpus training produced identical centroids")
+    // ...and the FULL corpus (sample members and non-members alike)
+    // assigns against the sampled centroids identically under the
+    // codegen'd argmin and the independent min-struct spelling — the
+    // engine-side half of the oracle's `${p}af FROM ${p}f` contract
+    val scored = emb
+      .crossJoin(broadcast(GraftOps.centroidArray(cent)))
+      .select(col("vec_id"),
+        GraftOps.cellColumn("embedding").as("cg"),
+        minStructCell("transform(embedding, x -> cast(x as double))").as("ci"))
+    assert(scored.filter(col("cg") =!= col("ci")).count() === 0,
+      "corpus assignment diverged between argmin spellings under sampled training")
+  }
 }
