@@ -606,14 +606,15 @@ object VectorOps {
     pqAdc(spark, dir, sampledTrain = true, ivfGate = true,
       rerank = true)
 
-  /** The one PQ-ADC engine behind [[qKnnPq]] / [[qKnnPqSampled]] /
-    * [[qKnnIvfPq]]: codebook build (full or sampled train set),
-    * zero-shuffle encode, optional coarse-cell gate, broadcast-LUT
-    * ADC scoring, top-3 window. */
-  private[graft] def pqAdc(spark: SparkSession, dir: String,
-                           sampledTrain: Boolean, ivfGate: Boolean,
-                           rerank: Boolean = false,
-                           rerankDepth: Int = IvfPqRerankDepth): DataFrame = {
+  /** The BUILD half of the PQ engine: train codebooks (full or
+    * hash-sampled train set), optionally train the coarse IVF gate,
+    * and encode the corpus — returning the codes frame (embedding
+    * column already dropped), the m subspace centroid frames, and the
+    * gate centroids. This is what [[PqIndex]] persists; declared keys
+    * never call it directly on a warm index. */
+  private[graft] def pqBuild(spark: SparkSession, dir: String,
+                             sampledTrain: Boolean, ivfGate: Boolean)
+      : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -650,15 +651,33 @@ object VectorOps {
         .withColumn(s"pq$s", GraftOps.cellColumn(sl))
         .drop("__cs")
     }
-    // materialize the CODES TABLE — it IS the PQ index a deployment
-    // stores once and scans per query (m small ints/row, the ~60×
-    // compression artifact). Also measured (tools.PqDecomp, sf10): the
-    // unmaterialized encode chain fused into the search job cost 52 s
-    // against 6.5 s encode-to-blocks + 4.4 s search split — the fused
-    // whole-stage plan re-evaluates the per-subspace argmin expressions
-    // far past their one-pass cost, so the checkpoint is both the
-    // honest architecture and a 4× wall cut on the declared key.
-    coded = coded.drop("embedding").localCheckpoint(true)
+    (coded.drop("embedding"), cents, gate)
+  }
+
+  /** The one PQ-ADC engine behind [[qKnnPq]] / [[qKnnPqSampled]] /
+    * [[qKnnIvfPq]]: stored-index load (build-and-publish on first
+    * touch — [[PqIndex]]), broadcast-LUT ADC scoring, top-3 window.
+    *
+    * r16: the codes table and codebooks are READ FROM THE PERSISTED
+    * INDEX — every execution (including the one that built it) scans
+    * the published parquet, so the measured key wall is the
+    * stored-index search wall a deployment pays per query, and no
+    * localCheckpoint pins executor storage memory for the session
+    * (the r15 stand-in, retired per its own documented concern).
+    * Ints and rounded doubles round-trip parquet exactly; PqIndexSpec
+    * pins value-for-value equality between a stored-index search and
+    * a fresh in-session build. */
+  private[graft] def pqAdc(spark: SparkSession, dir: String,
+                           sampledTrain: Boolean, ivfGate: Boolean,
+                           rerank: Boolean = false,
+                           rerankDepth: Int = IvfPqRerankDepth): DataFrame = {
+    import graft.api.GraftOps
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val (coded, cents, gate) =
+      PqIndex.loadOrBuild(spark, dir, sampledTrain, ivfGate)(
+        pqBuild(spark, dir, sampledTrain, ivfGate))
+    val slices = (0 until PqM).map(s => s"slice(embedding, ${s * PqSub + 1}, $PqSub)")
     // ADC lookup tables: probe-slice × centroid dots, 6 dp (m·k rows)
     val luts = cents.zip(slices).zipWithIndex.map { case ((cent, sl), s) =>
       emb.filter(col("vec_id") < 10)
