@@ -62,8 +62,15 @@ object BpeScaleBench {
         s""""marginal_sec_per_round":${math.round(marginal * 1000) / 1000.0}}""")
     }
     // the batched variant at equal merge budget: rounds × batch merges
-    // in rounds driver steps — the lifted ceiling (qBpeMergesBatched)
-    Seq((8, 8), (8, 32)).foreach { case (r, b) =>
+    // in rounds driver steps — the lifted ceiling (qBpeMergesBatched).
+    // r16: configs dial via arg 3 ("<rounds>x<batch>" csv; default the
+    // r15 pair) so the production batch sizes (128/256) measure on the
+    // wide-alphabet fixture, where the anti-chain can actually select
+    // that many symbol-disjoint pairs per round. merges_per_round is
+    // the selection density — the number the 31-word fixture capped.
+    val batchedCfgs = args.lift(2).getOrElse("8x8,8x32")
+      .split(",").map(_.trim.split("x")).map(p => (p(0).toInt, p(1).toInt)).toSeq
+    batchedCfgs.foreach { case (r, b) =>
       val t0 = System.nanoTime()
       val (merges, v) = graft.queries.TextOps.bpeLearnBatched(spark, sfDir, r, b)
       val nMerges =
@@ -74,6 +81,8 @@ object BpeScaleBench {
       println(s"""{"metric":"bpe_dial_batched","label":"$label","rounds":$r,""" +
         s""""batch":$b,"merges":$nMerges,"vocab":${row.getLong(0)},""" +
         s""""sym_tokens":${row.getLong(1)},""" +
+        s""""merges_per_round":${
+          math.round(nMerges.toDouble / math.max(1, merges.size) * 10) / 10.0},""" +
         s""""wall_sec":${math.round(wall * 100) / 100.0},""" +
         s""""sec_per_merge":${
           math.round(wall / math.max(1L, nMerges) * 1000) / 1000.0}}""")
