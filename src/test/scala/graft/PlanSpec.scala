@@ -278,7 +278,15 @@ class PlanSpec extends SparkSpec {
     // would kill the codes-only-scan economics at 100 TB.
     val p = planOf(queries.VectorOps.qKnnPq(spark, sf))
     assert(!p.contains("SortMergeJoin"), s"PQ search must broadcast:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+    // count exchanges in the EXECUTED plan section only: the r16
+    // stored index makes the key's plan deterministic, so when a
+    // sibling suite has .cache()d the same frame (PqSpec), this plan
+    // substitutes an InMemoryRelation whose dump prints the cached
+    // AQE plan twice (final + initial sections) — same one exchange,
+    // two string matches (found by the full-suite run; standalone the
+    // cache is cold and the raw count was 1)
+    val executedOnly = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(executedOnly).length <= 1,
       s"only the top-k window may shuffle:\n$p")
   }
 
