@@ -90,12 +90,50 @@ object DedupOps {
     * against the final population, as here — a per-step cap drifts
     * on buckets that cross it between increments. */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashSignatures(Tables.documents(spark, dir))
-    val inc = mh.filter(col("doc_id") % 10 === 0)
-    val base = mh.filter(col("doc_id") % 10 =!= 0)
-    minhashPairsBetween(inc, base, mh, MaxBandBucket, selfJoin = false)
+    // r16: the corpus index is now ACTUALLY persisted (the scaladoc's
+    // claim, made real via the StagedArtifact discipline) — the base
+    // side and the cap population read the stored signature table;
+    // only the ARRIVING shard computes signatures fresh (linear in
+    // the increment — exactly a deployment's per-increment cost; its
+    // rows are value-identical to the store's, so results cannot
+    // move). Before this the key recomputed the full corpus signature
+    // pass per execution — a full corpus scan per increment at 100 TB.
+    val stored = minhashIndex(spark, dir)
+    val base = stored.filter(col("doc_id") % 10 =!= 0)
+    val inc = minhashSignatures(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+    minhashPairsBetween(inc, base, stored, MaxBandBucket, selfJoin = false)
       .orderBy(col("jacc_est").desc, col("doc_a"), col("doc_b"))
       .limit(200)
+  }
+
+  /** The PERSISTED corpus signature index (r16) — the 4-longs/doc
+    * minhash table written once per fixture under the
+    * [[graft.api.StagedArtifact]] discipline (shingle/permutation
+    * dials + a recursive documents.parquet fingerprint in the
+    * sentinel) and READ by every incremental execution. This is the
+    * table a 100 TB deployment maintains between increments: the
+    * batch keys keep computing signatures in-session (a one-shot
+    * batch dedup has no store to reuse), while the incremental key
+    * joins the store and touches raw text only for the arriving
+    * shard. `rootOverride` is a test seam. */
+  private[graft] def minhashIndex(spark: SparkSession, dir: String,
+                                  rootOverride: Option[String] = None): DataFrame = {
+    import graft.api.StagedArtifact
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val root = rootOverride.getOrElse(
+      s"${Layout.layoutRoot}/${new java.io.File(dir).getName}")
+    val idxDir = new java.io.File(
+      s"$root/minhash_index_${StagedArtifact.pathKey(canonical)}")
+    val docRoot = new java.io.File(dir, "documents.parquet")
+    require(docRoot.exists,
+      s"documents.parquet missing under $dir — cannot fingerprint the dedup corpus")
+    val (b, m) = StagedArtifact.fingerprint(docRoot)
+    val sentinelBody = s"$canonical w=3 perms=${
+      MinhashPerms.map(p => s"${p._1}x${p._2}").mkString(";")
+    } p=$MinhashP bytes=$b mtime=$m"
+    StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody)(
+      Seq("sigs" -> minhashSignatures(Tables.documents(spark, dir))))("sigs")
   }
 
   private[graft] def qDedupMinhashCapped(

@@ -44,4 +44,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert((baseSelf ++ incSelf ++ cross) === batch)
     assert(baseSelf.intersect(cross).isEmpty && incSelf.intersect(cross).isEmpty)
   }
+
+  test("persisted signature index (r16) equals fresh signatures, value for value") {
+    // the declared key now reads the StagedArtifact store for the
+    // base side and the cap population; the arriving shard computes
+    // fresh — both must be the SAME values or the decomposition above
+    // silently stops describing the shipped key
+    val stored = DedupOps.minhashIndex(spark, sf)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(stored) === rows(mh),
+      "stored signature index diverged from a fresh signature pass")
+  }
+
+  test("declared key through the store == the all-fresh pre-r16 spelling") {
+    val viaStore = pairSet(graft.queries.DedupOps
+      .qDedupIncremental(spark, sf).select("doc_a", "doc_b", "jacc_est"))
+    val allFresh = pairSet(DedupOps.minhashPairsBetween(
+      inc, base, mh, DedupOps.MaxBandBucket, selfJoin = false))
+    // the key truncates to top-200; the fixture emits fewer, so the
+    // sets compare whole — guard that assumption so a fixture change
+    // surfaces here instead of silently weakening the test
+    assert(allFresh.size <= 200, "fixture outgrew the key's limit; compare top-200")
+    assert(viaStore === allFresh)
+  }
 }
