@@ -272,6 +272,44 @@ object VectorOps {
   def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     qKnnIvfKmeansProbed(spark, dir, 2)
 
+  /** The PERSISTED IVF index (r16): (centroids, cell-assigned corpus)
+    * for one declared geometry, written once per fixture under the
+    * [[graft.api.StagedArtifact]] discipline and READ by every
+    * search — the Faiss index file re-expressed as tables (`cents` =
+    * the k·d model, `cells` = the corpus stored WITH its cell key,
+    * which is exactly how IVF lists store vectors). Each declared
+    * dial point (k = 8 / 64 / 128) is its own artifact — a
+    * deployment stores the index at ITS operating point; the dial
+    * instruments (tools.AnnDialBench, AnnRecallSpec sweeps) keep
+    * building in-session via `store = false`, both because they
+    * measure the build and because a grid sweep must not litter
+    * corpus-sized index copies. Rounded-double centroids and float
+    * vectors round-trip parquet exactly, so a stored-index search is
+    * bit-identical to a fresh-build one (IvfIndexSpec pins it). */
+  private[graft] def ivfIndex(spark: SparkSession, dir: String,
+                              k: Int, iters: Int,
+                              rootOverride: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    import graft.api.StagedArtifact
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val root = rootOverride.getOrElse(
+      s"${Layout.layoutRoot}/${new java.io.File(dir).getName}")
+    val idxDir = new java.io.File(
+      s"$root/ivf_index_${StagedArtifact.pathKey(canonical)}_k${k}i$iters")
+    val embRoot = new java.io.File(dir, "embeddings.parquet")
+    require(embRoot.exists,
+      s"embeddings.parquet missing under $dir — cannot fingerprint the IVF corpus")
+    val (b, m) = StagedArtifact.fingerprint(embRoot)
+    val sentinelBody = s"$canonical k=$k iters=$iters bytes=$b mtime=$m"
+    val tables = StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody) {
+      val (cent, assigned) = graft.api.GraftOps
+        .kmeansModel(Tables.embeddings(spark, dir), "vec_id", "embedding", k, iters)
+      Seq("cents" -> cent,
+        "cells" -> assigned.select(col("vec_id"), col("cell"), col("embedding")))
+    }
+    (tables("cents"), tables("cells"))
+  }
+
   /** DECLARED: the fine-cell multi-probe point of the unsupervised
     * IVF dial — (k = 64, iters = 2, nprobe = 16). SAME quarter-corpus
     * scan fraction as the coarse (8, 2, 2) key, but recall climbs
@@ -286,7 +324,7 @@ object VectorOps {
     * doubles) and the probe side fans out 16 ways (still ≤ 160 rows
     * before the hint). */
   def qKnnIvfMp(spark: SparkSession, dir: String): DataFrame =
-    qKnnIvfKmeansGeo(spark, dir, k = 64, iters = 2, nprobe = 16)
+    qKnnIvfKmeansGeo(spark, dir, k = 64, iters = 2, nprobe = 16, store = true)
 
   /** DECLARED (r13, VERDICT r12 #5): the HIGH-RECALL point of the same
     * dial — (k = 128, iters = 2, nprobe = 64), i.e. nprobe/k = 1/2:
@@ -301,23 +339,26 @@ object VectorOps {
     * kmeansModel build, CellTopP probe ranking (p = 64 — the bound
     * raised for the r12 sf10 sweep), cell-member scan, top-3. */
   def qKnnIvfHr(spark: SparkSession, dir: String): DataFrame =
-    qKnnIvfKmeansGeo(spark, dir, k = 128, iters = 2, nprobe = 64)
+    qKnnIvfKmeansGeo(spark, dir, k = 128, iters = 2, nprobe = 64, store = true)
 
   private[graft] def qKnnIvfKmeansProbed(
       spark: SparkSession, dir: String, nprobe: Int): DataFrame =
-    qKnnIvfKmeansGeo(spark, dir, k = 8, iters = 2, nprobe = nprobe)
+    qKnnIvfKmeansGeo(spark, dir, k = 8, iters = 2, nprobe = nprobe, store = true)
 
   /** The fully-dialed unsupervised IVF: (k cells, Lloyd iters, probe
     * count) — tools.AnnDialBench sweeps this grid to put the measured
     * recall-vs-wall curve behind the declared geometry (VERDICT r10
-    * #2); the declared key pins one point of it. */
+    * #2); the declared key pins one point of it. `store = true` (the
+    * declared keys) reads the [[ivfIndex]] artifact; instruments
+    * sweeping the grid keep the in-session build. */
   private[graft] def qKnnIvfKmeansGeo(
       spark: SparkSession, dir: String,
-      k: Int, iters: Int, nprobe: Int): DataFrame = {
+      k: Int, iters: Int, nprobe: Int, store: Boolean = false): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val (cent, assigned) =
-      graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", k, iters)
+      if (store) ivfIndex(spark, dir, k, iters)
+      else graft.api.GraftOps.kmeansModel(e, "vec_id", "embedding", k, iters)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").as(P))
     // top-nprobe cells via the codegen'd CellTopP — the SAME 6-dp
