@@ -382,8 +382,13 @@ object StreamOps {
     import org.apache.spark.sql.types._
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
     val sinkName = s"graft_stream_assign_${runSeq.incrementAndGet()}"
-    val (cent, _) = graft.api.GraftOps
-      .kmeansModel(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", 8, 2)
+    // r16: the serving model comes from the PERSISTED IVF index — the
+    // SAME (k=8, iters=2) artifact the batch search key reads
+    // (VectorOps.ivfIndex / StagedArtifact), which is the production
+    // serving shape: train offline once, broadcast the stored
+    // centroids to the stream. Values are bit-identical to the
+    // in-session build (IvfIndexSpec), so the oracle cannot move.
+    val (cent, _) = graft.queries.VectorOps.ivfIndex(spark, sfDir, k = 8, iters = 2)
     val model = graft.api.GraftOps.centroidArray(cent).withColumn("__one", lit(1))
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
