@@ -54,11 +54,24 @@ object CurationPipeline {
     * of in-memory blocks instead of re-executing the whole stage
     * prefix per count (quadratic recompute) — the same pattern as the
     * connected-components loop. The lazy form keeps pure plans. */
+  /** `storedSignatures`: an optional pre-built minhash signature
+    * table in the standard (idCol, mh1..mh4) shape covering AT LEAST
+    * every doc in `docs` — e.g. the persisted corpus index
+    * ([[graft.queries.DedupOps.minhashIndex]]). When present, stage 3
+    * joins it (left-semi on the surviving ids) instead of re-running
+    * the shingle+minhash pass over the survivors: signatures are a
+    * pure function of each doc's text, so the candidate set — and
+    * every downstream stage — is value-identical
+    * (CurationPipelineSpec pins it), while the pipeline's text pass
+    * count drops by one. This is how a pipeline runs over an indexed
+    * corpus at 100 TB: the signature store already exists, only NEW
+    * text gets hashed. */
   private[graft] def stages(docs: DataFrame, bench: DataFrame,
                             idCol: String, textCol: String, stratumCol: String,
                             target: Int, minJaccard: Double,
                             materialize: Boolean,
-                            onStage: (String, Double) => Unit = (_, _) => ()): Seq[(String, DataFrame)] = {
+                            onStage: (String, Double) => Unit = (_, _) => (),
+                            storedSignatures: Option[DataFrame] = None): Seq[(String, DataFrame)] = {
     def m(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // per-stage wall attribution (tools.FunnelBench — the CcRoundAudit
     // callback pattern): with materialize=true each block below IS the
@@ -84,7 +97,9 @@ object CurationPipeline {
 
     // 3. near-dup clustering: non-representative cluster members out
     val near = timed("near_dedup") {
-      val sigs = GraftOps.minhashSignatures(exact, idCol, textCol)
+      val sigs = storedSignatures
+        .map(_.join(exact.select(col(idCol)), Seq(idCol), "left_semi"))
+        .getOrElse(GraftOps.minhashSignatures(exact, idCol, textCol))
       val cand = GraftOps.lshCandidates(sigs, idCol)
         .filter(col("jacc_est") >= minJaccard)
       // adaptive dispatch (VERDICT r15 #1): the sf10 candidate graph is

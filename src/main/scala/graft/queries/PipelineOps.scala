@@ -103,7 +103,12 @@ object PipelineOps {
     val bench = all.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
     val st = graft.api.CurationPipeline.stages(
       docs, bench, "doc_id", "text", "lang", target = 20, minJaccard = 0.5,
-      materialize = true)
+      materialize = true,
+      // r16: the pipeline runs over an INDEXED corpus — stage 3 joins
+      // the persisted signature store (the incremental-dedup artifact)
+      // restricted to survivors instead of re-hashing their text;
+      // signatures are text-pure, so values cannot move
+      storedSignatures = Some(DedupOps.minhashIndex(spark, dir)))
     (("input", docs) +: st).zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("rows_out"),
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))

@@ -43,15 +43,19 @@ object FunnelBench {
     // warmup pass: JVM/codegen/scan caches — the first stage would
     // otherwise absorb the whole session cold start and dominate the
     // attribution (the KeyBench warm-run discipline)
+    // r16: mirror the declared key — stage 3 reads the persisted
+    // signature store (build absorbed here if cold)
+    val storedSigs = Some(graft.queries.DedupOps.minhashIndex(spark, sfDir))
     graft.api.CurationPipeline.stages(
       docs, bench, "doc_id", "text", "lang", target = 20, minJaccard = 0.5,
-      materialize = true).foreach(_._2.count())
+      materialize = true, storedSignatures = storedSigs).foreach(_._2.count())
 
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     val t0 = System.nanoTime()
     val st = graft.api.CurationPipeline.stages(
       docs, bench, "doc_id", "text", "lang", target = 20, minJaccard = 0.5,
-      materialize = true, onStage = (n, w) => walls(n) = w)
+      materialize = true, onStage = (n, w) => walls(n) = w,
+      storedSignatures = storedSigs)
     // the declared key's six funnel aggregates over checkpointed blocks
     val tAgg0 = System.nanoTime()
     val counts = (("input", docs) +: st).map { case (_, df) =>

@@ -158,4 +158,23 @@ class CurationPipelineSpec extends SparkSpec {
     // (hash-bucketed, not exact) and far below their input sizes
     assert(perStratum.values.forall(n => n >= 1 && n <= 6), s"$perStratum")
   }
+
+  test("stored-signature stage 3 (r16) == the computed-signature pipeline, every stage") {
+    // the declared key feeds stage 3 the persisted corpus signature
+    // index; signatures are a pure function of text, so feeding a
+    // pre-built table covering a SUPERSET of the docs (here: all of
+    // them, like the store) must leave every stage's frame identical
+    val pre = graft.api.GraftOps.minhashSignatures(docs, "doc_id", "text")
+    val withStore = CurationPipeline.stages(
+      docs, bench, "doc_id", "text", "lang", target = 100000,
+      minJaccard = 0.5, materialize = true, storedSignatures = Some(pre))
+    val computed = CurationPipeline.stages(
+      docs, bench, "doc_id", "text", "lang", target = 100000,
+      minJaccard = 0.5, materialize = true)
+    withStore.zip(computed).foreach { case ((n1, a), (n2, b)) =>
+      assert(n1 === n2)
+      assert(a.collect().map(_.toString).sorted.toSeq ===
+        b.collect().map(_.toString).sorted.toSeq, s"stage $n1 diverged")
+    }
+  }
 }
