@@ -33,6 +33,34 @@ object StagedArtifact {
   // into (and purge) one shared tmp dir (found by PqIndexSpec's race)
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // in-JVM serialization of the publish section, keyed by lock-file
+  // path: OS file locks are held PER PROCESS, and FileChannel.lock()
+  // THROWS OverlappingFileLockException (it does not block) when
+  // another thread of the SAME JVM holds the lock — the exclusive
+  // file lock serializes JVMs but not threads (PqIndexSpec's
+  // two-thread race trips it intermittently). One monitor per lock
+  // path makes at most one thread per JVM attempt the OS lock; the
+  // file lock keeps doing cross-JVM duty.
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `f` holding BOTH the per-path JVM monitor and an exclusive
+    * OS file lock on `lockFile` — mutual exclusion across threads AND
+    * processes. Shared with the stream staging (StreamOps), which has
+    * the same two-level exposure. */
+  def withProcessLock(lockFile: java.io.File)(f: => Unit): Unit = {
+    val mon = jvmLocks.computeIfAbsent(
+      lockFile.getCanonicalPath, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try f finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   /** Recursive (total bytes, newest mtime) fingerprint of a file
     * tree — the source-identity half of a sentinel. Callers must
     * `require` the path exists first: a missing source fingerprints
@@ -82,26 +110,20 @@ object StagedArtifact {
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
       val lockFile = new java.io.File(idxDir.getParent, s"${idxDir.getName}.lock")
-      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lk = ch.lock()
-        try {
-          if (stagedOk) purge(tmp) // competitor published while we built
-          else {
-            purge(idxDir) // sentinel-less or stale-fingerprint garbage
-            try java.nio.file.Files.move(tmp.toPath, idxDir.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch { case e: java.nio.file.FileSystemException =>
-              purge(tmp)
-              if (!stagedOk)
-                throw new IllegalStateException(
-                  s"artifact publish failed and no complete artifact exists at $idxDir", e)
-            }
+      withProcessLock(lockFile) {
+        if (stagedOk) purge(tmp) // competitor published while we built
+        else {
+          purge(idxDir) // sentinel-less or stale-fingerprint garbage
+          try java.nio.file.Files.move(tmp.toPath, idxDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case e: java.nio.file.FileSystemException =>
+            purge(tmp)
+            if (!stagedOk)
+              throw new IllegalStateException(
+                s"artifact publish failed and no complete artifact exists at $idxDir", e)
           }
-        } finally lk.release()
-      } finally ch.close()
+        }
+      }
     }
     if (names.isEmpty)
       names = Option(idxDir.listFiles()).getOrElse(Array.empty)

@@ -614,12 +614,12 @@ object StreamOps {
       // never be purged. The lock file is a sibling (never inside
       // srcDir) so purge(srcDir) cannot delete it.
       val lockFile = new java.io.File(srcDir.getParent, s"${srcDir.getName}.lock")
-      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lk = ch.lock() // exclusive, blocks until the competitor is done
-        try {
+      // r16: via StagedArtifact.withProcessLock — the bare
+      // FileChannel.lock() THROWS OverlappingFileLockException when a
+      // sibling THREAD of this JVM holds it (file locks are
+      // per-process); the helper adds the per-path JVM monitor the
+      // PqIndexSpec race exposed, keeping the OS lock for cross-JVM
+      graft.api.StagedArtifact.withProcessLock(lockFile) {
           // re-check UNDER the lock: a complete staging published while
           // we built (or while we waited for the lock) must be reused,
           // not deleted under a JVM already replaying from it
@@ -642,8 +642,7 @@ object StreamOps {
                   s"staging publish failed and no complete staging exists at $srcDir", e)
             }
           }
-        } finally lk.release()
-      } finally ch.close()
+      }
     }
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "batch_*.parquet")
