@@ -128,11 +128,12 @@ object DedupOps {
     val docRoot = new java.io.File(dir, "documents.parquet")
     require(docRoot.exists,
       s"documents.parquet missing under $dir — cannot fingerprint the dedup corpus")
-    val (b, m) = StagedArtifact.fingerprint(docRoot)
+    val fp = StagedArtifact.fingerprint(docRoot)
     val sentinelBody = s"$canonical w=3 perms=${
       MinhashPerms.map(p => s"${p._1}x${p._2}").mkString(";")
-    } p=$MinhashP bytes=$b mtime=$m"
-    StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody)(
+    } p=$MinhashP fp=$fp"
+    StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody,
+      gc = Some((idxDir.getName, s"fp=$fp")))(
       Seq("sigs" -> minhashSignatures(Tables.documents(spark, dir))))("sigs")
   }
 

@@ -56,20 +56,23 @@ object PqIndex {
     val variant = (if (sampledTrain) "s" else "f") + (if (ivfGate) "g" else "n")
     val root = rootOverride.getOrElse(
       s"${Layout.layoutRoot}/${new java.io.File(dir).getName}")
-    val idxDir = new java.io.File(
-      s"$root/pq_index_${StagedArtifact.pathKey(canonical)}_$variant")
+    val key = StagedArtifact.pathKey(canonical)
+    val idxDir = new java.io.File(s"$root/pq_index_${key}_$variant")
 
     val embRoot = new java.io.File(dir, "embeddings.parquet")
     require(embRoot.exists,
       s"embeddings.parquet missing under $dir — cannot fingerprint the PQ corpus")
-    val (embBytes, embMtime) = StagedArtifact.fingerprint(embRoot)
+    val fp = StagedArtifact.fingerprint(embRoot)
     val sentinelBody =
       s"$canonical m=$PqM sub=$PqSub k=$PqK iters=$PqIters" +
         s" samp=${if (sampledTrain) PqSamplePct else 100}" +
         s" cells=${if (ivfGate) IvfPqCells else 0}" +
-        s" bytes=$embBytes mtime=$embMtime"
+        s" fp=$fp"
 
-    val tables = StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody) {
+    // GC: sibling pq_index variants fingerprinting a superseded corpus
+    // are purged on publish; the live variants (sn/fn/sg) share fp
+    val tables = StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody,
+      gc = Some((s"pq_index_${key}_", s"fp=$fp"))) {
       val (coded, cents, gate) = build
       // one books table: subspace codebooks at sub 0..m−1, the coarse
       // gate (when present) at sub = −1 — a single small parquet a

@@ -294,14 +294,18 @@ object VectorOps {
     val canonical = new java.io.File(dir).getCanonicalPath
     val root = rootOverride.getOrElse(
       s"${Layout.layoutRoot}/${new java.io.File(dir).getName}")
-    val idxDir = new java.io.File(
-      s"$root/ivf_index_${StagedArtifact.pathKey(canonical)}_k${k}i$iters")
+    val key = StagedArtifact.pathKey(canonical)
+    val idxDir = new java.io.File(s"$root/ivf_index_${key}_k${k}i$iters")
     val embRoot = new java.io.File(dir, "embeddings.parquet")
     require(embRoot.exists,
       s"embeddings.parquet missing under $dir — cannot fingerprint the IVF corpus")
-    val (b, m) = StagedArtifact.fingerprint(embRoot)
-    val sentinelBody = s"$canonical k=$k iters=$iters bytes=$b mtime=$m"
-    val tables = StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody) {
+    val fp = StagedArtifact.fingerprint(embRoot)
+    val sentinelBody = s"$canonical k=$k iters=$iters fp=$fp"
+    // GC: sibling ivf_index variants whose sentinel fingerprints a
+    // superseded corpus are purged on publish; the three LIVE declared
+    // geometries (k=8/64/128) all carry the current fp and survive
+    val tables = StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody,
+      gc = Some((s"ivf_index_${key}_", s"fp=$fp"))) {
       val (cent, assigned) = graft.api.GraftOps
         .kmeansModel(Tables.embeddings(spark, dir), "vec_id", "embedding", k, iters)
       Seq("cents" -> cent,
@@ -711,7 +715,8 @@ object VectorOps {
   private[graft] def pqAdc(spark: SparkSession, dir: String,
                            sampledTrain: Boolean, ivfGate: Boolean,
                            rerank: Boolean = false,
-                           rerankDepth: Int = IvfPqRerankDepth): DataFrame = {
+                           rerankDepth: Int = IvfPqRerankDepth,
+                           nprobe: Int = IvfPqNprobe): DataFrame = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -737,7 +742,10 @@ object VectorOps {
           .select(col("vec_id").as("p_id"), col("embedding").as(P))
           .crossJoin(broadcast(GraftOps.centroidArray(cent)))
           .select(col("p_id"),
-            explode(expr(s"graft_cell_topp($P, __cs, $IvfPqNprobe)")).as("cell"))
+            // nprobe is a SEARCH-TIME dial: it widens the gate over
+            // the same stored index (no rebuild) — the knob the
+            // recall-vs-wall curve sweeps (tools.AnnLadderRecall)
+            explode(expr(s"graft_cell_topp($P, __cs, $nprobe)")).as("cell"))
         broadcast(probeCell).join(coded, "cell")
       case None => coded
     }

@@ -1,0 +1,204 @@
+package graft
+
+import graft.api.StagedArtifact
+import org.apache.spark.sql.functions._
+
+/** The staging primitive's r17 hardening: content-aware fingerprint
+  * (a same-size same-mtime rewrite must invalidate), build-lease
+  * semantics (a contended cold loader waits and reuses instead of
+  * paying a duplicate build — thread-level here, PROCESS-level via a
+  * real flock(1) holder), and stale-variant GC on publish. */
+class StagedArtifactSpec extends SparkSpec {
+
+  private def tempDir(tag: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(s"staged_spec_$tag").toFile
+    d.deleteOnExit(); d
+  }
+
+  private def write(f: java.io.File, bytes: Array[Byte]): Unit =
+    java.nio.file.Files.write(f.toPath, bytes)
+
+  // ---- fingerprint ------------------------------------------------------
+
+  test("same-size same-mtime content rewrite changes the fingerprint") {
+    val src = tempDir("fp")
+    val f = new java.io.File(src, "data.bin")
+    write(f, Array.fill[Byte](8192)(1))
+    val mt = 1700000000000L
+    f.setLastModified(mt)
+    val fp1 = StagedArtifact.fingerprint(src)
+    // rewrite: identical length, identical mtime, different content —
+    // the exact blind spot of the r16 (total bytes, max mtime) pair
+    write(f, Array.fill[Byte](8192)(2))
+    f.setLastModified(mt)
+    val fp2 = StagedArtifact.fingerprint(src)
+    assert(fp1 !== fp2, "content rewrite validated a stale fingerprint")
+    // and it is stable: re-fingerprinting unchanged input is identical
+    assert(StagedArtifact.fingerprint(src) === fp2)
+  }
+
+  test("fingerprint distinguishes file renames at equal content") {
+    val src = tempDir("fpname")
+    write(new java.io.File(src, "a.bin"), Array.fill[Byte](100)(7))
+    val fp1 = StagedArtifact.fingerprint(src)
+    new java.io.File(src, "a.bin").renameTo(new java.io.File(src, "b.bin"))
+    assert(StagedArtifact.fingerprint(src) !== fp1)
+  }
+
+  test("empty or missing source trees are errors, not (0,0) identities") {
+    val empty = tempDir("fpempty")
+    intercept[IllegalArgumentException](StagedArtifact.fingerprint(empty))
+    intercept[IllegalArgumentException](
+      StagedArtifact.fingerprint(new java.io.File(empty, "nope")))
+  }
+
+  // ---- build lease ------------------------------------------------------
+
+  private def oneTable(n: Int) =
+    Seq("t" -> spark.range(n).select(col("id")))
+
+  test("thread-level lease: two concurrent cold loads run ONE build") {
+    val root = tempDir("lease")
+    val idx = new java.io.File(root, "art_lease")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try {
+          val t = StagedArtifact.loadOrBuild(spark, idx, "body v1") {
+            builds.incrementAndGet()
+            Thread.sleep(300) // widen the race window
+            oneTable(10)
+          }
+          rows.add(t("t").count())
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent load failed: ${errs.peek()}")
+    assert(builds.get() === 1,
+      "the lease must make the second cold loader wait and reuse, not rebuild")
+    assert(rows.size === 2 && rows.stream().distinct().count() === 1)
+  }
+
+  /** Hold an exclusive `FileChannel.lock()` on `lock` from a REAL
+    * second process for `secs` seconds, touching `marker` once held.
+    * Must be a JVM child: Java file locks are POSIX fcntl locks, which
+    * do NOT contend with flock(1)'s BSD flock(2) locks on Linux — a
+    * flock-based holder never blocks the library (measured here first:
+    * the builder sailed through in 0.35 s). Uses the JDK's single-file
+    * source launch, so the child needs no classpath. */
+  private def lockHolder(root: java.io.File, lock: java.io.File,
+                         marker: java.io.File, secs: Int): Process = {
+    val src = new java.io.File(root, "LockHold.java")
+    java.nio.file.Files.writeString(src.toPath,
+      """import java.nio.channels.FileChannel;
+        |import java.nio.file.*;
+        |public class LockHold {
+        |  public static void main(String[] a) throws Exception {
+        |    FileChannel ch = FileChannel.open(Paths.get(a[0]),
+        |      StandardOpenOption.CREATE, StandardOpenOption.WRITE);
+        |    ch.lock();
+        |    Files.createFile(Paths.get(a[1]));
+        |    Thread.sleep(Long.parseLong(a[2]) * 1000L);
+        |  }
+        |}
+        |""".stripMargin)
+    new ProcessBuilder("java", src.getPath,
+      lock.getPath, marker.getPath, secs.toString).inheritIO().start()
+  }
+
+  test("process-level lease: a contended builder waits for the OS lock release") {
+    val root = tempDir("oslock")
+    val idx = new java.io.File(root, "art_oslock")
+    val lock = new java.io.File(root, "art_oslock.lock")
+    lock.createNewFile()
+    val marker = new java.io.File(root, "held")
+    val holder = lockHolder(root, lock, marker, 3)
+    // wait until the child actually holds the lock
+    val t0 = System.nanoTime()
+    while (!marker.exists() && (System.nanoTime() - t0) < 60e9) Thread.sleep(20)
+    assert(marker.exists(), "lock holder never started")
+    val tHeld = System.nanoTime()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    var buildStart = 0L
+    val t = StagedArtifact.loadOrBuild(spark, idx, "body v1") {
+      buildStart = System.nanoTime()
+      builds.incrementAndGet(); oneTable(5)
+    }
+    holder.waitFor()
+    assert(builds.get() === 1)
+    assert(t("t").count() === 5)
+    // the build may only START once the holder's 3 s lease expired —
+    // measured to build START, so the build+publish wall cannot mask a
+    // lock that never blocked
+    val waited = (buildStart - tHeld) / 1e9
+    assert(waited >= 2.0,
+      f"builder did not wait for the contended OS lock (built after $waited%.2f s)")
+  }
+
+  test("process-level lease: an artifact published while waiting is reused") {
+    val root = tempDir("oslockpub")
+    val idx = new java.io.File(root, "art_pub")
+    val lock = new java.io.File(root, "art_pub.lock")
+    lock.createNewFile()
+    val marker = new java.io.File(root, "held")
+    val holder = lockHolder(root, lock, marker, 3)
+    val t0 = System.nanoTime()
+    while (!marker.exists() && (System.nanoTime() - t0) < 60e9) Thread.sleep(20)
+    assert(marker.exists(), "lock holder never started")
+    // while the lock is held, a "competitor" publishes the complete
+    // artifact (test seam: written directly — the waiter cannot see a
+    // torn state because the real path publishes by atomic rename)
+    val waiter = new Thread(() =>
+      StagedArtifact.loadOrBuild(spark, idx, "body v1") {
+        fail("waiter must reuse the artifact published while it waited")
+      })
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    waiter.setUncaughtExceptionHandler((_, e) => errs.add(e))
+    waiter.start()
+    Thread.sleep(500) // let the waiter reach (and block on) the OS lock
+    spark.range(7).select(col("id")).write.mode("overwrite")
+      .parquet(new java.io.File(idx, "t").getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(idx, "_STAGED").toPath, "body v1")
+    holder.waitFor()
+    waiter.join(120000)
+    assert(errs.isEmpty, s"waiter failed: ${errs.peek()}")
+    assert(spark.read.parquet(new java.io.File(idx, "t").getPath).count() === 7)
+  }
+
+  // ---- variant GC -------------------------------------------------------
+
+  test("publish purges sibling variants with stale fingerprints, keeps live ones") {
+    val root = tempDir("gc")
+    val src = tempDir("gcsrc")
+    val data = new java.io.File(src, "data.bin")
+    write(data, Array.fill[Byte](64)(1))
+    def load(variant: String): Unit = {
+      val fp = StagedArtifact.fingerprint(src)
+      StagedArtifact.loadOrBuild(spark,
+        new java.io.File(root, s"fam_$variant"), s"v=$variant fp=$fp",
+        gc = Some(("fam_", s"fp=$fp")))(oneTable(3))
+    }
+    load("a"); load("b")
+    def dirs = new java.io.File(root.getPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fam_"))
+      .map(_.getName).sorted.toSeq
+    assert(dirs === Seq("fam_a", "fam_b"),
+      "live sibling variants sharing the current fingerprint must survive GC")
+    // corpus "regeneration": content changes → new fingerprint; the
+    // next publish of variant a must purge the now-stale variant b
+    write(data, Array.fill[Byte](64)(9))
+    load("a")
+    assert(dirs === Seq("fam_a"),
+      "a stale-fingerprint sibling variant must be GC'd on publish")
+    // a sentinel-less foreign dir is never touched (source unchanged,
+    // so the re-published fam_a stays live through fam_b's GC pass)
+    val foreign = new java.io.File(root, "fam_foreign")
+    java.nio.file.Files.createDirectories(foreign.toPath)
+    load("b")
+    assert(dirs === Seq("fam_a", "fam_b", "fam_foreign"))
+    assert(foreign.exists, "GC deleted a dir it does not own (no sentinel)")
+  }
+}
