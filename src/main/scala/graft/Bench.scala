@@ -186,13 +186,30 @@ object Bench {
     * re-measured once (warm + [[Reps]], same protocol) in its own
     * pass AFTER the end probe, bracketed by a dedicated post-retry
     * probe so the retried medians carry their own load certificate;
-    * both numbers ship (`queries` keeps the contested median,
-    * `suspect_retry` the retried one). A CONTAMINATED run retries
-    * nothing: the box is still loaded, so a retry would just measure
-    * the same load twice and lend false confidence. */
+    * both numbers ship — and when that probe is clean the retried
+    * median is ADOPTED into `queries` with the raw reading preserved
+    * in `contaminated_raw` ([[adoptRetry]], r17). A CONTAMINATED run
+    * retries nothing: the box is still loaded, so a retry would just
+    * measure the same load twice and lend false confidence. */
   private[graft] def retryKeys(suspects: Seq[String],
                                contaminated: Boolean): Seq[String] =
     if (contaminated) Seq.empty else suspects
+
+  /** Whether retried medians may be ADOPTED into the committed
+    * per-query map (r17, VERDICT r16 wrong #1). The r16 driver
+    * artifact carried q_dedup_substring at 26.9 s — a load burst its
+    * own retry pass re-measured at 0.73 s — yet `queries` kept the
+    * contested reading, so the headline file a future round diffs
+    * against overstated the inventory wall ~50%. The retry pass is the
+    * honest number for this box/tree WHEN its own dedicated post-retry
+    * calibration probe is clean; in that case the retried median
+    * replaces the contested one in `queries`/totals and the raw
+    * reading moves to `contaminated_raw` (nothing is hidden, the
+    * headline is just no longer the load artifact). A dirty post-retry
+    * probe adopts nothing — the retry measured the same load twice. */
+  private[graft] def adoptRetry(retryCal: Double,
+                                floor: Double = CalibrationFloorSec): Boolean =
+    retryCal >= 0 && retryCal <= LoadFactorBar * floor
 
   /** Read the committed quiet reference — a past quiet-box
     * bench_detail.json SNAPSHOT committed as `bench_quiet_ref.json`
@@ -412,10 +429,10 @@ object Bench {
     // Self-heal pass (r12, VERDICT r11 #5 — see [[retryKeys]]): a
     // clean-calibration run with suspects re-measures just those keys
     // once, after the end probe, and a dedicated post-retry probe
-    // certifies the retry window itself was quiet. `queries` keeps
-    // the contested medians; `suspect_retry` carries the retried
-    // ones, so the artifact self-heals instead of deferring to the
-    // quiet ref.
+    // certifies the retry window itself was quiet. When that probe is
+    // clean the retried medians REPLACE the contested ones in
+    // `queries` (raw readings preserved in `contaminated_raw`), so
+    // the committed headline artifact is load-honest (r17).
     // Identical protocol to the main pass (r12 review: the first cut
     // shipped a bare 3-rep median — no spread, no noisy escalation —
     // so a retry overlapping its own GC stall or burst would have
@@ -457,6 +474,17 @@ object Bench {
       }
     }
     val retryCal = if (toRetry.nonEmpty) calibrate(spark) else -1.0
+    // Adoption (r17, VERDICT r16 #3 — see [[adoptRetry]]): certified-
+    // clean retried medians become the committed per-query values;
+    // the contested raw readings ship alongside in `contaminated_raw`.
+    val contaminatedRaw = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (adoptRetry(retryCal)) suspectRetry.foreach { case (k, v) =>
+      timings.get(k).foreach { raw =>
+        contaminatedRaw(k) = raw
+        timings(k) = v
+        spreads(k) = suspectRetrySpread.getOrElse(k, spreads.getOrElse(k, 0.0))
+      }
+    }
     val allTotal = timings.values.sum
     // The seed map is BY CONSTRUCTION the same per-key medians the
     // per_query block reports — one measurement pass, one protocol
@@ -473,7 +501,7 @@ object Bench {
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_noisy_keys":${retryNoisy.map(jstr).mkString("[", ",", "]")},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"contaminated_raw":${jmap(contaminatedRaw)},"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_noisy_keys":${retryNoisy.map(jstr).mkString("[", ",", "]")},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is

@@ -139,6 +139,23 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(Bench.retryKeys(Nil, contaminated = false).isEmpty)
   }
 
+  test("r16 load artifact: a clean post-retry probe adopts the retried median") {
+    // BENCH_r16 carried q_dedup_substring at 26.9 s while its own
+    // same-run retry measured 0.73 s under a clean dedicated probe —
+    // the committed headline overstated the inventory wall ~50%
+    // (VERDICT r16 wrong #1). A clean post-retry calibration now
+    // adopts the retry into `queries`.
+    assert(Bench.adoptRetry(0.15, floor))
+    assert(Bench.adoptRetry(0.29, floor)) // at the 1.5x bar, still clean
+  }
+
+  test("a dirty (or absent) post-retry probe adopts nothing") {
+    // probe above the absolute bar: the retry measured the same load
+    assert(!Bench.adoptRetry(0.45, floor))
+    // no retry pass ran (sentinel -1): nothing to adopt
+    assert(!Bench.adoptRetry(-1.0, floor))
+  }
+
   test("parseQuietRef reads this repo's committed reference format; rejects other SFs and cpu counts") {
     val tmp = java.nio.file.Files.createTempFile("quietref", ".json")
     val summary = """{"metric":"seed_total","value":3.89,"unit":"sec","sf":0.1,"sf_dir":"/root/testdata/sf0.1","calibration_cpus":32}"""
