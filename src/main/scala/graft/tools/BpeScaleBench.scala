@@ -68,8 +68,15 @@ object BpeScaleBench {
     // wide-alphabet fixture, where the anti-chain can actually select
     // that many symbol-disjoint pairs per round. merges_per_round is
     // the selection density — the number the 31-word fixture capped.
+    // ADVICE r16 #4: validate each segment instead of crashing with a
+    // bare index/number exception on "8", "8x", or a trailing comma
     val batchedCfgs = args.lift(2).getOrElse("8x8,8x32")
-      .split(",").map(_.trim.split("x")).map(p => (p(0).toInt, p(1).toInt)).toSeq
+      .split(",").map(_.trim).filter(_.nonEmpty).map { seg =>
+        val p = seg.split("x")
+        require(p.length == 2 && p.forall(s => s.nonEmpty && s.forall(_.isDigit)),
+          s"malformed batched config '$seg' — expected '<rounds>x<batch>' csv, e.g. 8x8,8x256")
+        (p(0).toInt, p(1).toInt)
+      }.toSeq
     batchedCfgs.foreach { case (r, b) =>
       val t0 = System.nanoTime()
       val (merges, v) = graft.queries.TextOps.bpeLearnBatched(spark, sfDir, r, b)

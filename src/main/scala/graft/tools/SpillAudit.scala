@@ -67,8 +67,20 @@ object SpillAudit {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       // let the async listener bus drain before reading the counters
-      // (listenerBus.waitUntilEmpty is private[spark])
-      Thread.sleep(1000)
+      // (listenerBus.waitUntilEmpty is private[spark]). ADVICE r16 #3:
+      // a fixed 1 s sleep can undercount on a loaded box — poll until
+      // all four counters hold still across two consecutive reads
+      // (bounded at 30 s so a wedged bus can't hang the audit)
+      def snap() = (memSpill.get, diskSpill.get, peakExec.get, failed.get)
+      var prev = snap()
+      var settled = false
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        val cur = snap()
+        settled = cur == prev
+        prev = cur
+      }
       val hash = outcome.map(h => s""""$h"""").getOrElse("null")
       val err = outcome.failed.toOption
         .map(t => s""""${t.getClass.getSimpleName}: ${
