@@ -559,11 +559,24 @@ object VectorOps {
     * much deeper than q_knn_rerank's 20 because ADC error (avg ~0.10
     * per PqSpec) is an order louder than int8's ~1/127 AND the same
     * scale as the isotropic fixture's cosine signal — depth is the
-    * dial that buys recall back (measured at sf1: 0.267 at depth 50
-    * → 0.567 at 200 vs raw gated ADC's 0.033), and the shortlist
-    * stays ≤ probes·depth rows — broadcastable at ANY corpus size,
-    * exact-scored at ~zero marginal cost next to the codes scan. */
-  private[graft] val IvfPqRerankDepth = 200
+    * dial that buys recall back, and the shortlist stays ≤ probes·depth
+    * rows — broadcastable at ANY corpus size, exact-scored at ~zero
+    * marginal cost next to the codes scan.
+    *
+    * r17: re-dialed 200 → 1000, the measured PRODUCTION OPERATING
+    * POINT (tools.AnnLadderRecall depth×nprobe grid, SCALE.md §ANN
+    * operating point): recall@3 at depth 200 was 0.57–0.77 across
+    * geometries — a number a retrieval user would reject; at depth
+    * 1000 (nprobe unchanged at 16 — the grid measured recall
+    * NON-monotone in nprobe at fixed depth, because widening the gate
+    * floods the fixed shortlist with ADC-noise candidates) the
+    * clustered fixtures reach 0.97 (intra-cos 0.6) and 1.00 (0.75).
+    * The isotropic fixture is the documented ADC floor (0.70 even
+    * gate-off at depth 1000): when signal ≈ quantization noise, no
+    * shortlist depth rescues codes-only ranking — that geometry's
+    * answer is the exact-scan q_knn_ivf_hr rung (0.93). Real corpora
+    * are clustered; the declared key now IS the ≥ 0.9 point. */
+  private[graft] val IvfPqRerankDepth = 1000
 
   /** DECLARED: product-quantization ADC retrieval (r14) — the
     * memory-bound half of the production ANN stack (Jégou et al.
