@@ -575,7 +575,14 @@ object VectorOps {
     * gate-off at depth 1000): when signal ≈ quantization noise, no
     * shortlist depth rescues codes-only ranking — that geometry's
     * answer is the exact-scan q_knn_ivf_hr rung (0.93). Real corpora
-    * are clustered; the declared key now IS the ≥ 0.9 point. */
+    * are clustered; the declared key now IS the ≥ 0.9 point.
+    *
+    * Sizing rule at other corpus scales (measured at 200 k vectors,
+    * SCALE.md §depth law): recall tracks depth as a FRACTION of the
+    * gated candidate count (nprobe/k · N), not as an absolute — hold
+    * shortlist ≈ 20% of gated candidates (0.93–0.97 at both decades),
+    * or grow the gate's k with √N so the absolute depth stays valid.
+    * Depth is nearly free: the codes scan dominates the wall. */
   private[graft] val IvfPqRerankDepth = 1000
 
   /** DECLARED: product-quantization ADC retrieval (r14) — the
