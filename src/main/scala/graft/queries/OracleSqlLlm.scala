@@ -1095,8 +1095,10 @@ object OracleSqlLlm {
         s""",
            |shortlist AS (SELECT p0, neighbor FROM (
            |  SELECT p0, neighbor, row_number() OVER (PARTITION BY p0
-           |                    ORDER BY adc DESC, neighbor) AS crk
-           |  FROM sc) z WHERE crk <= ${VectorOps.IvfPqRerankDepth}),
+           |                    ORDER BY adc DESC, neighbor) AS crk,
+           |         count(*) OVER (PARTITION BY p0) AS nc
+           |  FROM sc) z
+           |  WHERE crk <= greatest(${VectorOps.IvfPqRerankDepth}, nc / 5)),
            |rr AS (
            |  SELECT s.p0, s.neighbor,
            |    round(CAST(list_dot_product(CAST(pe.embedding AS DOUBLE[]),

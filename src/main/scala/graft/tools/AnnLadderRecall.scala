@@ -91,12 +91,18 @@ object AnnLadderRecall {
 
     measure("q_knn_ivf_hr", graft.queries.VectorOps.qKnnIvfHr(spark, sfDir))
     measure("q_knn_ivf_pq", graft.queries.VectorOps.qKnnIvfPq(spark, sfDir))
+    // the DECLARED key (adaptive shortlist = max(floor, candidates/5))
+    measure("q_knn_ivf_pq_rerank",
+      graft.queries.VectorOps.qKnnIvfPqRerank(spark, sfDir),
+      extra = s""","depth":"adaptive"""")
+    // the absolute-depth axis (adaptive = false) — the dial sweep the
+    // depth law was measured on; the declared point sits on it
     nprobes.foreach { np =>
       depths.foreach { d =>
         measure("q_knn_ivf_pq_rerank",
           graft.queries.VectorOps.pqAdc(spark, sfDir,
             sampledTrain = true, ivfGate = true, rerank = true,
-            rerankDepth = d, nprobe = np),
+            rerankDepth = d, nprobe = np, adaptive = false),
           extra = s""","depth":$d,"nprobe":$np""")
       }
     }
