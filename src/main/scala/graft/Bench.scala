@@ -479,7 +479,11 @@ object Bench {
     // the contested raw readings ship alongside in `contaminated_raw`.
     val contaminatedRaw = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (adoptRetry(retryCal)) suspectRetry.foreach { case (k, v) =>
-      timings.get(k).foreach { raw =>
+      // a retry that itself escalated to NoisyReps and STILL reads
+      // noise-drowned must not become the committed headline — the
+      // r12 rationale applies to the adopted number too (r17 review);
+      // such keys keep the contested median and ship both readings
+      if (!retryNoisy.contains(k)) timings.get(k).foreach { raw =>
         contaminatedRaw(k) = raw
         timings(k) = v
         spreads(k) = suspectRetrySpread.getOrElse(k, spreads.getOrElse(k, 0.0))

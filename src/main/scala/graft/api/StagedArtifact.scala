@@ -55,10 +55,16 @@ object StagedArtifact {
   // THROWS OverlappingFileLockException (it does not block) when
   // another thread of the SAME JVM holds the lock — the exclusive
   // file lock serializes JVMs but not threads (PqIndexSpec's
-  // two-thread race trips it intermittently). One monitor per lock
+  // two-thread race trips it intermittently). One lock per lock-file
   // path makes at most one thread per JVM attempt the OS lock; the
-  // file lock keeps doing cross-JVM duty.
-  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // file lock keeps doing cross-JVM duty. ReentrantLock (not a bare
+  // monitor) so the GC path can TRY-lock without deadlock exposure.
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def jvmLock(lockFile: java.io.File) =
+    jvmLocks.computeIfAbsent(lockFile.getCanonicalPath,
+      _ => new java.util.concurrent.locks.ReentrantLock())
 
   /** Run `f` holding BOTH the per-path JVM monitor and an exclusive
     * OS file lock on `lockFile` — mutual exclusion across threads AND
@@ -67,9 +73,9 @@ object StagedArtifact {
     * semantics. Shared with the stream staging (StreamOps), which has
     * the same two-level exposure. */
   def withProcessLock[T](lockFile: java.io.File)(f: => T): T = {
-    val mon = jvmLocks.computeIfAbsent(
-      lockFile.getCanonicalPath, _ => new Object)
-    mon.synchronized {
+    val mon = jvmLock(lockFile)
+    mon.lock()
+    try {
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
@@ -77,7 +83,29 @@ object StagedArtifact {
         val lk = ch.lock()
         try f finally lk.release()
       } finally ch.close()
-    }
+    } finally mon.unlock()
+  }
+
+  /** Non-blocking variant: run `f` only if BOTH levels (JVM lock and
+    * OS file lock) acquire immediately; returns whether it ran. Used
+    * by the variant GC, which must never BLOCK on a sibling's lock
+    * while holding its own — two publishers GC'ing each other's
+    * families would deadlock. A contended sibling is being actively
+    * worked on (rebuilding fresh, or about to GC stale variants
+    * itself) and is simply skipped this pass. */
+  private def withProcessTryLock(lockFile: java.io.File)(f: => Unit): Boolean = {
+    val mon = jvmLock(lockFile)
+    if (!mon.tryLock()) return false
+    try {
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.tryLock()
+        if (lk == null) false
+        else { try f finally lk.release(); true }
+      } finally ch.close()
+    } finally mon.unlock()
   }
 
   /** Content-aware recursive fingerprint of a file tree — the
@@ -197,13 +225,23 @@ object StagedArtifact {
                 if (sib.isDirectory && sib.getName.startsWith(prefix) &&
                     sib.getName != idxDir.getName &&
                     !sib.getName.contains(".tmp_")) {
-                  val s = new java.io.File(sib, "_STAGED")
-                  val body =
-                    if (s.exists)
-                      scala.util.Try(java.nio.file.Files.readString(s.toPath))
-                        .getOrElse("")
-                    else null
-                  if (body != null && !body.contains(liveToken)) purge(sib)
+                  // purge only under the SIBLING's own lease (tryLock —
+                  // never block while holding our own lock; a contended
+                  // sibling is mid-rebuild and skipped), re-reading the
+                  // sentinel under it so a concurrent republish cannot
+                  // land between the staleness check and the purge. A
+                  // sentinel that is missing or UNREADABLE is skipped —
+                  // a transient read failure must not condemn a live
+                  // artifact (r17 review).
+                  val sibLock = new java.io.File(
+                    sib.getParent, s"${sib.getName}.lock")
+                  withProcessTryLock(sibLock) {
+                    val s = new java.io.File(sib, "_STAGED")
+                    scala.util.Try(java.nio.file.Files.readString(s.toPath))
+                      .toOption.foreach { body =>
+                        if (!body.contains(liveToken)) purge(sib)
+                      }
+                  }
                 }
               }
           }

@@ -132,8 +132,11 @@ object DedupOps {
     val sentinelBody = s"$canonical w=3 perms=${
       MinhashPerms.map(p => s"${p._1}x${p._2}").mkString(";")
     } p=$MinhashP fp=$fp"
-    StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody,
-      gc = Some((idxDir.getName, s"fp=$fp")))(
+    // no gc: this family has no variant suffix, so there are no
+    // sibling dirs to collect — a regenerated corpus is handled by
+    // the in-place stale purge (r17 review: a gc arg here was a
+    // guaranteed no-op that misled readers)
+    StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody)(
       Seq("sigs" -> minhashSignatures(Tables.documents(spark, dir))))("sigs")
   }
 

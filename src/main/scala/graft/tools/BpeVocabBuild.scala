@@ -88,23 +88,24 @@ object BpeVocabBuild {
     val spelling = tables("vocab").select(
       regexp_replace(col("s"), " ", "").as("w"),
       size(split(trim(col("s")), "  ")).as("n_sym"))
-    def tokenizePass(): (Long, Long, Long) = {
+    def tokenizePass(): (Long, Long) = {
       val words = graft.Tables.documents(spark, tokDir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val row = words.join(broadcast(spelling), Seq("w"), "left")
         .select(coalesce(col("n_sym"), length(col("w"))).as("n_tok"))
-        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
-          sum(when(col("n_tok").isNull, 1).otherwise(0)).as("nulls"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
         .head()
-      (row.getLong(0), row.getLong(1), row.getLong(2))
+      (row.getLong(0), row.getLong(1))
     }
     tokenizePass() // warm
+    // counts come from the timed reps themselves — no extra pass
+    var nWords = 0L; var nTokens = 0L
     val walls = Seq.fill(3) {
       val t1 = System.nanoTime()
-      tokenizePass()
+      val (w, t) = tokenizePass()
+      nWords = w; nTokens = t
       (System.nanoTime() - t1) / 1e9
     }.sorted
-    val (nWords, nTokens, _) = tokenizePass()
     val med = walls(1)
     println(s"""{"metric":"bpe_tokenize_stored","corpus":"$tokDir",""" +
       s""""words":$nWords,"tokens":$nTokens,""" +

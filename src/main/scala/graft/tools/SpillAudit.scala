@@ -71,14 +71,18 @@ object SpillAudit {
       // a fixed 1 s sleep can undercount on a loaded box — poll until
       // all four counters hold still across two consecutive reads
       // (bounded at 30 s so a wedged bus can't hang the audit)
+      // floor of 1 s before settling is allowed (r17 review): a bus
+      // stalled for one 250 ms window would otherwise read settled at
+      // (0,0,0,0) — earlier than the fixed sleep this replaced
       def snap() = (memSpill.get, diskSpill.get, peakExec.get, failed.get)
       var prev = snap()
       var settled = false
-      val deadline = System.nanoTime() + 30L * 1000000000L
+      val start = System.nanoTime()
+      val deadline = start + 30L * 1000000000L
       while (!settled && System.nanoTime() < deadline) {
         Thread.sleep(250)
         val cur = snap()
-        settled = cur == prev
+        settled = cur == prev && System.nanoTime() - start >= 1000000000L
         prev = cur
       }
       val hash = outcome.map(h => s""""$h"""").getOrElse("null")

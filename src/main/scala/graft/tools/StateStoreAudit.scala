@@ -90,14 +90,16 @@ object StateStoreAudit {
               .selectExpr("bit_xor(h) AS hx").head().getLong(0)
           }
           val wall = (System.nanoTime() - t0) / 1e9
-          // settle-poll the async listener bus (the SpillAudit rule)
+          // settle-poll the async listener bus (the SpillAudit rule,
+          // incl. its 1 s floor so a stalled bus can't read settled)
           var prev = (stateRows.get, stateMem.get, events.get)
           var settled = false
-          val deadline = System.nanoTime() + 15L * 1000000000L
+          val start = System.nanoTime()
+          val deadline = start + 15L * 1000000000L
           while (!settled && System.nanoTime() < deadline) {
             Thread.sleep(250)
             val cur = (stateRows.get, stateMem.get, events.get)
-            settled = cur == prev
+            settled = cur == prev && System.nanoTime() - start >= 1000000000L
             prev = cur
           }
           val hash = outcome.map(_.toString).getOrElse("err")
