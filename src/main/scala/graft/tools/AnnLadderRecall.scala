@@ -91,6 +91,10 @@ object AnnLadderRecall {
 
     measure("q_knn_ivf_hr", graft.queries.VectorOps.qKnnIvfHr(spark, sfDir))
     measure("q_knn_ivf_pq", graft.queries.VectorOps.qKnnIvfPq(spark, sfDir))
+    // the int8 two-stage key: exact-integer coarse scan, absolute-20
+    // shortlist — measured here so its scale behavior is a number,
+    // not an assumption (int8 noise ~1/127 vs ADC's ~0.10)
+    measure("q_knn_rerank", graft.queries.VectorOps.qKnnRerank(spark, sfDir))
     // the DECLARED key (adaptive shortlist = max(floor, candidates/5))
     measure("q_knn_ivf_pq_rerank",
       graft.queries.VectorOps.qKnnIvfPqRerank(spark, sfDir),
