@@ -750,6 +750,54 @@ object TextOps {
     (merges, v)
   }
 
+  /** Apply a learned merge table to ONE word — the production ENCODE
+    * step for text the learner never saw (r17: the stored-vocabulary
+    * tokenize join covers training-corpus words; new ingest needs the
+    * merges themselves). Standard BPE encode: repeatedly find the
+    * lowest-GLOBAL-rank pair present and merge every non-overlapping
+    * occurrence left-to-right. This is exactly the learner's
+    * rank-ordered replace-all fold restricted to pairs that occur:
+    * replace-all of an absent pair is the identity, and a merge at
+    * rank r can only CREATE pairs whose rank exceeds r (a pair
+    * containing symbol `ab` was learnable only after `ab` existed),
+    * so the min-rank iteration visits ranks in the fold's own order —
+    * BpeSpec pins encode(word) ≡ the stored vocabulary spelling for
+    * EVERY trained word. O(len² · rounds-present) per word,
+    * vocabulary-size-independent — the property that makes encode
+    * viable against a 37 k-merge table (tools.BpeEncodeNew measures
+    * it). `ranks` maps (a, b) → global rank (round-major, rk-minor). */
+  private[graft] def bpeEncode(word: String,
+      ranks: collection.Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one greedy left-to-right pass merging every non-overlapping
+        // occurrence of that pair (the learner's replace semantics)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best) {
+            out += (syms(j) + syms(j + 1)); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
   /** Adjacent-pair weighted counts over a wrapped-symbol vocabulary
     * frame (s, f). sequence(0, size-2) DESCENDS on 1-symbol words —
     * the r13 guard rule — hence the size ≥ 2 filter. */

@@ -140,6 +140,33 @@ class BpeSpec extends SparkSpec {
       t2.head.getLong(1) === 3L, t2.mkString(","))
   }
 
+  test("bpeEncode(word) reproduces the stored spelling for EVERY trained word (r17)") {
+    // the production encode (min-rank iteration over the merge table)
+    // must be the learner's own rank-ordered replace-all fold — so
+    // applying it to each training word must reproduce that word's
+    // final vocabulary spelling exactly. Batched learner (the
+    // production shape); global rank = round-major, rk-minor.
+    val (merges, v) = TextOps.bpeLearnBatched(spark, sf,
+      TextOps.BpeBatchRounds, TextOps.BpeBatchSize)
+    val ranks = merges.flatMap(_.collect()).map { r =>
+      (r.getString(2), r.getString(3)) ->
+        (r.getInt(0) * 1000000 + r.getInt(1))
+    }.toMap
+    val vocab = v.collect().map(_.getString(0))
+    assert(vocab.nonEmpty && ranks.nonEmpty)
+    vocab.foreach { s =>
+      val spelled = s.trim.split("  ").toVector
+      val word = s.replace(" ", "")
+      assert(TextOps.bpeEncode(word, ranks) === spelled,
+        s"encode('$word') diverged from the learned spelling")
+    }
+    // unseen text: symbols the table never saw stay single chars,
+    // while trained subunits inside them still merge
+    assert(TextOps.bpeEncode("", ranks) === Vector.empty[String])
+    val novel = TextOps.bpeEncode("zq" + vocab.head.replace(" ", ""), ranks)
+    assert(novel.nonEmpty && novel.mkString === "zq" + vocab.head.replace(" ", ""))
+  }
+
   test("declared key: merge counts are monotone non-increasing; survivors are bounded") {
     val rows = TextOps.qBpeMerges(spark, sf).collect()
     val merges = rows.filter(_.getInt(0) <= TextOps.BpeMergeRounds)
