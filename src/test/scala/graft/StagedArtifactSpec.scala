@@ -170,6 +170,41 @@ class StagedArtifactSpec extends SparkSpec {
 
   // ---- variant GC -------------------------------------------------------
 
+  test("GC skips a sibling whose lease is contended: no purge, no blocking") {
+    val root = tempDir("gclease")
+    val src = tempDir("gcleasesrc")
+    val data = new java.io.File(src, "data.bin")
+    write(data, Array.fill[Byte](64)(1))
+    def load(variant: String): Unit = {
+      val fp = StagedArtifact.fingerprint(src)
+      StagedArtifact.loadOrBuild(spark,
+        new java.io.File(root, s"fam_$variant"), s"v=$variant fp=$fp",
+        gc = Some(("fam_", s"fp=$fp")))(oneTable(3))
+    }
+    load("a"); load("b")
+    // regenerate: both variants' sentinels go stale
+    write(data, Array.fill[Byte](64)(9))
+    // a child JVM holds fam_b's lease for 8 s — long enough that a
+    // blocking GC would still be waiting when load("a") returns
+    val marker = new java.io.File(root, "held")
+    val holder = lockHolder(root,
+      new java.io.File(root, "fam_b.lock"), marker, 8)
+    val t0 = System.nanoTime()
+    while (!marker.exists() && (System.nanoTime() - t0) < 60e9) Thread.sleep(20)
+    assert(marker.exists(), "lock holder never started")
+    load("a") // rebuilds a; GC must TRY b's lease, fail, and skip it
+    assert(holder.isAlive,
+      "load('a') outlived the 8 s hold — the GC BLOCKED on the contended sibling")
+    assert(new java.io.File(root, "fam_b").isDirectory,
+      "GC purged a sibling whose lease was held")
+    holder.waitFor()
+    // lease free again: the next publish collects the stale sibling
+    write(data, Array.fill[Byte](64)(5))
+    load("a")
+    assert(!new java.io.File(root, "fam_b").exists,
+      "stale sibling survived GC after its lease was released")
+  }
+
   test("publish purges sibling variants with stale fingerprints, keeps live ones") {
     val root = tempDir("gc")
     val src = tempDir("gcsrc")
