@@ -211,6 +211,9 @@ object SparkEntry {
     // round-15: batched BPE — top-B symbol-disjoint merges per round
     // (lifts the greedy loop's measured ~0.55 s/round driver floor)
     "q_bpe_merges_batched" -> TextOps.qBpeMergesBatched _,
+    // round-17: the production ENCODE — the learned merge table
+    // applied to novel words as one rank-ordered broadcast fold
+    "q_bpe_encode"         -> TextOps.qBpeEncode _,
     // round-14: the interval join under the PRODUCTION ordered feed —
     // watermark advances per batch, state plateaus (same oracle)
     "q_stream_join_ordered" -> StreamOps.qStreamJoinOrdered _

@@ -115,6 +115,51 @@ object OracleSqlLlm {
          |) u ORDER BY round, rk""".stripMargin
     },
 
+    // BPE ENCODE of novel words (r17): recompute the batched merge
+    // table (same unrolled rounds), collect it rank-ordered
+    // (round-major, rk-minor), and fold it over each doubled corpus
+    // word as rounds×batch guarded nested replaces — the SQL spelling
+    // of the engine's single `aggregate` fold over the global list.
+    "q_bpe_encode" -> {
+      val r = TextOps.BpeBatchRounds
+      val b = TextOps.BpeBatchSize
+      // LINEAR fold, not the batch-round CASE shape: CASE duplicates
+      // `acc` in its ELSE branch, which doubles the generated SQL per
+      // level — fine at batch 8 (2⁸), an OOM at the 32-entry global
+      // list (2³², found the hard way). Past-the-end list entries are
+      // NULL; coalescing each side to ' ' makes the pattern carry ≥ 3
+      // consecutive spaces, which a wrapped symbol string (single
+      // space, symbol, double space) can never contain — replace
+      // becomes the identity without branching, `acc` appears once,
+      // and the SQL stays linear in the merge count.
+      val folded = (1 to r * b).foldLeft("s") { (acc, k) =>
+        s"""replace($acc,
+           |  ' '||coalesce(ms[$k].a,' ')||'  '||coalesce(ms[$k].b,' ')||' ',
+           |  ' '||coalesce(ms[$k].a,'')||coalesce(ms[$k].b,'')||' ')""".stripMargin
+      }
+      val mergeRows = (1 to r).map(i =>
+        if (i == 1) s"SELECT 1 AS round, rk, a, b FROM s1"
+        else s"UNION ALL SELECT $i, rk, a, b FROM s$i").mkString("\n  ")
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+         |            FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                  FROM documents) x
+         |            GROUP BY w),
+         |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, f FROM wc),
+         |${(1 to r).map(bpeBatchRoundCtes(_, b)).mkString(",\n")},
+         |gm AS (SELECT list(struct_pack(a := a, b := b) ORDER BY round, rk) AS ms
+         |       FROM ($mergeRows) u),
+         |nw AS (SELECT w || reverse(w) AS w FROM (
+         |  SELECT DISTINCT w FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                          FROM documents) x
+         |  WHERE length(w) > 0) d),
+         |enc AS (SELECT w, $folded AS s FROM (
+         |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM nw) e
+         |  CROSS JOIN gm)
+         |SELECT w, CAST(len(string_split(trim(s), '  ')) AS INTEGER) AS n_sym,
+         |       trim(s) AS spelling
+         |FROM enc ORDER BY w LIMIT 300""".stripMargin
+    },
+
     // BPE merge table + surviving pair counts: wordcount → wrapped
     // char symbols → TextOps.BpeMergeRounds unrolled merge rounds
     // (the kmeans/pagerank iteration-unrolling precedent); every

@@ -704,6 +704,48 @@ object TextOps {
       .orderBy(col("round"), col("rk"))
   }
 
+  /** DECLARED (r17): apply the LEARNED merge table to NOVEL words —
+    * the production ENCODE step as an oracle-verified key. The corpus
+    * words double into guaranteed-novel strings (w‖reverse(w) —
+    * injective, so ordering ties are impossible), each wraps into the
+    * learner's spaced-symbol form, and the FULL rank-ordered merge
+    * list (round-major, rk-minor — the batched learner's own global
+    * order) applies as ONE `aggregate` fold of the wrapped replace:
+    * exactly the learner's rewrite expression pointed at new text.
+    * The DuckDB oracle recomputes the merge table with the same
+    * unrolled round CTEs and folds the same list as rounds×batch
+    * guarded nested replaces. Novel substrings stay single symbols;
+    * trained subunits inside the doubled words still merge — the
+    * cross-engine hash pins every spelled string exactly.
+    * [[bpeEncode]] is the per-word JVM twin of this fold (BpeSpec
+    * pins their equivalence through the vocabulary); this key is the
+    * DISTRIBUTED spelling a pipeline runs over arriving text: merge
+    * list broadcast, one map stage, no shuffle before the final
+    * order. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeLearnBatched(spark, dir, BpeBatchRounds, BpeBatchSize)
+    val zero = spark.range(0).select(
+      lit(0).as("round"), lit(0).as("rk"),
+      lit("").as("a"), lit("").as("b"), lit(0L).as("cnt"))
+    val gm = (zero :: merges).reduce(_.unionAll(_))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(round, rk, a, b))), " +
+          "m -> struct(m.a AS a, m.b AS b))").as("__ms"))
+    val novel = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(concat(col("w"), reverse(col("w"))).as("w"))
+    novel
+      .select(col("w"), expr("regexp_replace(w, '(.)', ' $1 ')").as("s"))
+      .crossJoin(broadcast(gm))
+      .withColumn("s", expr(
+        "aggregate(__ms, s, (acc, m) -> " +
+          "replace(acc, concat(' ', m.a, '  ', m.b, ' '), concat(' ', m.a, m.b, ' ')))"))
+      .select(col("w"), size(split(trim(col("s")), "  ")).as("n_sym"),
+        trim(col("s")).as("spelling"))
+      .orderBy(col("w")).limit(300)
+  }
+
   /** The batched learn loop behind [[qBpeMergesBatched]] — same seed,
     * pair counter, and wrapped-symbol merge spelling as [[bpeLearn]];
     * only the per-round selection (top-B disjoint anti-chain instead
