@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * pins stored ≡ fresh value-for-value, warm reuse, fingerprint
   * invalidation, and the two-thread cold-load race.
   *
-  * Layout under `<layoutRoot>/<sfBase>/pq_index_<pathKey>_<variant>`:
+  * Layout under `<layoutRoot>/<sfBase>/pq_index_<pathKey>_<variant>`
+  * (r18: the family name — StagedArtifact publishes each build into a
+  * versioned `<family>_v<hash8>` dir with a `._CURRENT` pointer):
   * `codes/` — (neighbor, [cell,] pq0..pq{m−1}), the m-small-ints-per-
   * row compression artifact the ADC scan reads instead of vectors;
   * `books/` — (sub, __cell, __c double[]): sub 0..m−1 = subspace

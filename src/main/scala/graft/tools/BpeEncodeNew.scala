@@ -51,9 +51,10 @@ object BpeEncodeNew {
     val key = StagedArtifact.pathKey(canonical)
     val root =
       s"${graft.queries.Layout.layoutRoot}/${new java.io.File(dir).getName}"
-    val idxDir = new java.io.File(s"$root/bpe_vocab_${key}_r${rounds}b$batch")
-    require(new java.io.File(idxDir, "_STAGED").exists,
-      s"no stored vocabulary at $idxDir — run BpeVocabBuild first")
+    val family = new java.io.File(s"$root/bpe_vocab_${key}_r${rounds}b$batch")
+    // r18: publishes are versioned; the pointer names the live version
+    val idxDir = StagedArtifact.currentVersionDir(family).getOrElse(
+      sys.error(s"no stored vocabulary under $family — run BpeVocabBuild first"))
 
     // (pair → global rank), round-major rk-minor; Zipf-bounded model
     val ranks = spark.read.parquet(new java.io.File(idxDir, "merges").getPath)
@@ -65,22 +66,28 @@ object BpeEncodeNew {
       .toMap
     val bRanks = spark.sparkContext.broadcast(ranks)
 
-    // 2: self-consistency over a deterministic vocab sample
+    // 2: self-consistency over a deterministic vocab sample. The hash
+    // filter alone bounds the sample (~10% of the vocabulary) — the
+    // r17 cut added `.limit(sample)`, which without an ordering is
+    // non-deterministic ACROSS JOBS, and the count ran as a second
+    // job: the reported vocab_words could describe a different row
+    // set than the one encoded (ADVICE r17 #3). One job now computes
+    // (rows, divergences) over the self-same row set; `sample` only
+    // dials the hash filter's modulus.
     val vocab = spark.read.parquet(new java.io.File(idxDir, "vocab").getPath)
+    val vMod = math.max(1L, vocab.count() / math.max(1, sample))
     val vSample = vocab
-      .filter(expr(s"pmod(xxhash64(s), 10) = 0"))
-      .limit(sample)
+      .filter(expr(s"pmod(xxhash64(s), ${vMod}L) = 0"))
       .select(col("s")).as[String]
     val t1 = System.nanoTime()
-    val diverged = vSample.mapPartitions { it =>
+    val (nV, diverged) = vSample.mapPartitions { it =>
       val rk = bRanks.value
       it.map { s =>
         val spelled = s.trim.split("  ").toVector
         val enc = graft.queries.TextOps.bpeEncode(s.replace(" ", ""), rk)
-        if (enc == spelled) 0L else 1L
+        (1L, if (enc == spelled) 0L else 1L)
       }
-    }.reduce(_ + _)
-    val nV = vSample.count()
+    }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
     println(s"""{"metric":"bpe_encode_consistency","vocab_words":$nV,""" +
       s""""diverged":$diverged,"merges":${ranks.size},""" +
       s""""wall_sec":${math.round((System.nanoTime() - t1) / 1e7) / 100.0}}""")

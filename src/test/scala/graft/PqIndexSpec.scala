@@ -39,9 +39,12 @@ class PqIndexSpec extends SparkSpec {
     val pathKey = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(sf).getCanonicalPath.getBytes("UTF-8")).take(4)
       .map(b => f"$b%02x").mkString
-    val idx = new java.io.File(
+    val fam = new java.io.File(
       s"${graft.queries.Layout.layoutRoot}/${new java.io.File(sf).getName}" +
         s"/pq_index_${pathKey}_sn")
+    // r18: the publish is versioned; resolve the pointed version dir
+    val idx = graft.api.StagedArtifact.currentVersionDir(fam)
+      .getOrElse(fail("publish left no pointed version dir"))
     val sentinel = new java.io.File(idx, "_STAGED")
     assert(sentinel.exists, "publish left no sentinel")
     val mt0 = sentinel.lastModified()
@@ -102,9 +105,11 @@ class PqIndexSpec extends SparkSpec {
     assert(errs.isEmpty, s"concurrent load failed: ${errs.peek()}")
     assert(results.size === 2 && results.stream().distinct().count() === 1,
       "racing loads disagree on the published codes table")
-    // exactly one complete index remains, no torn tmp dirs
+    // exactly one complete version dir remains (plus the family's
+    // lock and _CURRENT pointer), no torn tmp dirs
     val left = new java.io.File(root).list().filter(_.startsWith("pq_index"))
-    assert(left.count(n => !n.endsWith(".lock")) === 1,
+    assert(left.count(n =>
+      !n.endsWith(".lock") && !n.endsWith("._CURRENT")) === 1,
       s"staging debris after the race: ${left.mkString(",")}")
   }
 }

@@ -3,11 +3,14 @@ package graft
 import graft.api.StagedArtifact
 import org.apache.spark.sql.functions._
 
-/** The staging primitive's r17 hardening: content-aware fingerprint
-  * (a same-size same-mtime rewrite must invalidate), build-lease
-  * semantics (a contended cold loader waits and reuses instead of
-  * paying a duplicate build — thread-level here, PROCESS-level via a
-  * real flock(1) holder), and stale-variant GC on publish. */
+/** The staging primitive: content-aware fingerprint (a same-size
+  * same-mtime rewrite must invalidate — head OR tail region, r18),
+  * build-lease semantics (a contended cold loader waits and reuses
+  * instead of paying a duplicate build — thread-level here,
+  * PROCESS-level via a real child-JVM fcntl holder), versioned
+  * publish with reader grace (r18: a publish never deletes the
+  * version a running reader resolved), and the two-phase sibling GC
+  * (purge-then-unpoint, each under the owning family's lease). */
 class StagedArtifactSpec extends SparkSpec {
 
   private def tempDir(tag: String): java.io.File = {
@@ -35,6 +38,23 @@ class StagedArtifactSpec extends SparkSpec {
     assert(fp1 !== fp2, "content rewrite validated a stale fingerprint")
     // and it is stable: re-fingerprinting unchanged input is identical
     assert(StagedArtifact.fingerprint(src) === fp2)
+  }
+
+  test("a rewrite confined to the HEAD region changes the fingerprint (r18)") {
+    // 16 KiB file: head stripe [0,4K) and tail stripe [12K,16K) are
+    // disjoint — the r17 tail-only sample was blind to this rewrite
+    val src = tempDir("fphead")
+    val f = new java.io.File(src, "data.bin")
+    val bytes = Array.fill[Byte](16384)(3)
+    write(f, bytes)
+    val mt = 1700000000000L
+    f.setLastModified(mt)
+    val fp1 = StagedArtifact.fingerprint(src)
+    bytes(100) = 9 // head-region byte; size, mtime, tail unchanged
+    write(f, bytes)
+    f.setLastModified(mt)
+    assert(StagedArtifact.fingerprint(src) !== fp1,
+      "head-region rewrite validated a stale fingerprint (ADVICE r17 #2)")
   }
 
   test("fingerprint distinguishes file renames at equal content") {
@@ -79,6 +99,9 @@ class StagedArtifactSpec extends SparkSpec {
     assert(builds.get() === 1,
       "the lease must make the second cold loader wait and reuse, not rebuild")
     assert(rows.size === 2 && rows.stream().distinct().count() === 1)
+    // the publish is versioned and pointed (r18 layout)
+    assert(StagedArtifact.currentVersionDir(idx).exists(_.isDirectory),
+      "publish left no pointed version dir")
   }
 
   /** Hold an exclusive `FileChannel.lock()` on `lock` from a REAL
@@ -148,8 +171,10 @@ class StagedArtifactSpec extends SparkSpec {
     while (!marker.exists() && (System.nanoTime() - t0) < 60e9) Thread.sleep(20)
     assert(marker.exists(), "lock holder never started")
     // while the lock is held, a "competitor" publishes the complete
-    // artifact (test seam: written directly — the waiter cannot see a
-    // torn state because the real path publishes by atomic rename)
+    // artifact into the deterministic VERSION dir (test seam: written
+    // directly — the waiter cannot see a torn state because the real
+    // path publishes by atomic rename)
+    val vDir = StagedArtifact.versionDir(idx, "body v1")
     val waiter = new Thread(() =>
       StagedArtifact.loadOrBuild(spark, idx, "body v1") {
         fail("waiter must reuse the artifact published while it waited")
@@ -159,30 +184,96 @@ class StagedArtifactSpec extends SparkSpec {
     waiter.start()
     Thread.sleep(500) // let the waiter reach (and block on) the OS lock
     spark.range(7).select(col("id")).write.mode("overwrite")
-      .parquet(new java.io.File(idx, "t").getPath)
+      .parquet(new java.io.File(vDir, "t").getPath)
     java.nio.file.Files.writeString(
-      new java.io.File(idx, "_STAGED").toPath, "body v1")
+      new java.io.File(vDir, "_STAGED").toPath, "body v1")
     holder.waitFor()
     waiter.join(120000)
     assert(errs.isEmpty, s"waiter failed: ${errs.peek()}")
-    assert(spark.read.parquet(new java.io.File(idx, "t").getPath).count() === 7)
+    assert(spark.read.parquet(new java.io.File(vDir, "t").getPath).count() === 7)
   }
 
-  // ---- variant GC -------------------------------------------------------
+  // ---- versioned publish: reader grace (r18) ----------------------------
 
-  test("GC skips a sibling whose lease is contended: no purge, no blocking") {
-    val root = tempDir("gclease")
-    val src = tempDir("gcleasesrc")
+  test("reader grace: a lazy frame over version A survives the publish of B") {
+    val root = tempDir("grace")
+    val src = tempDir("gracesrc")
     val data = new java.io.File(src, "data.bin")
+    val idx = new java.io.File(root, "fam_reader")
+    def load(rows: Int) = {
+      val fp = StagedArtifact.fingerprint(src)
+      StagedArtifact.loadOrBuild(spark, idx, s"v=reader fp=$fp",
+        gc = Some(("fam_", s"fp=$fp")))(oneTable(rows))
+    }
     write(data, Array.fill[Byte](64)(1))
+    val vA = StagedArtifact.versionDir(idx,
+      s"v=reader fp=${StagedArtifact.fingerprint(src)}")
+    val reader = load(11)("t") // lazy frame over version A
+    // source regenerated; a new builder publishes version B with GC on
+    write(data, Array.fill[Byte](64)(2))
+    load(22)
+    // version A must be INTACT (grace-protected as `previous`) and the
+    // reader's scan must still complete against its original rows
+    assert(vA.isDirectory, "publish of B deleted version A under a reader")
+    assert(reader.count() === 11,
+      "reader's lazy frame no longer scans the version it resolved")
+    // the family's NEXT publish collects A (one full cycle of grace)
+    write(data, Array.fill[Byte](64)(3))
+    load(33)
+    assert(!vA.exists, "superseded version survived two publish cycles")
+  }
+
+  // ---- sibling-family GC (two-phase, r18) -------------------------------
+
+  /** Run the (a, b) two-variant setup: build both at the current
+    * source fingerprint, with cross-family GC enabled. */
+  private def twoFamilies(root: java.io.File, src: java.io.File) = {
     def load(variant: String): Unit = {
       val fp = StagedArtifact.fingerprint(src)
       StagedArtifact.loadOrBuild(spark,
         new java.io.File(root, s"fam_$variant"), s"v=$variant fp=$fp",
         gc = Some(("fam_", s"fp=$fp")))(oneTable(3))
     }
+    load _
+  }
+
+  private def versionDirs(root: java.io.File, fam: String): Seq[String] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(fam + "_v"))
+      .map(_.getName).sorted.toSeq
+
+  test("sibling GC is two-phase: unpoint first, purge one pass later") {
+    val root = tempDir("gc2p")
+    val src = tempDir("gc2psrc")
+    val data = new java.io.File(src, "data.bin")
+    write(data, Array.fill[Byte](64)(1))
+    val load = twoFamilies(root, src)
     load("a"); load("b")
-    // regenerate: both variants' sentinels go stale
+    val bPtr = StagedArtifact.pointerFile(new java.io.File(root, "fam_b"))
+    assert(bPtr.exists && versionDirs(root, "fam_b").size === 1)
+    // regenerate: b's current version goes stale. a's next publish
+    // must UNPOINT b (pointer deleted) but leave b's files intact —
+    // a reader that resolved them keeps a full cycle of grace
+    write(data, Array.fill[Byte](64)(9))
+    load("a")
+    assert(!bPtr.exists, "stale sibling family was not unpointed")
+    assert(versionDirs(root, "fam_b").size === 1,
+      "sibling GC purged a just-unpointed version in the same pass")
+    // the NEXT publish pass collects the now-unpointed stale version
+    write(data, Array.fill[Byte](64)(5))
+    load("a")
+    assert(versionDirs(root, "fam_b").isEmpty,
+      "stale unpointed sibling version survived the next publish pass")
+  }
+
+  test("GC skips a sibling whose lease is contended: no unpoint, no blocking") {
+    val root = tempDir("gclease")
+    val src = tempDir("gcleasesrc")
+    val data = new java.io.File(src, "data.bin")
+    write(data, Array.fill[Byte](64)(1))
+    val load = twoFamilies(root, src)
+    load("a"); load("b")
+    // regenerate: fam_b's sentinel goes stale
     write(data, Array.fill[Byte](64)(9))
     // a child JVM holds fam_b's lease for 8 s — long enough that a
     // blocking GC would still be waiting when load("a") returns
@@ -195,45 +286,55 @@ class StagedArtifactSpec extends SparkSpec {
     load("a") // rebuilds a; GC must TRY b's lease, fail, and skip it
     assert(holder.isAlive,
       "load('a') outlived the 8 s hold — the GC BLOCKED on the contended sibling")
-    assert(new java.io.File(root, "fam_b").isDirectory,
-      "GC purged a sibling whose lease was held")
+    val bPtr = StagedArtifact.pointerFile(new java.io.File(root, "fam_b"))
+    assert(bPtr.exists && versionDirs(root, "fam_b").size === 1,
+      "GC touched a sibling whose lease was held")
     holder.waitFor()
-    // lease free again: the next publish collects the stale sibling
+    // lease free again: the next two publishes unpoint, then collect
     write(data, Array.fill[Byte](64)(5))
     load("a")
-    assert(!new java.io.File(root, "fam_b").exists,
-      "stale sibling survived GC after its lease was released")
+    assert(!bPtr.exists, "stale sibling stayed pointed after its lease freed")
+    write(data, Array.fill[Byte](64)(6))
+    load("a")
+    assert(versionDirs(root, "fam_b").isEmpty,
+      "stale sibling version survived GC after its lease was released")
   }
 
-  test("publish purges sibling variants with stale fingerprints, keeps live ones") {
+  test("GC keeps live siblings and never touches sentinel-less foreign dirs") {
     val root = tempDir("gc")
     val src = tempDir("gcsrc")
     val data = new java.io.File(src, "data.bin")
     write(data, Array.fill[Byte](64)(1))
-    def load(variant: String): Unit = {
-      val fp = StagedArtifact.fingerprint(src)
-      StagedArtifact.loadOrBuild(spark,
-        new java.io.File(root, s"fam_$variant"), s"v=$variant fp=$fp",
-        gc = Some(("fam_", s"fp=$fp")))(oneTable(3))
-    }
+    val load = twoFamilies(root, src)
     load("a"); load("b")
-    def dirs = new java.io.File(root.getPath).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("fam_"))
-      .map(_.getName).sorted.toSeq
-    assert(dirs === Seq("fam_a", "fam_b"),
+    assert(versionDirs(root, "fam_a").size === 1 &&
+      versionDirs(root, "fam_b").size === 1,
       "live sibling variants sharing the current fingerprint must survive GC")
-    // corpus "regeneration": content changes → new fingerprint; the
-    // next publish of variant a must purge the now-stale variant b
-    write(data, Array.fill[Byte](64)(9))
-    load("a")
-    assert(dirs === Seq("fam_a"),
-      "a stale-fingerprint sibling variant must be GC'd on publish")
-    // a sentinel-less foreign dir is never touched (source unchanged,
-    // so the re-published fam_a stays live through fam_b's GC pass)
+    // a sentinel-less foreign dir matching the prefix is never touched
     val foreign = new java.io.File(root, "fam_foreign")
     java.nio.file.Files.createDirectories(foreign.toPath)
-    load("b")
-    assert(dirs === Seq("fam_a", "fam_b", "fam_foreign"))
+    // regenerate twice so both GC phases run against the garden
+    write(data, Array.fill[Byte](64)(9)); load("a")
+    write(data, Array.fill[Byte](64)(5)); load("a")
     assert(foreign.exists, "GC deleted a dir it does not own (no sentinel)")
+    // fam_a itself stays live: exactly current + previous versions
+    assert(versionDirs(root, "fam_a").size === 2,
+      "same-family GC must keep {current, previous} and nothing else")
+  }
+
+  test("pre-r18 flat-layout sibling artifacts are migrated out by GC") {
+    val root = tempDir("gclegacy")
+    val src = tempDir("gclegacysrc")
+    val data = new java.io.File(src, "data.bin")
+    write(data, Array.fill[Byte](64)(1))
+    // a legacy flat-layout artifact: sentinel directly under fam_old
+    val legacy = new java.io.File(root, "fam_old")
+    java.nio.file.Files.createDirectories(legacy.toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(legacy, "_STAGED").toPath, "v=old fp=stale")
+    val load = twoFamilies(root, src)
+    load("a")
+    assert(!legacy.exists,
+      "stale pre-r18 flat-layout sibling survived the GC pass")
   }
 }
