@@ -167,6 +167,32 @@ class BpeSpec extends SparkSpec {
     assert(novel.nonEmpty && novel.mkString === "zq" + vocab.head.replace(" ", ""))
   }
 
+  test("stored merge table ≡ a fresh in-session learn, table for table (r18)") {
+    // the consuming keys (q_bpe_encode, q_bpe_tokenize) read the
+    // PUBLISHED artifact; the oracle recomputes the deterministic
+    // unrolled learn — so the stored tables must be value-identical
+    // to a fresh learn or the cross-engine hashes would drift
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val stored = TextOps.bpeStored(spark, sf, batched = true)
+    val (fm, fv) = TextOps.bpeLearnBatched(spark, sf,
+      TextOps.BpeBatchRounds, TextOps.BpeBatchSize)
+    assert(sorted(stored("merges")) === sorted(fm.reduce(_.unionAll(_))),
+      "stored batched merges diverged from a fresh learn")
+    assert(sorted(stored("vocab")) === sorted(fv),
+      "stored batched vocabulary diverged from a fresh learn")
+    val storedG = TextOps.bpeStored(spark, sf, batched = false)
+    val (gm, gv) = TextOps.bpeLearn(spark, sf)
+    assert(sorted(storedG("merges")) === sorted(gm.reduce(_.unionAll(_))),
+      "stored greedy merges diverged from a fresh learn")
+    assert(sorted(storedG("vocab")) === sorted(gv),
+      "stored greedy vocabulary diverged from a fresh learn")
+    // warm load serves the artifact without re-learning: the second
+    // call's frames read the same published files
+    val again = TextOps.bpeStored(spark, sf, batched = true)
+    assert(sorted(again("merges")) === sorted(stored("merges")))
+  }
+
   test("declared key: merge counts are monotone non-increasing; survivors are bounded") {
     val rows = TextOps.qBpeMerges(spark, sf).collect()
     val merges = rows.filter(_.getInt(0) <= TextOps.BpeMergeRounds)
