@@ -211,6 +211,25 @@ object Bench {
                                 floor: Double = CalibrationFloorSec): Boolean =
     retryCal >= 0 && retryCal <= LoadFactorBar * floor
 
+  /** Self-describing sub-bar drift (r18, VERDICT r17 wrong #1): the
+    * suspect bar (2× + 0.25 s) gates the RETRY machinery, but ambient
+    * inflation below it still reaches the committed artifact — r17
+    * shipped q_dedup_clusters at 1.49× and q_dedup_embedding at 1.86×
+    * their same-day quiet readings, invisible in the file itself. At
+    * write time the final per-query map (post-adoption) is diffed
+    * against the quiet reference at the MOVERS gate (>1.3× AND
+    * >0.15 s absolute — the round-over-round adjudication rule), and
+    * the offenders ship in `drift_keys` on both output lines: a
+    * consumer reading the headline file sees exactly which keys
+    * disagree with the quiet ref without recomputing the diff. Purely
+    * descriptive — drift keys are NOT retried (they are under the
+    * suspect bar by construction) and NOT removed from totals. */
+  private[graft] def driftKeys(timings: collection.Map[String, Double],
+                               quiet: collection.Map[String, Double]): Seq[String] =
+    timings.iterator.collect {
+      case (k, v) if quiet.get(k).exists(q => v > 1.3 * q && v - q > 0.15) => k
+    }.toSeq.sorted
+
   /** Read the committed quiet reference — a past quiet-box
     * bench_detail.json SNAPSHOT committed as `bench_quiet_ref.json`
     * (env `GRAFT_QUIET_REF` overrides). A separate file because Bench
@@ -504,8 +523,11 @@ object Bench {
 
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
     val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
+    // post-adoption: the drift list describes the map the file SHIPS
+    val driftJson = driftKeys(timings, quietRef)
+      .map(jstr).mkString("[", ",", "]")
     val loadJson =
-      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"contaminated_raw":${jmap(contaminatedRaw)},"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_noisy_keys":${retryNoisy.map(jstr).mkString("[", ",", "]")},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
+      s""""calibration_sec":[${num(cal0)},${num(cal1)}],"calibration_floor_sec":${num(CalibrationFloorSec)},"calibration_cpus":$cpusJson,"load_contaminated":$contaminated,"suspect_keys":$suspectsJson,"drift_keys":$driftJson,"contaminated_raw":${jmap(contaminatedRaw)},"suspect_retry":${jmap(suspectRetry)},"suspect_retry_spread":${jmap(suspectRetrySpread)},"retry_noisy_keys":${retryNoisy.map(jstr).mkString("[", ",", "]")},"retry_errors":${retryErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},"retry_calibration_sec":${num(retryCal)},"quiet_ref_keys":${quietRef.size},"loadavg":[${num(load0)},${num(load1)}],"java_procs":[$jvms0,$jvms1],"jvm_uptime_sec":[${num(up0)},${num(up1)}]"""
     // Field order matters: the driver keeps only the TAIL (~3 KB) of
     // stdout, which can slice THIS line anywhere. With `spread` before
     // `queries`, whatever survives of the line near the summary is

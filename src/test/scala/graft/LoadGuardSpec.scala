@@ -156,6 +156,33 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(!Bench.adoptRetry(-1.0, floor))
   }
 
+  test("r17 ghosts: sub-suspect-bar inflation lands in drift_keys at the movers gate") {
+    // the exact r17 readings the suspect bar (2x + 0.25s) never saw:
+    // q_dedup_clusters 3.39 vs quiet 2.27 (1.49x) and
+    // q_dedup_embedding 0.82 vs 0.44 (1.86x) — both shipped in the
+    // headline file with no in-file flag (VERDICT r17 wrong #1)
+    val driver = Map(
+      "q_dedup_clusters" -> 3.39, "q_dedup_embedding" -> 0.82,
+      "q_agg_pricing" -> 0.24)
+    val quiet = Map(
+      "q_dedup_clusters" -> 2.27, "q_dedup_embedding" -> 0.44,
+      "q_agg_pricing" -> 0.24)
+    assert(Bench.driftKeys(driver, quiet) ===
+      Seq("q_dedup_clusters", "q_dedup_embedding"))
+    // the suspect bar indeed misses both (1.49x and 1.86x are under
+    // 2x) — drift_keys is the only in-file signal for this band
+    assert(Bench.suspectKeys(driver, quiet).isEmpty)
+  }
+
+  test("drift_keys honors both halves of the movers gate") {
+    // >1.3x but under +0.15s absolute: fast-key jitter, not drift
+    assert(Bench.driftKeys(Map("q_fast" -> 0.14), Map("q_fast" -> 0.10)).isEmpty)
+    // >+0.15s but under 1.3x: slow-key wobble, not drift
+    assert(Bench.driftKeys(Map("q_slow" -> 6.20), Map("q_slow" -> 5.00)).isEmpty)
+    // keys without a quiet baseline never drift
+    assert(Bench.driftKeys(Map("q_new" -> 9.0), Map.empty[String, Double]).isEmpty)
+  }
+
   test("parseQuietRef reads this repo's committed reference format; rejects other SFs and cpu counts") {
     val tmp = java.nio.file.Files.createTempFile("quietref", ".json")
     val summary = """{"metric":"seed_total","value":3.89,"unit":"sec","sf":0.1,"sf_dir":"/root/testdata/sf0.1","calibration_cpus":32}"""
