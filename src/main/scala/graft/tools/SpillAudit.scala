@@ -69,20 +69,20 @@ object SpillAudit {
       // let the async listener bus drain before reading the counters
       // (listenerBus.waitUntilEmpty is private[spark]). ADVICE r16 #3:
       // a fixed 1 s sleep can undercount on a loaded box — poll until
-      // all four counters hold still across two consecutive reads
-      // (bounded at 30 s so a wedged bus can't hang the audit)
-      // floor of 1 s before settling is allowed (r17 review): a bus
-      // stalled for one 250 ms window would otherwise read settled at
-      // (0,0,0,0) — earlier than the fixed sleep this replaced
+      // the counters hold still. r18 (ADVICE r17 #4): ONE quiet
+      // 250 ms window was still too weak — a bus draining in bursts
+      // spaced >250 ms apart read settled between bursts; require
+      // FOUR consecutive stable reads (a full quiet second, which
+      // also subsumes the old 1 s floor), bounded at 30 s so a
+      // wedged bus can't hang the audit
       def snap() = (memSpill.get, diskSpill.get, peakExec.get, failed.get)
       var prev = snap()
-      var settled = false
-      val start = System.nanoTime()
-      val deadline = start + 30L * 1000000000L
-      while (!settled && System.nanoTime() < deadline) {
+      var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (stable < 4 && System.nanoTime() < deadline) {
         Thread.sleep(250)
         val cur = snap()
-        settled = cur == prev && System.nanoTime() - start >= 1000000000L
+        stable = if (cur == prev) stable + 1 else 0
         prev = cur
       }
       val hash = outcome.map(h => s""""$h"""").getOrElse("null")

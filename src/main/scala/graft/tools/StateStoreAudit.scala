@@ -90,16 +90,17 @@ object StateStoreAudit {
               .selectExpr("bit_xor(h) AS hx").head().getLong(0)
           }
           val wall = (System.nanoTime() - t0) / 1e9
-          // settle-poll the async listener bus (the SpillAudit rule,
-          // incl. its 1 s floor so a stalled bus can't read settled)
+          // settle-poll the async listener bus (the SpillAudit rule;
+          // r18/ADVICE r17 #4: four consecutive stable 250 ms reads —
+          // a full quiet second — so a bus draining in bursts spaced
+          // >250 ms apart can't read settled between bursts)
           var prev = (stateRows.get, stateMem.get, events.get)
-          var settled = false
-          val start = System.nanoTime()
-          val deadline = start + 15L * 1000000000L
-          while (!settled && System.nanoTime() < deadline) {
+          var stable = 0
+          val deadline = System.nanoTime() + 15L * 1000000000L
+          while (stable < 4 && System.nanoTime() < deadline) {
             Thread.sleep(250)
             val cur = (stateRows.get, stateMem.get, events.get)
-            settled = cur == prev && System.nanoTime() - start >= 1000000000L
+            stable = if (cur == prev) stable + 1 else 0
             prev = cur
           }
           val hash = outcome.map(_.toString).getOrElse("err")
