@@ -49,13 +49,18 @@ object PqIndex {
     * shared layout root). */
   def loadOrBuild(spark: SparkSession, dir: String,
                   sampledTrain: Boolean, ivfGate: Boolean,
-                  rootOverride: Option[String] = None)(
+                  rootOverride: Option[String] = None,
+                  cells: Int = VectorOps.IvfPqCells)(
       build: => (DataFrame, Seq[DataFrame], Option[DataFrame]))
       : (DataFrame, IndexedSeq[DataFrame], Option[DataFrame]) = {
     import VectorOps.{PqM, PqSub, PqK, PqIters, PqSamplePct, IvfPqCells}
     import graft.api.StagedArtifact
     val canonical = new java.io.File(dir).getCanonicalPath
-    val variant = (if (sampledTrain) "s" else "f") + (if (ivfGate) "g" else "n")
+    // non-default gate geometries (the √N gate-growth dial the r18
+    // AnnLadderRecall sweep measures) are their own variant families
+    val variant = (if (sampledTrain) "s" else "f") +
+      (if (ivfGate) "g" else "n") +
+      (if (ivfGate && cells != IvfPqCells) s"c$cells" else "")
     val root = rootOverride.getOrElse(
       s"${Layout.layoutRoot}/${new java.io.File(dir).getName}")
     val key = StagedArtifact.pathKey(canonical)
@@ -68,7 +73,7 @@ object PqIndex {
     val sentinelBody =
       s"$canonical m=$PqM sub=$PqSub k=$PqK iters=$PqIters" +
         s" samp=${if (sampledTrain) PqSamplePct else 100}" +
-        s" cells=${if (ivfGate) IvfPqCells else 0}" +
+        s" cells=${if (ivfGate) cells else 0}" +
         s" fp=$fp"
 
     // GC: sibling pq_index variants fingerprinting a superseded corpus

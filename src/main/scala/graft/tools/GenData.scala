@@ -70,6 +70,43 @@ object GenData {
     element_at(array(values.map(lit): _*),
       pmod(xxhash64((lit(seed) +: cols): _*), lit(values.size)).cast("int") + 1)
 
+  /** The special-geometry fixtures (FIXTURES.md) as (mult, tables,
+    * embGeo) generation specs — each a pure deterministic function of
+    * these args, so the parquet bytes need not live in git history
+    * (ADVICE r17 #5: the 52 MB mog10 fixture was committed; it is now
+    * generated on first use). */
+  val SpecialFixtures: Map[String, (Double, Set[String], String)] = Map(
+    "mog1"    -> (1.0, Set("embeddings"), "mog:64:80"),
+    "mog1w"   -> (1.0, Set("embeddings"), "mog:64:120"),
+    "mog10"   -> (10.0, Set("embeddings"), "mog:64:120"),
+    "bpewide" -> (1.0, Set("bpewide"), "iso"))
+
+  /** Generate a [[SpecialFixtures]] dir on first use, under the same
+    * check-lock-recheck discipline as the staged artifacts (the lock
+    * lives under the gitignored layout root, never in testdata): a
+    * second JVM racing the cold generation waits and reuses. A dir
+    * whose table already exists is untouched — byte-identity across
+    * regenerations is the generator's own determinism guarantee. */
+  def ensure(spark: SparkSession, dir: String): Unit = {
+    val f = new java.io.File(dir)
+    SpecialFixtures.get(f.getName).foreach { case (mult, tables, geo) =>
+      val table = if (tables.contains("bpewide")) "documents" else "embeddings"
+      def present = new java.io.File(f, s"$table.parquet").exists
+      if (!present) {
+        val lockDir = new java.io.File(graft.queries.Layout.layoutRoot)
+        java.nio.file.Files.createDirectories(lockDir.toPath)
+        val lock = new java.io.File(lockDir, s"fixture_${f.getName}.lock")
+        graft.api.StagedArtifact.withProcessLock(lock) {
+          if (!present) {
+            println(s"[gendata] regenerating fixture ${f.getName} " +
+              s"(mult=$mult tables=${tables.mkString(",")} geo=$geo)")
+            generate(spark, f.getPath, mult, Some(tables), geo)
+          }
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("testdata/sf1")
     val mult = if (args.length > 1) args(1).toDouble else 1.0
@@ -91,12 +128,33 @@ object GenData {
       .appName("graft-gendata")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // driver fixtures carry ms timestamps; match the physical type
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, mult, only, embGeo)
+    spark.stop()
+    println(s"[gendata] complete: $out (mult=$mult)")
+  }
 
+  /** The generation body, callable from a host session ([[ensure]])
+    * as well as [[main]]. The ms-timestamp writer type is scoped to
+    * the call (set + restored), so output bytes do not depend on the
+    * host session's config. */
+  def generate(spark: SparkSession, out: String, mult: Double,
+               only: Option[Set[String]], embGeo: String): Unit = {
+    // driver fixtures carry ms timestamps; match the physical type
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MILLIS")
+    try generateBody(spark, out, mult, only, embGeo)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
+
+  private def generateBody(spark: SparkSession, out: String, mult: Double,
+                           only: Option[Set[String]], embGeo: String): Unit = {
     def n(base: Long): Long = math.max(1L, (base * mult).toLong)
     val nCust = n(150000); val nSupp = n(10000); val nPart = n(200000)
     val nOrd = n(1500000); val nEvt = n(1000000); val nDoc = n(50000)
@@ -367,8 +425,5 @@ object GenData {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars"), "doc_id")
     }
-
-    spark.stop()
-    println(s"[gendata] complete: $out (mult=$mult)")
   }
 }
