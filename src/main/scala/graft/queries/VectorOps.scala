@@ -580,8 +580,14 @@ object VectorOps {
     * Sizing rule at other corpus scales (measured at 200 k vectors,
     * SCALE.md §depth law): recall tracks depth as a FRACTION of the
     * gated candidate count (nprobe/k · N), not as an absolute — hold
-    * shortlist ≈ 20% of gated candidates (0.93–0.97 at both decades),
-    * or grow the gate's k with √N so the absolute depth stays valid.
+    * shortlist ≈ 20% of gated candidates (0.93–0.97 at both decades)
+    * AT THIS GATE GEOMETRY. r18 measured the other dial (grow k with
+    * the corpus — SCALE.md §Round 18): √N growth does NOT restore the
+    * absolute depth (0.57), because fine cells concentrate candidates
+    * into the ADC near-tie band; the working large-N recipe is k ∝ N
+    * at fixed nprobe with the rerank consuming the FULL gated set
+    * (gate recall measured 1.000 at k = 64·10 on 200 k clustered
+    * vectors; recall 1.000 at the r17 operating point's wall).
     * Depth is nearly free: the codes scan dominates the wall.
     *
     * The declared key BAKES the law in: this constant is the FLOOR,
@@ -809,8 +815,10 @@ object VectorOps {
       // keeps small-corpus behavior identical. Dial instruments pass
       // adaptive = false to sweep the absolute axis. The fraction is
       // safe because the GATE bounds candidates (nprobe/k of the
-      // corpus); a real deployment also grows k with √N, which keeps
-      // this shortlist absolutely bounded too (scaladoc on the dial).
+      // corpus); a deployment that instead grows k with the corpus
+      // (k ∝ N, measured r18 — SCALE.md §Round 18) shrinks candidates
+      // to shortlist size and reranks ALL of them, which this same
+      // expression expresses as fraction → 1.
       val shortlist = scored
         .withColumn("crk", row_number().over(w))
         .withColumn("__nc", count(lit(1)).over(Window.partitionBy(col("p0"))))

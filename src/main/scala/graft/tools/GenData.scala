@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   * Design constraints, in order:
   *  - DETERMINISTIC: every value is a pure function of (table, key)
   *    via xxhash64 — no RNG state, no driver loops; re-running
-  *    byte-identically reproduces the fixture.
+  *    reproduces the fixture VALUE-identically (measured r18: row
+  *    set and every column hash equal across regenerations; the
+  *    parquet container bytes may differ in page/row-group layout,
+  *    so consumers must key on values — which the staged-artifact
+  *    fingerprint's size/mtime/stripe sampling treats as a changed
+  *    source, costing one index rebuild after a regeneration, the
+  *    conservative direction).
   *  - DISTRIBUTED: built from `spark.range` + column expressions
   *    (codegen'd, zero shuffles except lineitem's explode) — the
   *    generator itself is the shape you'd run to synthesize 100 TB.
@@ -85,8 +91,9 @@ object GenData {
     * check-lock-recheck discipline as the staged artifacts (the lock
     * lives under the gitignored layout root, never in testdata): a
     * second JVM racing the cold generation waits and reuses. A dir
-    * whose table already exists is untouched — byte-identity across
-    * regenerations is the generator's own determinism guarantee. */
+    * whose table already exists is untouched — value-identity across
+    * regenerations is the generator's own determinism guarantee (see
+    * the DETERMINISTIC note above: container bytes may differ). */
   def ensure(spark: SparkSession, dir: String): Unit = {
     val f = new java.io.File(dir)
     SpecialFixtures.get(f.getName).foreach { case (mult, tables, geo) =>
