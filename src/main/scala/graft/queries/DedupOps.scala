@@ -132,10 +132,11 @@ object DedupOps {
     val sentinelBody = s"$canonical w=3 perms=${
       MinhashPerms.map(p => s"${p._1}x${p._2}").mkString(";")
     } p=$MinhashP fp=$fp"
-    // no gc: this family has no variant suffix, so there are no
-    // sibling dirs to collect — a regenerated corpus is handled by
-    // the in-place stale purge (r17 review: a gc arg here was a
-    // guaranteed no-op that misled readers)
+    // no cross-family gc: this family has no variant suffix, so
+    // there are no sibling families to collect (r17 review: a gc arg
+    // here was a guaranteed no-op that misled readers). A regenerated
+    // corpus publishes a NEW version dir; the family's own {current,
+    // previous} GC (r18) bounds the garden.
     StagedArtifact.loadOrBuild(spark, idxDir, sentinelBody)(
       Seq("sigs" -> minhashSignatures(Tables.documents(spark, dir))))("sigs")
   }

@@ -294,13 +294,20 @@ class PlanSpec extends SparkSpec {
     // the BPE scale claim (TextOps scaladoc): ONE corpus pass (the
     // wordcount shuffle, executed during the learn loop's
     // checkpoints); every merge round and the final output run over
-    // the checkpointed vocabulary. If the returned plan ever re-scans
-    // the documents parquet, a merge round regressed to corpus grain.
+    // the vocabulary. If the returned plan ever re-scans the
+    // documents parquet, a merge round regressed to corpus grain.
+    // r18: q_bpe_tokenize reads the STORED vocabulary — its plan's
+    // only FileScan must be the staged artifact under the layout
+    // root, never the corpus table.
     for (df <- Seq(queries.TextOps.qBpeMerges(spark, sf),
                    queries.TextOps.qBpeTokenize(spark, sf))) {
       val p = planOf(df)
-      assert(!p.contains("FileScan") && !p.contains("documents"),
+      assert(!p.contains("documents"),
         s"BPE output plan must not re-scan the corpus:\n$p")
+      val foreignScan = "FileScan".r.findAllIn(p).nonEmpty &&
+        !p.contains("graft_layout")
+      assert(!foreignScan,
+        s"a FileScan outside the staged-artifact layout root:\n$p")
     }
   }
 
