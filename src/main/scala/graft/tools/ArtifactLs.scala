@@ -10,6 +10,10 @@ package graft.tools
   * flat dir is flagged `orphan_lock` (a re-dial renames the family;
   * its versions get GC'd but the lock file has no owner left to
   * delete it); a pointer whose target dir is gone is `orphan_pointer`.
+  * `staged_legacy` covers BOTH pre-r18 flat loadOrBuild artifacts
+  * (migrated on their next touch, or GC'd as stale siblings) and the
+  * stream replay feeds (StreamOps stages those flat IN PLACE by
+  * design — they are consumed within the staging execution).
   *
   * `runMain graft.tools.ArtifactLs [root] [clean]` — with `clean`,
   * orphan locks and orphan pointers are unlinked, each under a
