@@ -274,9 +274,35 @@ object StagedArtifact {
                   sentinelBody: String,
                   gc: Option[(String, String)] = None)(
       build: => Seq[(String, DataFrame)]): Map[String, DataFrame] = {
+    val vDir = publishDir(idxDir, sentinelBody, gc) { tmp =>
+      build.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(new java.io.File(tmp, name).getPath)
+      }
+    }
+    Option(vDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .map(n => n -> spark.read.parquet(new java.io.File(vDir, n).getPath))
+      .toMap
+  }
+
+  /** The directory-level publish primitive behind [[loadOrBuild]] —
+    * also consumed directly by the stream replay feed staging
+    * ([[graft.streaming.StreamOps]], r18), whose artifact is crafted
+    * FILES (mtime-ordered batch parquets), not named tables. Resolves
+    * the version dir for (family `idxDir`, sentinel); when it is
+    * absent or stale, takes the family lease, re-checks under it
+    * (a competitor's publish is reused, never duplicated), runs
+    * `buildInto` against a process+thread-unique `.tmp_` sibling,
+    * writes the sentinel, publishes by ONE atomic rename, repoints
+    * the family `_CURRENT` pointer, and GCs (same-family
+    * {current, previous} retention plus the optional cross-family
+    * two-phase pass). Returns the published version dir — an
+    * immutable path for its published lifetime (reader grace). */
+  def publishDir(idxDir: java.io.File, sentinelBody: String,
+                 gc: Option[(String, String)] = None)(
+      buildInto: java.io.File => Unit): java.io.File = {
     val vDir = versionDir(idxDir, sentinelBody)
     def stagedOk: Boolean = sentinelOf(vDir).contains(sentinelBody)
-    var names: Seq[String] = Seq.empty
     if (!stagedOk) {
       java.nio.file.Files.createDirectories(idxDir.getParentFile.toPath)
       val lockFile = new java.io.File(idxDir.getParent, s"${idxDir.getName}.lock")
@@ -288,11 +314,7 @@ object StagedArtifact {
             s"${idxDir.getName}.tmp_${ProcessHandle.current().pid}_${tmpSeq.incrementAndGet()}")
           purge(tmp)
           java.nio.file.Files.createDirectories(tmp.toPath)
-          val tables = build
-          names = tables.map(_._1)
-          tables.foreach { case (name, df) =>
-            df.write.mode("overwrite").parquet(new java.io.File(tmp, name).getPath)
-          }
+          buildInto(tmp)
           java.nio.file.Files.writeString(
             new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
           // a dir already at OUR version name has a missing/mismatched
@@ -334,11 +356,7 @@ object StagedArtifact {
         }
       }
     }
-    if (names.isEmpty)
-      names = Option(vDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).map(_.getName).toSeq
-    names.map(n =>
-      n -> spark.read.parquet(new java.io.File(vDir, n).getPath)).toMap
+    vDir
   }
 
   /** Cross-family GC (see object scaladoc): phase 1 purges stale

@@ -548,20 +548,19 @@ object StreamOps {
     *
     * Staging lands under Layout.layoutRoot keyed by fixture (basename
     * + canonical-path hash, so equal basenames never collide) and is
-    * PERSISTENTLY memoized across JVMs: a `_STAGED` sentinel (holding
-    * the canonical fixture path, slice count, and a bytes+mtime
-    * fingerprint of the source parquet — in-place regeneration
-    * invalidates, ADVICE r14) marks a complete staging, so later
-    * calls — this JVM or any other — reuse the files without touching
-    * the directory, and first-time staging builds in a process-unique
-    * sibling dir PUBLISHED by one atomic rename (sentinel re-checked
-    * immediately before the purge+publish, and a lost-race swallow
-    * that verifies a competitor actually published). The r14 review caught two weaker designs in sequence:
-    * a fresh leaked temp dir per invocation, then a per-JVM writeOnce
-    * whose purge window could yank staged files out from under a
-    * concurrently replaying JVM (the old design was immune only by
-    * leaking). The sentinel + atomic publish has no such window: the
-    * target is either absent or complete. Verify's fresh JVM on a
+    * PERSISTENTLY memoized across JVMs via
+    * [[graft.api.StagedArtifact.publishDir]] (r18 — the stream feed
+    * rides the same versioned staging primitive as the index
+    * artifacts): a `_STAGED` sentinel (canonical fixture path, slice
+    * count, content-aware source fingerprint — in-place regeneration
+    * invalidates) marks the complete staging inside an immutable
+    * `_v<hash8>` version dir, cold staging runs under the family
+    * build LEASE (a contended second stager waits and reuses instead
+    * of paying a duplicate build), publish is one atomic rename, and
+    * a regeneration publishes a NEW version dir — a JVM mid-replay on
+    * the superseded one keeps valid paths for a full publish cycle
+    * (reader grace; the r14–r17 designs each narrowed but never
+    * closed that purge-under-reader window). Verify's fresh JVM on a
     * fresh checkout covers the cold staging; bench warm runs measure
     * only the streaming replay. The staging is the bounded-fixture
     * stand-in for a real arriving stream; a production deployment
@@ -591,25 +590,20 @@ object StreamOps {
       s"events.parquet missing under $sfDir — cannot fingerprint the stream source")
     val evFp = graft.api.StagedArtifact.fingerprint(evRoot)
     val sentinelBody = s"$canonical n=$nFiles fp=$evFp"
-    def stagedOk: Boolean = {
-      val s = new java.io.File(srcDir, "_STAGED")
-      s.exists && scala.util.Try(java.nio.file.Files.readString(s.toPath))
-        .toOption.contains(sentinelBody)
-    }
-    def purge(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(purge)); f.delete()
-    }
     def ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .filter(col("event_type").isin("click", "purchase"))
     val schema = ev.schema
-    if (!stagedOk) {
-      // build the FULL staging in a process-unique sibling first;
-      // srcDir is untouched until the candidate is complete
-      val tmp = new java.io.File(srcDir.getParent,
-        s"${srcDir.getName}.tmp_${ProcessHandle.current().pid}")
-      purge(tmp)
-      java.nio.file.Files.createDirectories(tmp.toPath)
+    // r18: staged via StagedArtifact.publishDir — the stream feed now
+    // rides the SAME versioned-publish discipline as the index
+    // artifacts: build lease (the r15–r17 flat staging built first and
+    // locked second, so two contended cold stagers paid duplicate
+    // builds — now the second waits and reuses), atomic rename into an
+    // immutable `_v<hash8>` dir, and reader grace (a fixture
+    // regeneration publishes a NEW version; a JVM mid-replay on the
+    // old one keeps valid paths until the family's next publish,
+    // closing the last in-place-purge surface ADVICE r14 #1 family).
+    val published = graft.api.StagedArtifact.publishDir(srcDir, sentinelBody) { tmp =>
       // no checkpoint: the nFiles+1 staging reads each re-scan the
       // 4-column pushed-down parquet projection — cheap, runs once
       // per fixture EVER (the sentinel), and leaves no storage-memory
@@ -618,6 +612,9 @@ object StreamOps {
       val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
       val step = maxId / nFiles + 1
       val base = System.currentTimeMillis() - (nFiles + 1) * 2000L
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+      }
       (0 until nFiles).foreach { i =>
         val slice = new java.io.File(tmp, s"__slice_$i")
         ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
@@ -629,54 +626,13 @@ object StreamOps {
         java.nio.file.Files.move(part.toPath, dst.toPath)
         java.nio.file.Files.setLastModifiedTime(dst.toPath,
           java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-        purge(slice)
-      }
-      java.nio.file.Files.writeString(
-        new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
-      // serialize the check-purge-publish sequence with an exclusive
-      // OS file lock on a sibling .lock (ADVICE r15 #1): r14's re-check
-      // narrowed but did not CLOSE the TOCTOU — between a final
-      // stagedOk re-check and purge(srcDir), a competitor could publish
-      // a complete staging that we then deleted under a third JVM
-      // already replaying from it. Under the lock, exactly one JVM at a
-      // time observes-and-mutates srcDir, so a complete staging can
-      // never be purged. The lock file is a sibling (never inside
-      // srcDir) so purge(srcDir) cannot delete it.
-      val lockFile = new java.io.File(srcDir.getParent, s"${srcDir.getName}.lock")
-      // r16: via StagedArtifact.withProcessLock — the bare
-      // FileChannel.lock() THROWS OverlappingFileLockException when a
-      // sibling THREAD of this JVM holds it (file locks are
-      // per-process); the helper adds the per-path JVM monitor the
-      // PqIndexSpec race exposed, keeping the OS lock for cross-JVM
-      graft.api.StagedArtifact.withProcessLock(lockFile) {
-          // re-check UNDER the lock: a complete staging published while
-          // we built (or while we waited for the lock) must be reused,
-          // not deleted under a JVM already replaying from it
-          if (stagedOk) purge(tmp)
-          else {
-            // a sentinel-less srcDir is garbage (killed mid-stage, or a
-            // stale fingerprint) — remove it so the atomic publish lands
-            purge(srcDir)
-            try java.nio.file.Files.move(tmp.toPath, srcDir.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch { case e: java.nio.file.FileSystemException =>
-              purge(tmp)
-              // with the lock held no competitor can win the rename, so
-              // any failure here (permissions, non-atomic fs) must
-              // surface now, not as an opaque readStream error later —
-              // unless a lock-less legacy JVM published concurrently
-              // (ADVICE r14 #3)
-              if (!stagedOk)
-                throw new IllegalStateException(
-                  s"staging publish failed and no complete staging exists at $srcDir", e)
-            }
-          }
+        rmrf(slice)
       }
     }
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "batch_*.parquet")
       .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.getPath)
+      .parquet(published.getPath)
     runToMemorySink(spark,
       clickToPurchase(
         src.filter(col("event_type") === "click"),
