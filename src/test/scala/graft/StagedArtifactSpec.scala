@@ -223,6 +223,33 @@ class StagedArtifactSpec extends SparkSpec {
     assert(!vA.exists, "superseded version survived two publish cycles")
   }
 
+  test("publishDir (the file-artifact seam): build once, reuse forever, immutable path") {
+    // the stream replay feed consumes this directly — arbitrary FILES
+    // with crafted mtimes, not named parquet tables
+    val root = tempDir("pubdir")
+    val fam = new java.io.File(root, "feed_x")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def stage() = StagedArtifact.publishDir(fam, "feed v1") { tmp =>
+      builds.incrementAndGet()
+      write(new java.io.File(tmp, "batch_000.bin"), Array.fill[Byte](16)(1))
+      write(new java.io.File(tmp, "batch_001.bin"), Array.fill[Byte](16)(2))
+    }
+    val v1 = stage()
+    assert(v1 === StagedArtifact.versionDir(fam, "feed v1"),
+      "publishDir must return the deterministic version dir")
+    assert(new java.io.File(v1, "batch_001.bin").length() === 16)
+    assert(new java.io.File(v1, "_STAGED").exists)
+    val v1again = stage()
+    assert(v1again === v1 && builds.get() === 1,
+      "a warm publishDir must reuse the published version, not rebuild")
+    // a re-dial publishes a NEW immutable dir; v1 stays grace-intact
+    val v2 = StagedArtifact.publishDir(fam, "feed v2") { tmp =>
+      write(new java.io.File(tmp, "batch_000.bin"), Array.fill[Byte](8)(3))
+    }
+    assert(v2 != v1 && v1.isDirectory,
+      "a new publish must not disturb the superseded version (reader grace)")
+  }
+
   // ---- sibling-family GC (two-phase, r18) -------------------------------
 
   /** Run the (a, b) two-variant setup: build both at the current
