@@ -120,7 +120,10 @@ object StagedArtifact {
     * opened the old inode before the unlink can later "hold" it
     * alongside a fresh file's holder), whose worst case is one
     * duplicate build — the publish path tolerates that by re-checking
-    * the sentinel after a failed atomic rename. */
+    * the sentinel immediately before its purge of the version dir
+    * (discarding the duplicate build, never deleting the competitor's
+    * live publish — ADVICE r18 #1) and again after a failed atomic
+    * rename. */
   private[graft] def withProcessTryLock(lockFile: java.io.File)(f: => Unit): Boolean = {
     val mon = jvmLock(lockFile)
     if (!mon.tryLock()) return false
@@ -317,6 +320,20 @@ object StagedArtifact {
           buildInto(tmp)
           java.nio.file.Files.writeString(
             new java.io.File(tmp, "_STAGED").toPath, sentinelBody)
+          // r19 (ADVICE r18 #1): re-check the sentinel IMMEDIATELY
+          // before the purge. The orphan-lock unlink race (ArtifactLs
+          // `clean` replaces the lock-file inode while another process
+          // holds the old one open) can admit TWO "lease holders" into
+          // this cold path; without this check the slower builder's
+          // purge(vDir) would delete the faster one's just-published
+          // LIVE version — the one failure the versioned layout exists
+          // to prevent — before re-publishing identical bytes. With
+          // it, a competitor's complete artifact is reused and our
+          // duplicate build is discarded: the unlink race really is
+          // bounded to one wasted build, as withProcessTryLock's
+          // scaladoc claims.
+          if (stagedOk) purge(tmp)
+          else {
           // a dir already at OUR version name has a missing/mismatched
           // sentinel (torn publish debris) — never a live artifact of
           // this body, whose sentinel would have matched above
@@ -353,6 +370,7 @@ object StagedArtifact {
             }
           gc.foreach { case (prefix, liveToken) => gcSiblings(
             idxDir, prefix, liveToken) }
+          }
         }
       }
     }

@@ -10,10 +10,13 @@ package graft.tools
   * flat dir is flagged `orphan_lock` (a re-dial renames the family;
   * its versions get GC'd but the lock file has no owner left to
   * delete it); a pointer whose target dir is gone is `orphan_pointer`.
-  * `staged_legacy` covers BOTH pre-r18 flat loadOrBuild artifacts
-  * (migrated on their next touch, or GC'd as stale siblings) and the
-  * stream replay feeds (StreamOps stages those flat IN PLACE by
-  * design — they are consumed within the staging execution).
+  * `staged_legacy` covers pre-r18 flat-layout leftovers awaiting
+  * migration: flat loadOrBuild artifacts (migrated on their next
+  * touch, or GC'd as stale siblings) and any stream replay feed
+  * staged before r18 — as of r18 StreamOps routes new feed stagings
+  * through the versioned StagedArtifact.publishDir too (ADVICE r18
+  * #2: an earlier note here claimed stream feeds stay flat by
+  * design; that stopped being true in the same round).
   *
   * `runMain graft.tools.ArtifactLs [root] [clean]` — with `clean`,
   * orphan locks and orphan pointers are unlinked, each under a

@@ -80,6 +80,11 @@ object BpeEncodeNew {
       .filter(expr(s"pmod(xxhash64(s), ${vMod}L) = 0"))
       .select(col("s")).as[String]
     val t1 = System.nanoTime()
+    // fold with an identity, not Dataset.reduce (ADVICE r18 #3): a
+    // small vocabulary or large `sample` can make the pmod filter
+    // match ZERO rows, and reduce on an empty Dataset throws
+    // UnsupportedOperationException — the tool should report
+    // vocab_words=0, not crash
     val (nV, diverged) = vSample.mapPartitions { it =>
       val rk = bRanks.value
       it.map { s =>
@@ -87,7 +92,7 @@ object BpeEncodeNew {
         val enc = graft.queries.TextOps.bpeEncode(s.replace(" ", ""), rk)
         (1L, if (enc == spelled) 0L else 1L)
       }
-    }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    }.rdd.fold((0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2))
     println(s"""{"metric":"bpe_encode_consistency","vocab_words":$nV,""" +
       s""""diverged":$diverged,"merges":${ranks.size},""" +
       s""""wall_sec":${math.round((System.nanoTime() - t1) / 1e7) / 100.0}}""")
@@ -106,11 +111,11 @@ object BpeEncodeNew {
       val rk = bRanks.value
       it.map { w => (1L, graft.queries.TextOps.bpeEncode(w, rk).size.toLong,
         w.length.toLong) }
-    }.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+    }.rdd.fold((0L, 0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
     val sec = (System.nanoTime() - t2) / 1e9
     println(s"""{"metric":"bpe_encode_unseen","words":$nWords,""" +
       s""""symbols":$nSyms,"chars":$nChars,""" +
-      s""""chars_per_symbol":${math.round(nChars * 100.0 / nSyms) / 100.0},""" +
+      s""""chars_per_symbol":${math.round(nChars * 100.0 / math.max(1L, nSyms)) / 100.0},""" +
       s""""wall_sec":${math.round(sec * 100) / 100.0},""" +
       s""""words_per_sec":${math.round(nWords / sec)}}""")
     spark.stop()

@@ -90,24 +90,36 @@ object GenData {
   /** Generate a [[SpecialFixtures]] dir on first use, under the same
     * check-lock-recheck discipline as the staged artifacts (the lock
     * lives under the gitignored layout root, never in testdata): a
-    * second JVM racing the cold generation waits and reuses. A dir
-    * whose table already exists is untouched — value-identity across
-    * regenerations is the generator's own determinism guarantee (see
+    * second JVM racing the cold generation waits and reuses. Validity
+    * is spec-aware, not mere existence (ADVICE r18 #4): a
+    * `_FIXTURE_SPEC` sentinel beside the table records the
+    * (mult, tables, geo) the dir was generated with, so a re-dialed
+    * SpecialFixtures entry regenerates instead of silently serving the
+    * OLD geometry — the exact staleness class every staged artifact's
+    * sentinel already closes. Value-identity across regenerations of
+    * the SAME spec is the generator's own determinism guarantee (see
     * the DETERMINISTIC note above: container bytes may differ). */
   def ensure(spark: SparkSession, dir: String): Unit = {
     val f = new java.io.File(dir)
     SpecialFixtures.get(f.getName).foreach { case (mult, tables, geo) =>
       val table = if (tables.contains("bpewide")) "documents" else "embeddings"
-      def present = new java.io.File(f, s"$table.parquet").exists
+      val spec = s"mult=$mult tables=${tables.toSeq.sorted.mkString(",")} geo=$geo"
+      val specFile = new java.io.File(f, "_FIXTURE_SPEC")
+      def present = new java.io.File(f, s"$table.parquet").exists &&
+        scala.util.Try(java.nio.file.Files.readString(specFile.toPath))
+          .toOption.contains(spec)
       if (!present) {
         val lockDir = new java.io.File(graft.queries.Layout.layoutRoot)
         java.nio.file.Files.createDirectories(lockDir.toPath)
         val lock = new java.io.File(lockDir, s"fixture_${f.getName}.lock")
         graft.api.StagedArtifact.withProcessLock(lock) {
           if (!present) {
-            println(s"[gendata] regenerating fixture ${f.getName} " +
-              s"(mult=$mult tables=${tables.mkString(",")} geo=$geo)")
+            println(s"[gendata] regenerating fixture ${f.getName} ($spec)")
+            // drop a stale sentinel first so a crash mid-generation
+            // cannot leave new-spec metadata over old-spec tables
+            specFile.delete()
             generate(spark, f.getPath, mult, Some(tables), geo)
+            java.nio.file.Files.writeString(specFile.toPath, spec)
           }
         }
       }

@@ -304,10 +304,18 @@ class PlanSpec extends SparkSpec {
       val p = planOf(df)
       assert(!p.contains("documents"),
         s"BPE output plan must not re-scan the corpus:\n$p")
-      val foreignScan = "FileScan".r.findAllIn(p).nonEmpty &&
-        !p.contains("graft_layout")
-      assert(!foreignScan,
-        s"a FileScan outside the staged-artifact layout root:\n$p")
+      // EVERY FileScan must sit under the layout root (ADVICE r18 #5:
+      // a single global contains() passed as long as ANY scan was a
+      // staged artifact — a plan scanning both the stored vocab and
+      // some other foreign table would have slipped through). Each
+      // FileScan renders as one plan line carrying its Location path,
+      // so the per-line check pins each scan individually.
+      val foreign = p.linesIterator
+        .filter(_.contains("FileScan"))
+        .filterNot(_.contains("graft_layout")).toSeq
+      assert(foreign.isEmpty,
+        s"FileScan(s) outside the staged-artifact layout root:\n" +
+          s"${foreign.mkString("\n")}\nfull plan:\n$p")
     }
   }
 
