@@ -208,6 +208,9 @@ object SparkEntry {
     // round-15: the complete retrieval ladder — IVF gate → PQ codes
     // → exact rerank of the bounded ADC shortlist
     "q_knn_ivf_pq_rerank"  -> VectorOps.qKnnIvfPqRerank _,
+    // round-19: the measured k ∝ N recipe (gate cells scale with the
+    // corpus, exact rerank consumes the whole gated set)
+    "q_knn_ivf_pq_rerank_scaled" -> VectorOps.qKnnIvfPqRerankScaled _,
     // round-15: batched BPE — top-B symbol-disjoint merges per round
     // (lifts the greedy loop's measured ~0.55 s/round driver floor)
     "q_bpe_merges_batched" -> TextOps.qBpeMergesBatched _,

@@ -1046,9 +1046,18 @@ object OracleSqlLlm {
     * ranking must then also read `vf`, see [[pcCte]]). Defaults emit
     * the pre-r15 string byte-identically — the standalone kmeans/IVF
     * keys are untouched. */
+  /** r19: `kWhere` makes the SEED COUNT a runtime SQL expression (the
+    * k ∝ N gate of q_knn_ivf_pq_rerank_scaled computes k from
+    * count(embeddings) — a static LIMIT literal cannot express a rule
+    * the engine evaluates per-fixture). The dynamic form keeps the
+    * identical seed ORDER (hash, vec_id) and 0-based cell ids — it
+    * only swaps `LIMIT k` for `cell < <expr>` over the same
+    * row_number; with kWhere = None the emitted SQL is the pre-r19
+    * string byte-identically. */
   private def kmCtes(k: Int = 8, iters: Int = 2,
                      trainSrc: String = "embeddings",
-                     encodeSrc: String = "embeddings"): String = {
+                     encodeSrc: String = "embeddings",
+                     kWhere: Option[String] = None): String = {
     val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
     val rounds = (1 to iters).map(i =>
       s"""a$i AS (${kmAssign(s"c${i - 1}")}),
@@ -1059,11 +1068,21 @@ object OracleSqlLlm {
         s"""vf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM $encodeSrc),
            |""".stripMargin
       else ""
+    val c0 = kWhere match {
+      case None =>
+        s"""c0 AS (
+           |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
+           |         list_transform(ev, x -> round(x, 4)) AS cv
+           |  FROM v ORDER BY $h, vec_id LIMIT $k)""".stripMargin
+      case Some(w) =>
+        s"""c0 AS (
+           |  SELECT cell, cv FROM (
+           |    SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
+           |           list_transform(ev, x -> round(x, 4)) AS cv
+           |    FROM v) s0k WHERE cell < $w)""".stripMargin
+    }
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM $trainSrc),
-       |${fullCte}c0 AS (
-       |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell,
-       |         list_transform(ev, x -> round(x, 4)) AS cv
-       |  FROM v ORDER BY $h, vec_id LIMIT $k),
+       |$fullCte$c0,
        |$rounds,
        |af AS (${kmAssign(s"c$iters", if (split) "vf" else "v")})""".stripMargin
   }
@@ -1167,6 +1186,49 @@ object OracleSqlLlm {
        |  JOIN lut2 l2 ON l2.c2 = kk.pq2 AND l2.p2 = l0.p0
        |  JOIN lut3 l3 ON l3.c3 = kk.pq3 AND l3.p3 = l0.p0
        |  WHERE kk.vec_id <> l0.p0)$tail""".stripMargin
+  }
+
+  /** Oracle for q_knn_ivf_pq_rerank_scaled (r19, VERDICT r18 missing
+    * #1): the measured k ∝ N recipe — the coarse gate's seed count is
+    * computed FROM THE DATA (`kp`: greatest(8, (count(*)·64) // 20000),
+    * integer arithmetic matching [[VectorOps.scaledGateCells]]
+    * exactly), the gate trains on the same 25% hash sample as the
+    * production build, and the EXACT rerank consumes the ENTIRE gated
+    * candidate set — so no ADC term appears at all: the subspace
+    * codebook chains, LUTs and shortlist windows of [[pqAdcSql]]
+    * vanish with the scoring they existed to replay, mirroring the
+    * engine's rerank-all plan (codes table read purely as the
+    * inverted list). Same Lloyd fragments ([[kmCtes]] dynamic-k form,
+    * [[pcCte]]), same 4-dp exact cosine as the ladder key's rr CTE. */
+  private def pqRerankAllScaledSql: String = {
+    val iters = VectorOps.PqIters
+    val sampCte =
+      s"""samp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE (CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,4))
+         |         AS BIGINT) % 100) < ${VectorOps.PqSamplePct}),
+         |""".stripMargin
+    val coarse = kmCtes(iters = iters, trainSrc = "samp",
+      encodeSrc = "embeddings", kWhere = Some("(SELECT kcells FROM kp)"))
+      .stripPrefix("WITH ")
+    s"""WITH kp AS (
+       |  SELECT greatest(8, (count(*) * 64) // 20000) AS kcells FROM embeddings),
+       |$sampCte$coarse,
+       |${pcCte(VectorOps.IvfPqNprobe, iters, src = "vf")},
+       |cand AS (
+       |  SELECT p.vec_id AS p0, t.vec_id AS neighbor
+       |  FROM pc p JOIN af t ON t.cell = p.cell AND t.vec_id <> p.vec_id),
+       |rr AS (
+       |  SELECT c.p0, c.neighbor,
+       |    round(CAST(list_dot_product(CAST(pe.embedding AS DOUBLE[]),
+       |          CAST(te.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+       |  FROM cand c JOIN embeddings pe ON pe.vec_id = c.p0
+       |              JOIN embeddings te ON te.vec_id = c.neighbor)
+       |SELECT p0 AS vec_id, neighbor, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY p0
+       |                              ORDER BY cos DESC, neighbor) AS rk
+       |  FROM rr) y
+       |WHERE rk <= 3 ORDER BY vec_id, cos DESC, neighbor""".stripMargin
   }
 
   /** The probe → top-nprobe-cells CTE over the full-vector Lloyd
@@ -1307,6 +1369,9 @@ object OracleSqlLlm {
     "q_knn_ivf_pq" -> pqAdcSql(sampled = true, ivf = true),
     // the complete ladder: gate → codes → exact rerank (r15)
     "q_knn_ivf_pq_rerank" -> pqAdcSql(sampled = true, ivf = true, rerank = true),
+    // r19: the measured k ∝ N + full-candidate-rerank recipe as a
+    // declared key — dynamic seed count, rerank consumes the gate
+    "q_knn_ivf_pq_rerank_scaled" -> pqRerankAllScaledSql,
     // r13: the high-recall half-scan point (128, 2, 64) — recall 0.97
     // at sf10 where the quarter-scan diagonal plateaus at 0.77
     "q_knn_ivf_hr" -> ivfKmeansSql(128, 2, 64),

@@ -266,9 +266,16 @@ object VectorOps {
     * (kmeansModel keeps all columns — no join-back), the k·d centroid
     * model broadcasts, and the search is one equi join on the cell
     * key — identical join geometry to qKnnIvf. The cell key has
-    * cardinality k, so production sizes k accordingly (k ≈ √N cells is
-    * the IVF convention); at k=8 on the fixture the join is effectively
-    * a broadcast of the probe side. */
+    * cardinality k, so production sizes k accordingly. k ≈ √N cells is
+    * the classical IVF convention and applies to THIS exact-scoring
+    * path, where every candidate is ranked by its true dot product;
+    * it does NOT transfer to the PQ-ADC path — the r18 gate-growth
+    * measurement (SCALE.md §Round 18, docs/ann_gate_growth_r18.jsonl)
+    * refuted √N growth there (recall stalls at ~0.57 because fine
+    * cells concentrate candidates into the ADC near-tie band), and
+    * the measured ADC recipe is k ∝ N with a full-candidate exact
+    * rerank ([[qKnnIvfPqRerankScaled]]). At k=8 on the fixture the
+    * join is effectively a broadcast of the probe side. */
   def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     qKnnIvfKmeansProbed(spark, dir, 2)
 
@@ -685,6 +692,52 @@ object VectorOps {
     pqAdc(spark, dir, sampledTrain = true, ivfGate = true,
       rerank = true)
 
+  /** The k ∝ N gate rule the r18 measurement established (SCALE.md
+    * §Round 18, docs/ann_gate_growth_r18.jsonl): hold nprobe, grow the
+    * cell count linearly with the corpus — k = 64·(N/20 000), the
+    * declared [[IvfPqCells]] geometry anchored at the sf1 fixture's
+    * 20 000 vectors — so the gated candidate count per probe stays
+    * ≈ nprobe·20 000/64 = 5 000 CONSTANT at any corpus size, small
+    * enough to exact-rerank in full. Integer arithmetic (floor), so
+    * the DuckDB oracle's `greatest(8, (count(*) * 64) // 20000)`
+    * computes the identical value; the floor of 8 keeps the tiniest
+    * fixtures above a degenerate 1-cell quantizer. At the measured
+    * 200 k-vector point this is k = 640 — gate recall 1.000. */
+  private[graft] def scaledGateCells(n: Long): Int =
+    math.max(8L, n * 64L / 20000L).toInt
+
+  /** DECLARED (r19, VERDICT r18 missing #1): the measured LARGE-CORPUS
+    * operating recipe promoted from SCALE.md prose into the inventory —
+    * IVF-PQ retrieval whose gate k scales with the corpus
+    * ([[scaledGateCells]]: k ∝ N at fixed nprobe = [[IvfPqNprobe]])
+    * and whose EXACT rerank consumes the ENTIRE gated candidate set
+    * (no ADC shortlist at all). This is the recipe the r18 gate-growth
+    * measurement established after REFUTING √N growth: fine cells
+    * keep the gate near-perfect (measured gate recall 1.000 at
+    * k = 640 on 200 k clustered vectors) while the per-probe gated
+    * set stays a CONSTANT ≈ nprobe/64·20 000 = 5 000 candidates —
+    * bounded work per probe at ANY corpus size, so "rerank everything
+    * the gate admits" is affordable by construction and ADC noise can
+    * no longer cost recall (total recall 1.000 at the r17 operating
+    * point's wall, with a 10× smaller codes scan). The ADC scores
+    * still gate nothing away here — the codes scan's role collapses
+    * to candidate ENUMERATION, which is exactly the Faiss
+    * coarse-quantizer-only regime this recipe measured fastest.
+    *
+    * Plan shape vs [[qKnnIvfPqRerank]]: identical until the
+    * shortlist — then NO rank/count windows at all (the one window
+    * Exchange of the ADC stage disappears; the only remaining shuffle
+    * is the final top-3 window over ≤ probes·5 000 exact-scored
+    * rows). The stored index is the same versioned PqIndex family at
+    * the scaled cell count. AnnRecallSpec pins recall ≥ 0.95 at the
+    * 200 k measured point; the DuckDB oracle replays the scaled k via
+    * a dynamic seed-count CTE, so CORRECTNESS pins the rule per-SF. */
+  def qKnnIvfPqRerankScaled(spark: SparkSession, dir: String): DataFrame = {
+    val cells = scaledGateCells(Tables.embeddings(spark, dir).count())
+    pqAdc(spark, dir, sampledTrain = true, ivfGate = true,
+      rerank = true, rerankAll = true, cells = cells)
+  }
+
   /** The BUILD half of the PQ engine: train codebooks (full or
     * hash-sampled train set), optionally train the coarse IVF gate,
     * and encode the corpus — returning the codes frame (embedding
@@ -753,7 +806,10 @@ object VectorOps {
                            rerankDepth: Int = IvfPqRerankDepth,
                            nprobe: Int = IvfPqNprobe,
                            adaptive: Boolean = true,
-                           cells: Int = IvfPqCells): DataFrame = {
+                           cells: Int = IvfPqCells,
+                           rerankAll: Boolean = false): DataFrame = {
+    require(!rerankAll || (rerank && ivfGate),
+      "rerankAll enumerates the gated set — it needs the IVF gate and the rerank stage")
     import graft.api.GraftOps
     GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -786,6 +842,32 @@ object VectorOps {
         broadcast(probeCell).join(coded, "cell")
       case None => coded
     }
+    // exact-rerank tail shared by the shortlist and rerank-all paths:
+    // float vectors come back for ONLY the shortlisted rows via two
+    // broadcast joins — the corpus-wide scan stays codes-only
+    def exactRerank(shortlist: DataFrame): DataFrame = {
+      val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as(T))
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("p0"), col("embedding").as(P))
+      val exact = t.join(broadcast(shortlist), "neighbor")
+        .join(broadcast(p), "p0")
+        .select(col("p0"), col("neighbor"),
+          round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
+      val w2 = Window.partitionBy(col("p0")).orderBy(col("cos").desc, col("neighbor"))
+      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= 3)
+        .select(col("p0").as("vec_id"), col("neighbor"), col("cos"))
+        .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+    }
+    // rerank-all (r19, the measured k ∝ N recipe — [[qKnnIvfPqRerank
+    // Scaled]]): the gate bounds the candidate set to a CONSTANT
+    // ≈ nprobe/64·20 000 rows per probe, so the exact rerank consumes
+    // it whole and ADC scoring would order a list nothing truncates —
+    // the LUT joins and BOTH window passes of the shortlist path
+    // vanish; the codes table is scanned purely as the inverted list
+    // (cell → neighbor), its 100 TB role
+    if (rerankAll)
+      return exactRerank(base.filter(col("neighbor") =!= col("p_id"))
+        .select(col("p_id").as("p0"), col("neighbor")))
     val scored = luts.zipWithIndex.foldLeft(base) { case (acc, (lut, s)) =>
       val cond =
         if (s == 0 && ivfGate) col("pq0") === col("c0") && col("p0") === col("p_id")
@@ -826,17 +908,7 @@ object VectorOps {
           (if (adaptive) greatest(lit(rerankDepth), col("__nc") / lit(5))
            else lit(rerankDepth).cast("double")))
         .select(col("p0"), col("neighbor"))
-      val t = emb.select(col("vec_id").as("neighbor"), col("embedding").as(T))
-      val p = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("p0"), col("embedding").as(P))
-      val exact = t.join(broadcast(shortlist), "neighbor")
-        .join(broadcast(p), "p0")
-        .select(col("p0"), col("neighbor"),
-          round(expr(s"graft_dot_product($P, $T)"), 4).as("cos"))
-      val w2 = Window.partitionBy(col("p0")).orderBy(col("cos").desc, col("neighbor"))
-      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= 3)
-        .select(col("p0").as("vec_id"), col("neighbor"), col("cos"))
-        .orderBy(col("vec_id"), col("cos").desc, col("neighbor"))
+      exactRerank(shortlist)
     }
   }
 
