@@ -211,6 +211,9 @@ object SparkEntry {
     // round-19: the measured k ∝ N recipe (gate cells scale with the
     // corpus, exact rerank consumes the whole gated set)
     "q_knn_ivf_pq_rerank_scaled" -> VectorOps.qKnnIvfPqRerankScaled _,
+    // round-19: the reference's own HGT decode path (R1/R2/R4) as an
+    // oracle-declared key — synthetic tiles, real DSv2 scan
+    "q_hgt_points"         -> HgtOps.qHgtPoints _,
     // round-15: batched BPE — top-B symbol-disjoint merges per round
     // (lifts the greedy loop's measured ~0.55 s/round driver floor)
     "q_bpe_merges_batched" -> TextOps.qBpeMergesBatched _,

@@ -365,5 +365,9 @@ object OracleSqlExt {
   )
 
   def all: Map[String, String] =
-    joins ++ setops ++ windows ++ aggs ++ functions
+    joins ++ setops ++ windows ++ aggs ++ functions ++
+      // r19: the HGT decode path's oracle lives with the key (the SQL
+      // is generated from the same Tiles/N/altAt constants the tile
+      // synthesizer uses — one source of truth for both engines)
+      Map("q_hgt_points" -> HgtOps.OracleSql)
 }
