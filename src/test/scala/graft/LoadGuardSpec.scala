@@ -202,4 +202,48 @@ class LoadGuardSpec extends AnyFunSuite {
     assert(Bench.parseQuietRef("/nonexistent/ref.json", "/root/testdata/sf0.1", "32").isEmpty)
     java.nio.file.Files.delete(tmp)
   }
+
+  test("r18 drift loop: movers-gate offenders get the certified retry; clean probe adopts") {
+    // BENCH_r18 shipped 7 drift_keys (q_knn_ivf at 1.94x its quiet
+    // wall, etc) correctly LABELED but never re-measured — VERDICT
+    // r18 missing #2. The drift candidates now route through the same
+    // retryKeys gate as suspects (nothing on a contaminated box)...
+    val driver = Map("q_knn_ivf" -> 0.94, "q_knn_ivf_mp" -> 0.76,
+      "q_agg_pricing" -> 0.24)
+    val quiet = Map("q_knn_ivf" -> 0.49, "q_knn_ivf_mp" -> 0.40,
+      "q_agg_pricing" -> 0.24)
+    val drift = Bench.driftKeys(driver, quiet)
+    assert(drift === Seq("q_knn_ivf", "q_knn_ivf_mp"))
+    assert(Bench.retryKeys(drift, contaminated = false) === drift)
+    assert(Bench.retryKeys(drift, contaminated = true).isEmpty)
+    // ...and adoption follows the one shared rule (adoptableRetries):
+    // clean post-retry probe adopts every non-noisy retried median
+    val retried = Map("q_knn_ivf" -> 0.50, "q_knn_ivf_mp" -> 0.41)
+    assert(Bench.adoptableRetries(retried, Nil, 0.15, floor) ===
+      Seq("q_knn_ivf", "q_knn_ivf_mp"))
+  }
+
+  test("drift-retry adoption: noisy retries and dirty probes adopt nothing") {
+    val retried = Map("q_a" -> 0.50, "q_b" -> 2.10)
+    // a retry that escalated to NoisyReps and stayed noise-drowned
+    // keeps the contested median (the r12 rationale applied to
+    // adoption — only q_a is adoptable)
+    assert(Bench.adoptableRetries(retried, Seq("q_b"), 0.15, floor) === Seq("q_a"))
+    // dirty post-retry probe: the retry measured the same load twice
+    assert(Bench.adoptableRetries(retried, Nil, 0.45, floor).isEmpty)
+    // no retry pass ran (sentinel -1): nothing to adopt
+    assert(Bench.adoptableRetries(retried, Nil, -1.0, floor).isEmpty)
+  }
+
+  test("convergence: a clean drift retry that lands at quiet leaves drift_keys empty") {
+    // the r19 design goal in one scenario: post-adoption recompute of
+    // drift_keys on the SHIPPED map reads empty when the retries
+    // land back at their quiet walls, and keeps a key that re-read
+    // slow (a genuine regression is not laundered away by the loop)
+    val quiet = Map("q_x" -> 0.50, "q_y" -> 1.00)
+    val converged = Map("q_x" -> 0.52, "q_y" -> 1.04)
+    assert(Bench.driftKeys(converged, quiet).isEmpty)
+    val stillSlow = Map("q_x" -> 0.52, "q_y" -> 1.70)
+    assert(Bench.driftKeys(stillSlow, quiet) === Seq("q_y"))
+  }
 }

@@ -364,4 +364,34 @@ class StagedArtifactSpec extends SparkSpec {
     assert(!legacy.exists,
       "stale pre-r18 flat-layout sibling survived the GC pass")
   }
+
+  test("publishDir discards a duplicate build when a competitor's publish lands mid-build (r19)") {
+    // ADVICE r18 #1: the orphan-lock unlink race (ArtifactLs `clean`
+    // swaps the lock-file inode under a holder of the old one) can
+    // admit TWO lease holders into the cold path. The interleaving is
+    // simulated by having buildInto itself play the faster
+    // competitor: it publishes a COMPLETE artifact (payload +
+    // matching sentinel) at the version dir while "we" are still
+    // building. The re-check immediately before the purge must then
+    // keep the competitor's live version — readers may already hold
+    // frames over it — and discard our duplicate tmp. (Before the
+    // fix, purge(vDir) deleted the competitor's publish here.)
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("staged_purge_race").toFile
+    val fam = new java.io.File(root, "fam")
+    val body = "race body v1"
+    val vDir = StagedArtifact.versionDir(fam, body)
+    val out = StagedArtifact.publishDir(fam, body) { tmp =>
+      Files.createDirectories(vDir.toPath)
+      Files.writeString(new java.io.File(vDir, "payload").toPath, "COMPETITOR")
+      Files.writeString(new java.io.File(vDir, "_STAGED").toPath, body)
+      Files.writeString(new java.io.File(tmp, "payload").toPath, "DUPLICATE")
+    }
+    assert(out === vDir)
+    assert(Files.readString(new java.io.File(vDir, "payload").toPath)
+      === "COMPETITOR",
+      "the slower builder's purge deleted the competitor's live publish")
+    assert(!Option(root.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.contains(".tmp_")), "duplicate build tmp not discarded")
+  }
 }
