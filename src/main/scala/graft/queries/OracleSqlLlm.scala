@@ -986,6 +986,27 @@ object OracleSqlLlm {
        |            - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
        |  FROM $vName v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
 
+  /** Memory-lean [[kmAssign]] — IDENTICAL semantics (same window,
+    * same (metric, cell) order, proven row-equal on randomized
+    * inputs), but the 64-double `ev` list does NOT ride the
+    * N·k-row window sort: the rank runs over bare (vec_id, cell,
+    * metric) rows and `ev` joins back on the N winners. At the
+    * scaled key's sf10 replay (N = 200 k × k = 640 = 128 M window
+    * rows) the ev-carrying spelling is ~65 GB of sort payload — it
+    * OOMed DuckDB — while this one is ~3 GB. Used by the dynamic-k
+    * [[kmCtes]] path only; the fixed-k oracles keep the original
+    * string (their k ≤ 128 windows never exceeded low GBs and their
+    * committed artifacts were produced by it). */
+  private def kmAssignLean(cent: String, vName: String = "v") =
+    s"""SELECT v2.vec_id, v2.ev, x.cell FROM (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(round(list_dot_product(c.cv, c.cv), 6)
+       |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
+       |    FROM $vName v CROSS JOIN $cent c) y WHERE rk = 1) x
+       |JOIN $vName v2 USING (vec_id)""".stripMargin
+
   private def kmUpdate(a: String, dim: Int = 64) =
     s"""SELECT cell, list(cx ORDER BY p) AS cv FROM (
        |  SELECT cell, i AS p, round(avg(ev[i]), 4) AS cx
@@ -1059,8 +1080,12 @@ object OracleSqlLlm {
                      encodeSrc: String = "embeddings",
                      kWhere: Option[String] = None): String = {
     val h = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT)"
+    // dynamic-k replays use the memory-lean assign (k scales with N —
+    // the ev-carrying window would be O(N·k·d) sort payload)
+    val assign: (String, String) => String =
+      if (kWhere.isDefined) kmAssignLean(_, _) else kmAssign(_, _)
     val rounds = (1 to iters).map(i =>
-      s"""a$i AS (${kmAssign(s"c${i - 1}")}),
+      s"""a$i AS (${assign(s"c${i - 1}", "v")}),
          |c$i AS (${kmUpdate(s"a$i")})""".stripMargin).mkString(",\n")
     val split = trainSrc != encodeSrc
     val fullCte =
@@ -1084,7 +1109,7 @@ object OracleSqlLlm {
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM $trainSrc),
        |$fullCte$c0,
        |$rounds,
-       |af AS (${kmAssign(s"c$iters", if (split) "vf" else "v")})""".stripMargin
+       |af AS (${assign(s"c$iters", if (split) "vf" else "v")})""".stripMargin
   }
 
   /** Name of the final-centroid CTE [[kmCtes]] emits for `iters`. */

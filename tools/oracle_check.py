@@ -91,12 +91,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-        oracle = json.load(f)
+def connect(sf_dir):
+    """Fresh DuckDB connection with the fixture views. Factored (r19)
+    so the per-key loop can RESET after an exec error: a query that
+    hits DuckDB's memory ceiling poisons the connection (subsequent
+    queries fail on kilobyte allocations), which turned one heavy key
+    into four FAILs in the sf10 sweep. temp_directory enables
+    spill-to-disk for sort/window payloads before the ceiling."""
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    try:
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    except Exception:
+        pass  # older duckdb: keep defaults
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(p):
@@ -126,6 +133,14 @@ def main():
                     f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{src}')")
                 continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = connect(sf_dir)
 
     n_ok, fails = 0, []
     report = {}  # driver-shape per-key record (--json)
@@ -149,6 +164,14 @@ def main():
         except Exception as e:
             fails.append((name, f"exec error: {e}"))
             record(name, err=f"exec error: {e}"[:200])
+            # reset the connection: an OOM'd query poisons DuckDB's
+            # memory accounting and every later key would fail on
+            # kilobyte allocations (r19 — seen in the sf10 sweep)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
             continue
         nr_s, nr_d = len(spark_df), len(duck_df)
         rows_eq = nr_s == nr_d
