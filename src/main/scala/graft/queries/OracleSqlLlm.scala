@@ -986,25 +986,34 @@ object OracleSqlLlm {
        |            - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
        |  FROM $vName v CROSS JOIN $cent c) x WHERE rk = 1""".stripMargin
 
-  /** Memory-lean [[kmAssign]] — IDENTICAL semantics (same window,
-    * same (metric, cell) order, proven row-equal on randomized
-    * inputs), but the 64-double `ev` list does NOT ride the
-    * N·k-row window sort: the rank runs over bare (vec_id, cell,
-    * metric) rows and `ev` joins back on the N winners. At the
-    * scaled key's sf10 replay (N = 200 k × k = 640 = 128 M window
-    * rows) the ev-carrying spelling is ~65 GB of sort payload — it
-    * OOMed DuckDB — while this one is ~3 GB. Used by the dynamic-k
-    * [[kmCtes]] path only; the fixed-k oracles keep the original
-    * string (their k ≤ 128 windows never exceeded low GBs and their
-    * committed artifacts were produced by it). */
+  /** Memory-lean [[kmAssign]] — IDENTICAL semantics (the window's
+    * ORDER BY (metric, cell) argmin, proven row-equal on the real
+    * fixture AND on adversarial data with forced exact metric ties),
+    * spelled as a plain MIN aggregation so NO window operator runs at
+    * all. The (metric, cell) order is packed into one exact BIGINT:
+    * metric is already on the 1e-6 grid (both operands round(·,6)),
+    * so `round(metric·1e6)` recovers its grid integer exactly
+    * (|met6| < 1.3e8 here, float error ≪ 0.5), and
+    * `(met6 + 1e9)·65536 + cell` is strictly order-isomorphic to the
+    * window's sort key (offset keeps it positive; cell < 65536; max
+    * ≈ 7e13 ≪ 2^53, all exact). min() over that composite IS the
+    * rank-1 row, and `% 65536` decodes the winning cell; `ev` joins
+    * back on the N winners. Why not a window at all: at the scaled
+    * key's sf10 replay (200 k × 640 cells = 128 M rank rows) the
+    * ev-carrying window was ~65 GB of sort payload and the bare
+    * (vec_id, cell, metric) spelling STILL hit DuckDB's 100 GiB pin
+    * ceiling (windows sort; sorts spill poorly at this width×depth),
+    * while the hash agg is 200 k groups of 8 bytes — it streams.
+    * Used by the dynamic-k [[kmCtes]] path only; the fixed-k oracles
+    * keep the original window string (their k ≤ 128 windows are small
+    * and their committed artifacts were produced by it). */
   private def kmAssignLean(cent: String, vName: String = "v") =
     s"""SELECT v2.vec_id, v2.ev, x.cell FROM (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT v.vec_id, c.cell,
-       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |        round(round(list_dot_product(c.cv, c.cv), 6)
-       |              - 2 * list_dot_product(v.ev, c.cv), 6), c.cell) AS rk
-       |    FROM $vName v CROSS JOIN $cent c) y WHERE rk = 1) x
+       |  SELECT vec_id, min(
+       |      (CAST(round((round(round(list_dot_product(c.cv, c.cv), 6)
+       |             - 2 * list_dot_product(v.ev, c.cv), 6)) * 1e6) AS BIGINT)
+       |       + 1000000000) * 65536 + c.cell) % 65536 AS cell
+       |  FROM $vName v CROSS JOIN $cent c GROUP BY vec_id) x
        |JOIN $vName v2 USING (vec_id)""".stripMargin
 
   private def kmUpdate(a: String, dim: Int = 64) =
