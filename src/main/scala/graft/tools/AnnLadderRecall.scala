@@ -115,6 +115,15 @@ object AnnLadderRecall {
     measure("q_knn_ivf_pq_rerank",
       graft.queries.VectorOps.qKnnIvfPqRerank(spark, sfDir),
       extra = s""","depth":"adaptive"""")
+    // the DECLARED scaled recipe (r19): gate k from the integer rule
+    // (k = 64·N/20 000, [[VectorOps.scaledGateCells]]), EXACT rerank
+    // of the entire gated set — measured here at whatever N the
+    // fixture carries, so each new fixture decade extends the k ∝ N
+    // law as a row, not a prediction
+    measure("q_knn_ivf_pq_rerank_scaled",
+      graft.queries.VectorOps.qKnnIvfPqRerankScaled(spark, sfDir),
+      extra = s""","depth":"all","cells":${
+        graft.queries.VectorOps.scaledGateCells(n)}""")
     // the absolute-depth axis (adaptive = false) — the dial sweep the
     // depth law was measured on; the declared point sits on it. The
     // cells axis (r18) grows the gate's k at the same scan fraction

@@ -85,6 +85,9 @@ object GenData {
     "mog1"    -> (1.0, Set("embeddings"), "mog:64:80"),
     "mog1w"   -> (1.0, Set("embeddings"), "mog:64:120"),
     "mog10"   -> (10.0, Set("embeddings"), "mog:64:120"),
+    // r19: the next half-decade for the k ∝ N gate rule — 400 k
+    // vectors, same clustered geometry as the 200 k law fixture
+    "mog20"   -> (20.0, Set("embeddings"), "mog:64:120"),
     "bpewide" -> (1.0, Set("bpewide"), "iso"))
 
   /** Generate a [[SpecialFixtures]] dir on first use, under the same
