@@ -719,7 +719,12 @@ object VectorOps {
     * bounded work per probe at ANY corpus size, so "rerank everything
     * the gate admits" is affordable by construction and ADC noise can
     * no longer cost recall (total recall 1.000 at the r17 operating
-    * point's wall, with a 10× smaller codes scan). The ADC scores
+    * point's wall, with a 10× smaller codes scan). Measured bound on
+    * the rule itself (r19, docs/ann_gate_growth_r19.jsonl): at 400 k
+    * vectors (k = 1280) recall reads 0.933 — at FIXED nprobe the
+    * gate's coverage np/k halves each corpus doubling, and nprobe is
+    * the search-time repair (recall 1.000 at np = 24, no rebuild);
+    * SCALE.md §Round 19 carries the refined coverage law. The ADC scores
     * still gate nothing away here — the codes scan's role collapses
     * to candidate ENUMERATION, which is exactly the Faiss
     * coarse-quantizer-only regime this recipe measured fastest.
