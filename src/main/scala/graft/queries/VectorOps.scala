@@ -421,8 +421,14 @@ object VectorOps {
     * quadratic-within-cell by construction, exactly like the paper. */
   def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
+    // r19: the blocking model comes from the PERSISTED (k=8, iters=2)
+    // IVF index — the same artifact every declared serving key reads
+    // (train once, dedup against the stored partition: the SemDeDup
+    // production shape). Stored ≡ fresh is IvfIndexSpec's pin; pair
+    // equality through this path is CellArgminSpec's.
     graft.api.GraftOps
-      .semanticNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .semanticNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
+        model = Some(ivfIndex(spark, dir, k = 8, iters = 2)))
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }
@@ -439,9 +445,12 @@ object VectorOps {
     * of a post-join aggregate. */
   def qDedupSemanticMp(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
+    // r19: stored centroids (see qDedupSemantic); the top-2 cell
+    // assignment remains the in-session zero-shuffle map stage (the
+    // store carries only the argmin cell).
     graft.api.GraftOps
       .semanticNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        0.4, probes = 2)
+        0.4, probes = 2, model = Some(ivfIndex(spark, dir, k = 8, iters = 2)))
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }

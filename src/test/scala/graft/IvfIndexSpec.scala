@@ -28,4 +28,21 @@ class IvfIndexSpec extends SparkSpec {
       k = 64, iters = 2, nprobe = 16, store = false))
     assert(viaStore === fresh)
   }
+
+  test("semantic dedup through the stored model == the fresh Lloyd build, both probe depths") {
+    // r19: the declared SemDeDup keys pass the persisted (k=8, i=2)
+    // model into semanticNearDups instead of re-running the Lloyd
+    // build per execution. Pin pair-set equality across that seam for
+    // probes = 1 (stored cell assignment reused directly) and
+    // probes = 2 (stored centroids, in-session top-2 assignment).
+    val emb = Tables.embeddings(spark, sf)
+    val stored = VectorOps.ivfIndex(spark, sf, k = 8, iters = 2)
+    for (p <- Seq(1, 2)) {
+      val viaStore = rows(graft.api.GraftOps.semanticNearDups(
+        emb, "vec_id", "embedding", 0.4, probes = p, model = Some(stored)))
+      val fresh = rows(graft.api.GraftOps.semanticNearDups(
+        emb, "vec_id", "embedding", 0.4, probes = p))
+      assert(viaStore === fresh, s"stored-model pair set diverged at probes=$p")
+    }
+  }
 }
