@@ -58,7 +58,9 @@ object Tables {
     * live twice and could drift). */
   def tsPhysicalType(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.DataType = {
     configure(spark)
-    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val path = s"$sfDir/events.parquet"
+    schemaMemo.computeIfAbsent(new java.io.File(path).getCanonicalPath,
+      _ => spark.read.parquet(path).schema)("ts").dataType
   }
 
   /** Normalize an events frame (batch or streaming) from its physical
@@ -84,9 +86,26 @@ object Tables {
           "Teach Tables.normalizeTs the new layout (and mirror it in tools/oracle_check.py).")
     }
 
+  /** Per-file-path schema memo (r19, optimization guide §1.2: every
+    * `spark.read.parquet` without an explicit schema re-infers by
+    * reading a footer at PLAN time — a fixed per-call cost paid inside
+    * every timed query construction, per table). Keyed by canonical
+    * path; fixture schemas are immutable once generated (GenData
+    * regenerates under a NEW spec sentinel, same schema — geometry
+    * changes values, never columns), so staleness cannot arise. The
+    * one layout-variant column (`events.ts`, three physical layouts
+    * across fixture generations) is precisely WHY the key is the file
+    * path, not the table name. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val canonical = new java.io.File(path).getCanonicalPath
+    val schema = schemaMemo.computeIfAbsent(canonical,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeTs(df, df.schema("ts").dataType) else df
   }
 
