@@ -175,7 +175,17 @@ object GraftFunctions {
 
   val DotUdfName = "graft_dot_udf"
 
+  /** Sessions already registered — ensureRegistered is called from
+    * every query constructor (r19: 13 registry puts + a WARN-logging
+    * udf.register per call, inside every timed construction), so the
+    * idempotence is now a per-session no-op re-entry instead of a
+    * re-registration. Weak keys: a retired session must not be pinned
+    * by this guard. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def ensureRegistered(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_product",
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
