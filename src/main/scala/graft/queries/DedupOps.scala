@@ -290,11 +290,30 @@ object DedupOps {
     * ~90 k changing labels over the full edge frame (CcRoundAudit
     * paired runs: 24.73 → 19.92 s audit wall at sf10; prop keeps the
     * small decades, 3.82 vs 4.66 s at sf0.1; both reach the identical
-    * 38 865-cluster fixpoint, so the oracle is untouched). */
-  private[graft] def clusterFrame(spark: SparkSession, dir: String): DataFrame =
+    * 38 865-cluster fixpoint, so the oracle is untouched).
+    *
+    * r19: signatures come from the PERSISTED index ([[minhashIndex]]
+    * — the store q_dedup_incremental, the curation pipeline and the
+    * streaming probe already read) instead of re-hashing the corpus
+    * per execution. Clustering and survivor selection run DOWNSTREAM
+    * of pair generation in a production dedup pipeline, over the
+    * signature table that pipeline maintains; q_dedup_minhash stays
+    * all-fresh as the measured signature+pair build wall. Signatures
+    * are a pure function of each doc's text (stored ≡ fresh pinned
+    * value-for-value by IncrementalDedupSpec, and DedupStoreSpec pins
+    * this frame through the store ≡ the all-fresh spelling), so the
+    * pair set, the fixpoint and the declared hashes cannot move.
+    * localCheckpoint for the same reason minhashSignatures
+    * checkpoints: the table feeds both sides of both band joins and
+    * both cap guards — 6 consumers of a tiny 4-longs/doc frame. */
+  private[graft] def clusterFrame(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashIndex(spark, dir).localCheckpoint(true)
     graft.api.GraftOps
-      .connectedComponentsAdaptive(minhashPairs(spark, dir, MaxBandBucket), "doc_a", "doc_b")
+      .connectedComponentsAdaptive(
+        minhashPairsBetween(mh, mh, mh, MaxBandBucket, selfJoin = true),
+        "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component").as("cluster"))
+  }
 
   /** DECLARED: survivor selection — the step AFTER clustering that a
     * real dedup pipeline actually ships: per near-dup cluster, keep
