@@ -171,6 +171,7 @@ object GraftOps {
     * copy was assigned to. */
   def kmeansModel(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): (DataFrame, DataFrame) = {
+    BuildCounters.lloydBuilds.incrementAndGet()
     GraftFunctions.ensureRegistered(df.sparkSession)
     val v = df.select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("__ev"))
@@ -580,16 +581,38 @@ object GraftOps {
     // checkpoint BEFORE doubling so the (possibly expensive) edge
     // subtree materializes once; the direction-flip union is a cheap
     // projection over the in-memory checkpoint each round
-    val base = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint(true)
-    // size the loop's shuffles to the MEASURED edge count (the
-    // checkpoint already materialized it, so count() is a scan of
-    // in-memory blocks): every round shuffles the label frame, and a
-    // session-wide partition count tuned for fact tables turns each
-    // tiny round into fixed scheduler overhead × partitions. ~50k
+    // size the loop's shuffles to the MEASURED edge count (observed
+    // during the checkpoint's own job — checkpointCounted, r20):
+    // every round shuffles the label frame, and a session-wide
+    // partition count tuned for fact tables turns each tiny round
+    // into fixed scheduler overhead × partitions. ~50k
     // edges/partition; a 100 TB edge list gets its full parallelism
     // back automatically.
-    ccPropagation(base, base.count(), onRound)
+    val (base, n) = checkpointCounted(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")),
+      count(lit(1)))
+    ccPropagation(base, n, onRound)
+  }
+
+  /** Eager localCheckpoint that collects `metric` DURING the
+    * materialization job via `Dataset.observe` (r20, guide §1.2 —
+    * remove work outright): the CC loops used to pay a SEPARATE
+    * count() job after every checkpoint (per round, plus one at the
+    * dispatch), and at fixture scale each such job is a fixed
+    * scheduler barrier on an in-memory scan. The observe node's
+    * accumulators ride the checkpoint's own job — measured feasible
+    * and partitioning-preserving by tools.ObserveProbe (the metric
+    * fires under localCheckpoint(true)'s RDD action, and
+    * CollectMetricsExec leaves the child's outputPartitioning
+    * untouched, so the loop's pre-partitioned edge frame keeps
+    * skipping its per-round exchange). The fixpoint logic is
+    * untouched — same scalar, one fewer job per round. */
+  private def checkpointCounted(df: DataFrame,
+                                metric: Column): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, metric.as("__m")).localCheckpoint(true)
+    val v = obs.get("__m")
+    (ck, if (v == null) 0L else v.asInstanceOf[Number].longValue)
   }
 
   /** Propagation core: `base` (__src, __dst) must already be
@@ -670,17 +693,20 @@ object GraftOps {
         // the round savings) or recompute the edge join. The fixpoint
         // is the unique CC labeling either way, so the declared key's
         // recursive-CTE oracle is untouched.
-        val next = comp.join(cand, col("id") === col("__dst"), "left")
-          .select(col("id"), col("component").as("__old"),
-            least(col("component"), coalesce(col("__cand"), col("component"))).as("__stp"))
-          .join(comp.select(col("id").as("__jid"), col("component").as("__jcomp")),
-            col("__stp") === col("__jid"), "left")
-          .select(col("id"),
-            least(col("__stp"), coalesce(col("__jcomp"), col("__stp"))).as("component"),
-            (least(col("__stp"), coalesce(col("__jcomp"), col("__stp")))
-              < col("__old")).as("__changed"))
-          .localCheckpoint(true)
-        changed = next.filter(col("__changed")).count()
+        // the round's changed count rides the checkpoint job itself
+        // (checkpointCounted, r20) — previously a second job per round
+        val (next, nChanged) = checkpointCounted(
+          comp.join(cand, col("id") === col("__dst"), "left")
+            .select(col("id"), col("component").as("__old"),
+              least(col("component"), coalesce(col("__cand"), col("component"))).as("__stp"))
+            .join(comp.select(col("id").as("__jid"), col("component").as("__jcomp")),
+              col("__stp") === col("__jid"), "left")
+            .select(col("id"),
+              least(col("__stp"), coalesce(col("__jcomp"), col("__stp"))).as("component"),
+              (least(col("__stp"), coalesce(col("__jcomp"), col("__stp")))
+                < col("__old")).as("__changed")),
+          sum(when(col("__changed"), 1L).otherwise(0L)))
+        changed = nChanged
         onRound(changed)
         comp = next.select(col("id"), col("component"))
         // jump-changed rows are __changed too, so they re-offer their
@@ -767,8 +793,9 @@ object GraftOps {
     * (changed labels for propagation, |E| for stars). */
   def connectedComponentsAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
                                   onRound: Long => Unit = _ => ()): DataFrame = {
-    val e = edges.select(col(srcCol), col(dstCol)).localCheckpoint(true)
-    val n = e.count()
+    // dispatch count observed during the checkpoint job (r20)
+    val (e, n) = checkpointCounted(
+      edges.select(col(srcCol), col(dstCol)), count(lit(1)))
     if (n >= CcStarsMinEdges)
       ccStars(e.select(
         greatest(col(srcCol), col(dstCol)).as("__a"),
@@ -781,11 +808,12 @@ object GraftOps {
                                onRound: Long => Unit): DataFrame = {
     // child > parent canonical orientation (see ccStars); checkpoint
     // here so the (possibly expensive) edge subtree materializes once
-    val canon = edges.select(
+    val (canon, n) = checkpointCounted(
+      edges.select(
         greatest(col(srcCol), col(dstCol)).as("__a"),
-        least(col(srcCol), col(dstCol)).as("__b"))
-      .localCheckpoint(true)
-    ccStars(canon, canon.count(), onRound)
+        least(col(srcCol), col(dstCol)).as("__b")),
+      count(lit(1)))
+    ccStars(canon, n, onRound)
   }
 
   /** Stars core: `canon` (__a ≥ __b canonical edges, self-loops still
@@ -835,8 +863,10 @@ object GraftOps {
           .distinct()
       }
 
-      var e = smallStar(largeStar(base)).localCheckpoint(true)
-      var nE = e.count()
+      // |E| observed during each iteration's checkpoint job (r20) —
+      // at the sf10 decade this also removes a 13.55 M-row in-memory
+      // scan per iteration, not just the scheduler barrier
+      var (e, nE) = checkpointCounted(smallStar(largeStar(base)), count(lit(1)))
       onRound(nE)
       var starForest = false
       // defensive round cap (r14, ADVICE r13): the alternating loop
@@ -857,8 +887,8 @@ object GraftOps {
           if (rounds > 64) throw new IllegalStateException(
             s"connectedComponentsStars: no star forest after $rounds " +
               s"rounds (|E| = $nE) — child>parent orientation invariant broken?")
-          e = smallStar(largeStar(e)).localCheckpoint(true)
-          nE = e.count()
+          val (e2, nE2) = checkpointCounted(smallStar(largeStar(e)), count(lit(1)))
+          e = e2; nE = nE2
           onRound(nE)
         }
       }

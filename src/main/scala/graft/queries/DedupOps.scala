@@ -167,6 +167,7 @@ object DedupOps {
     * over the whole corpus — feeds BOTH sides of BOTH band joins and
     * both cap guards; without it Spark recomputes the corpus pass 6×. */
   private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.api.BuildCounters.minhashSignatureBuilds.incrementAndGet()
     graft.catalyst.GraftFunctions.ensureRegistered(docs.sparkSession)
     // widened: the fixture's single-row-group parquet scans as 1-2
     // tasks, serializing the gram explosion (see GraftOps.widened)
@@ -305,7 +306,17 @@ object DedupOps {
     * pair set, the fixpoint and the declared hashes cannot move.
     * localCheckpoint for the same reason minhashSignatures
     * checkpoints: the table feeds both sides of both band joins and
-    * both cap guards — 6 consumers of a tiny 4-longs/doc frame. */
+    * both cap guards — 6 consumers of a tiny 4-longs/doc frame.
+    *
+    * Staleness bound (ADVICE r19): the store's sentinel fingerprints
+    * documents.parquet by size + mtime + first/last 4 KiB per file —
+    * an interior-only, same-size, mtime-preserving rewrite would evade
+    * it. Accepted: a parquet writer cannot produce such a rewrite (the
+    * footer with row counts and column stats lands in the tail stripe,
+    * and every real regeneration path — GenData, Spark overwrite —
+    * changes part-file names and mtimes), and folding a live content
+    * token (row count / checksum) into the sentinel would put a Spark
+    * job inside every query construction. */
   private[graft] def clusterFrame(spark: SparkSession, dir: String): DataFrame = {
     val mh = minhashIndex(spark, dir).localCheckpoint(true)
     graft.api.GraftOps

@@ -705,6 +705,7 @@ object TextOps {
 
   private[graft] def bpeLearn(spark: SparkSession, dir: String,
                               rounds: Int = BpeMergeRounds): (List[DataFrame], DataFrame) = {
+    graft.api.BuildCounters.bpeLearns.incrementAndGet()
     var v = bpeSeed(spark, dir)
     var merges = List.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -816,6 +817,7 @@ object TextOps {
     * newest-first, final vocabulary). */
   private[graft] def bpeLearnBatched(spark: SparkSession, dir: String,
                                      rounds: Int, batch: Int): (List[DataFrame], DataFrame) = {
+    graft.api.BuildCounters.bpeLearns.incrementAndGet()
     var v = bpeSeed(spark, dir)
     var merges = List.empty[DataFrame]
     val rankW = Window.orderBy(col("cnt").desc, col("a"), col("b"))

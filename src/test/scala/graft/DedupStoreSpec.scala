@@ -33,13 +33,33 @@ class DedupStoreSpec extends SparkSpec {
   }
 
   test("q_dedup_keep survivors are unchanged by the store seam") {
-    // the survivor aggregate consumes clusterFrame; a divergence here
-    // would mean the max(struct) tie-breaking saw different inputs
+    // r20 (ADVICE r19): the first cut of this test was tautological —
+    // qDedupKeep ends in groupBy(cluster), so one-row-per-cluster
+    // could never fail and pinned nothing about the seam. Now it
+    // mirrors the first test: the SAME survivor aggregate computed
+    // over the all-fresh clusterFrame spelling, compared row for row.
+    val fresh = graft.api.GraftOps.connectedComponentsAdaptive(
+        DedupOps.minhashPairs(spark, sf, DedupOps.MaxBandBucket),
+        "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+    val q = Tables.documents(spark, sf)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.queries.TextOps.qualityScoreCol(col("t")).as("score"))
+    val freshKeep = fresh.join(q, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("__nd"),
+          col("doc_id").as("__d"))).as("__w"),
+        count(lit(1)).as("n_dups"))
+      .select(col("cluster"), col("__w.__d").as("keep_doc"),
+        col("__w.score").as("keep_score"), col("n_dups"))
     val keep = DedupOps.qDedupKeep(spark, sf)
     assert(keep.columns.toSeq ===
       Seq("cluster", "keep_doc", "keep_score", "n_dups"))
-    val perCluster = keep.groupBy(col("cluster"))
-      .count().filter(col("count") > 1).count()
-    assert(perCluster === 0, "one survivor row per cluster")
+    val got = rows(keep)
+    assert(got === rows(freshKeep),
+      "store-seam survivors diverged from the all-fresh aggregate")
+    assert(got.nonEmpty, "fixture should yield survivor rows")
   }
 }
